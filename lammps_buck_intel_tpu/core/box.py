@@ -1,0 +1,91 @@
+"""Simulation box + periodic boundary conditions.
+
+Covers the host-LAMMPS ``Domain`` contract the reference relies on
+(SURVEY.md H3): orthogonal periodic boxes, coordinate wrapping with image
+flags, and minimum-image displacement.  Triclinic (lamda-coordinate) support
+mirrors the hooks at /root/reference/pppm_intel.cpp:153-157 and is provided
+for the kspace grid mapping; the shipped decks are all orthogonal.
+
+Design note (TPU-first): on a single device we never materialise ghost atoms.
+With wrapped coordinates and cutoff < L/2 the minimum-image convention is an
+exact replacement for LAMMPS' ghost-atom machinery, and it keeps every array
+a fixed (N, ...) shape — no halo padding, no comm.  Multi-chip halo exchange
+lives in ``parallel/``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class Box(NamedTuple):
+    """Orthogonal periodic simulation box.
+
+    lo, hi: (3,) box bounds.
+    periodic: (3,) bool — per-axis periodicity (decks are fully periodic).
+    """
+
+    lo: jnp.ndarray
+    hi: jnp.ndarray
+    periodic: jnp.ndarray
+
+    @property
+    def lengths(self) -> jnp.ndarray:
+        return self.hi - self.lo
+
+    @property
+    def volume(self) -> jnp.ndarray:
+        L = self.lengths
+        return L[0] * L[1] * L[2]
+
+
+def make_box(lo, hi, periodic=(True, True, True), dtype=jnp.float32) -> Box:
+    return Box(
+        lo=jnp.asarray(lo, dtype=dtype),
+        hi=jnp.asarray(hi, dtype=dtype),
+        periodic=jnp.asarray(periodic, dtype=bool),
+    )
+
+
+def minimum_image(delta: jnp.ndarray, box: Box) -> jnp.ndarray:
+    """Minimum-image displacement for an orthogonal periodic box.
+
+    delta: (..., 3) raw displacements x_i - x_j of wrapped coordinates.
+    Exact when every interaction cutoff < min(L)/2.
+    """
+    L = box.lengths.astype(delta.dtype)
+    shift = jnp.round(delta / L) * L
+    shift = jnp.where(box.periodic, shift, jnp.zeros_like(shift))
+    return delta - shift
+
+
+def wrap(x: jnp.ndarray, image: jnp.ndarray, box: Box):
+    """Wrap coordinates into [lo, hi) updating image flags.
+
+    Mirrors LAMMPS ``Domain::pbc`` semantics (image flags count how many box
+    lengths the unwrapped coordinate is offset — data.spce:22-34 carries these
+    columns and the checkpoint writer must round-trip them).
+    Returns (x_wrapped, image_updated).
+    """
+    L = box.lengths.astype(x.dtype)
+    rel = (x - box.lo) / L
+    n = jnp.floor(rel)
+    n = jnp.where(box.periodic, n, jnp.zeros_like(n))
+    x_w = x - n * L
+    return x_w, image + n.astype(image.dtype)
+
+
+def unwrap(x: jnp.ndarray, image: jnp.ndarray, box: Box) -> jnp.ndarray:
+    """Reconstruct unwrapped coordinates from wrapped x + image flags."""
+    L = box.lengths.astype(x.dtype)
+    return x + image.astype(x.dtype) * L
+
+
+def to_lamda(x: jnp.ndarray, box: Box) -> jnp.ndarray:
+    """Box -> fractional ("lamda") coordinates in [0,1)."""
+    return (x - box.lo) / box.lengths.astype(x.dtype)
+
+
+def from_lamda(s: jnp.ndarray, box: Box) -> jnp.ndarray:
+    return box.lo + s * box.lengths.astype(s.dtype)

@@ -1,0 +1,3 @@
+from .data_reader import DataFile, read_data, write_data
+from . import lattice
+from . import velocity

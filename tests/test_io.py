@@ -1,0 +1,70 @@
+import numpy as np
+
+from lammps_buck_intel_tpu.io import read_data, lattice, velocity
+from lammps_buck_intel_tpu.core import get_units
+
+
+def test_read_data_charge(reference_dir):
+    d = read_data(f"{reference_dir}/examples/data.aC")
+    assert d.n_atoms == 1200
+    assert d.n_atom_types == 2
+    # charge neutral silica: 400 Si (q=2.96653) + 800 O
+    np.testing.assert_allclose(d.q.sum(), 0.0, atol=1e-9)
+    assert np.isclose(d.mass[0], 28.0855)
+    assert np.isclose(d.box_hi[2], 28.0202560)
+    assert d.type.min() == 0 and d.type.max() == 1
+
+
+def test_read_data_full_spce(reference_dir):
+    d = read_data(f"{reference_dir}/examples/data.spce")
+    assert d.n_atoms == 4500
+    assert d.n_bonds == 3000
+    assert d.n_angles == 1500
+    # image flags present (data.spce:22-34)
+    assert np.abs(d.image).max() >= 1
+    # water: molecules of O + 2H
+    assert d.molecule.max() == 1499
+    np.testing.assert_allclose(d.q.sum(), 0.0, atol=1e-8)
+    # bonds reference O-H pairs within same molecule
+    b = d.bonds
+    assert np.all(d.molecule[b[:, 1]] == d.molecule[b[:, 2]])
+
+
+def test_read_data_full_unsorted_hexane(reference_dir):
+    d = read_data(f"{reference_dir}/examples/equilibrated_data.hexane")
+    assert d.n_atoms == 6000
+    # Velocities section present in write_data output
+    assert np.abs(d.v).max() > 0
+    # atom id 5405 row appears first but must land at index 5404
+    assert np.isclose(d.x[5404, 0], 1.0331041960003817e02)
+
+
+def test_fcc_lattice():
+    x, lo, hi = lattice.create_atoms("fcc", 0.8442, 20, 20, 20)
+    assert x.shape == (32000, 3)  # in.buck: 20^3 cells x 4 basis
+    a = lattice.lattice_constant("fcc", 0.8442)
+    np.testing.assert_allclose(hi, [20 * a] * 3)
+    # density check
+    vol = np.prod(hi - lo)
+    np.testing.assert_allclose(len(x) / vol, 0.8442, rtol=1e-12)
+
+
+def test_replicate(reference_dir):
+    d = read_data(f"{reference_dir}/examples/data.aC")
+    x, lo, hi, per_atom, *_ = lattice.replicate(
+        d.x, d.box_lo, d.box_hi, (4, 4, 4),
+        per_atom={"type": d.type, "q": d.q},
+    )
+    assert x.shape == (76800, 3)  # in.buck_coul_cut atom count
+    assert per_atom["type"].shape == (76800,)
+    np.testing.assert_allclose(hi - lo, (d.box_hi - d.box_lo) * 4)
+
+
+def test_velocity_create():
+    u = get_units("lj")
+    m = np.ones(1000)
+    v = velocity.create(1000, 1.44, 87287, m, u)
+    t = velocity.temperature(v, m, u)
+    np.testing.assert_allclose(t, 1.44, rtol=1e-10)
+    p = (m[:, None] * v).sum(axis=0)
+    np.testing.assert_allclose(p, 0.0, atol=1e-10)
