@@ -16,35 +16,44 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax.numpy as jnp
 
 
 class Box(NamedTuple):
     """Orthogonal periodic simulation box.
 
-    lo, hi: (3,) box bounds.
+    lo, hi: (3,) box bounds — **host numpy**, never device arrays.
     periodic: (3,) bool — per-axis periodicity (decks are fully periodic).
+
+    Keeping the box host-side is a measured TPU requirement, not a style
+    choice: a kernel that broadcasts 0-d *device* scalars into (N, K)
+    elementwise math compiles to catastrophically slow code (56 ms vs
+    0.03 ms for the pair kernel on v5e) — box constants must be baked into
+    the program at trace time, the analog of the reference baking cutoffs
+    into its template instantiations.
     """
 
-    lo: jnp.ndarray
-    hi: jnp.ndarray
-    periodic: jnp.ndarray
+    lo: np.ndarray
+    hi: np.ndarray
+    periodic: np.ndarray
 
     @property
-    def lengths(self) -> jnp.ndarray:
+    def lengths(self) -> np.ndarray:
         return self.hi - self.lo
 
     @property
-    def volume(self) -> jnp.ndarray:
+    def volume(self) -> float:
         L = self.lengths
-        return L[0] * L[1] * L[2]
+        return float(L[0] * L[1] * L[2])
 
 
-def make_box(lo, hi, periodic=(True, True, True), dtype=jnp.float32) -> Box:
+def make_box(lo, hi, periodic=(True, True, True), dtype=None) -> Box:
+    dt = np.float64 if dtype is None else np.dtype(dtype)
     return Box(
-        lo=jnp.asarray(lo, dtype=dtype),
-        hi=jnp.asarray(hi, dtype=dtype),
-        periodic=jnp.asarray(periodic, dtype=bool),
+        lo=np.asarray(lo, dtype=dt),
+        hi=np.asarray(hi, dtype=dt),
+        periodic=np.asarray(periodic, dtype=bool),
     )
 
 

@@ -1,0 +1,160 @@
+"""Plain Ewald reciprocal-space solver (``kspace_style ewald``).
+
+Required by examples/in.buck_coul_long:13 (``kspace_style ewald 1e-6``).
+Host-LAMMPS contract (SURVEY.md H5); no fork-specific kernel exists — this is
+a from-scratch TPU formulation.
+
+TPU-first design: the structure factor S(k) = sum_i q_i e^{i k.x_i} is a pair
+of (N, K) <- (N, 3) @ (3, K) **matmuls** followed by cos/sin and a reduction,
+and the force pass is the transposed (N, K) @ (K, 3) matmul — the whole
+solver runs on the MXU, no per-k loops.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.box import Box
+from .base import (
+    KSpaceResult, solve_g_ewald, rms_kspace_ewald, two_charge_force,
+)
+
+
+@dataclasses.dataclass
+class Ewald:
+    """Configured Ewald solver for a fixed box + charge set.
+
+    kvecs: (K, 3) wave vectors (full +/- space, k != 0), host numpy.
+    ug: (K,) energy prefactors  (2 pi / V) exp(-k^2/4g^2)/k^2.
+    vg:  (K, 6) virial prefactors.
+    """
+
+    g_ewald: float
+    kvecs: np.ndarray
+    ug: np.ndarray
+    qsum: float
+    qsqsum: float
+    qqrd2e: float
+    volume: float
+    kmax: tuple[int, int, int]
+    acc_dtype: object = jnp.float32
+
+    def compute(self, x, q, eflag: bool = True, vflag: bool = True):
+        return _ewald_compute(self, x, q, eflag, vflag)
+
+    @property
+    def elong_self(self) -> float:
+        """Self + neutralizing-background energy corrections."""
+        g = self.g_ewald
+        e = -g * self.qsqsum / math.sqrt(math.pi)
+        e -= math.pi / 2.0 * self.qsum**2 / (g * g * self.volume)
+        return e * self.qqrd2e
+
+
+def setup_ewald(
+    box: Box,
+    q,
+    cutoff: float,
+    accuracy_rel: float,
+    qqrd2e: float,
+    g_ewald: float = None,
+    acc_dtype=jnp.float32,
+) -> Ewald:
+    q = np.asarray(q, np.float64)
+    natoms = len(q)
+    qsum = float(q.sum())
+    qsqsum = float((q * q).sum())
+    L = np.asarray(box.lengths, np.float64)
+    volume = float(np.prod(L))
+    q2 = qsqsum * qqrd2e
+    accuracy = accuracy_rel * two_charge_force(qqrd2e)
+    if g_ewald is None:
+        g_ewald = solve_g_ewald(accuracy, cutoff, natoms, volume, q2)
+
+    kmax = []
+    for ax in range(3):
+        km = 1
+        while rms_kspace_ewald(km, L[ax], natoms, g_ewald, q2) > accuracy:
+            km += 1
+            if km > 200:
+                raise RuntimeError("ewald kmax blew up; check accuracy/box")
+        kmax.append(km)
+    kxm, kym, kzm = kmax
+
+    gsqmx = max(
+        (2 * math.pi * kxm / L[0]) ** 2,
+        (2 * math.pi * kym / L[1]) ** 2,
+        (2 * math.pi * kzm / L[2]) ** 2,
+    ) * 1.00001
+
+    ks = []
+    for nx in range(-kxm, kxm + 1):
+        for ny in range(-kym, kym + 1):
+            for nz in range(-kzm, kzm + 1):
+                if nx == ny == nz == 0:
+                    continue
+                k = 2 * math.pi * np.array([nx / L[0], ny / L[1], nz / L[2]])
+                ksq = float(k @ k)
+                if ksq <= gsqmx:
+                    ks.append(k)
+    kvecs = np.asarray(ks)
+    ksq = np.sum(kvecs**2, axis=1)
+    ug = (2.0 * math.pi / volume) * np.exp(-ksq / (4.0 * g_ewald**2)) / ksq
+
+    return Ewald(
+        g_ewald=float(g_ewald), kvecs=kvecs, ug=ug, qsum=qsum,
+        qsqsum=qsqsum, qqrd2e=qqrd2e, volume=volume,
+        kmax=(kxm, kym, kzm), acc_dtype=acc_dtype,
+    )
+
+
+def _ewald_compute(ew: Ewald, x, q, eflag: bool, vflag: bool) -> KSpaceResult:
+    flt = x.dtype
+    acc = ew.acc_dtype
+    kv = jnp.asarray(ew.kvecs, flt)          # (K, 3)
+    ug = jnp.asarray(ew.ug, flt)             # (K,)
+
+    phase = x @ kv.T                          # (N, K) — MXU
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    qc = q[:, None] * c
+    qs = q[:, None] * s
+    s_re = jnp.sum(qc.astype(acc), axis=0).astype(flt)   # (K,)
+    s_im = jnp.sum(qs.astype(acc), axis=0).astype(flt)
+
+    # F_i = qqrd2e * q_i * sum_k 2 ug_k k (sin_i Re - cos_i Im)
+    w = 2.0 * ug
+    coef = s * s_re[None, :] - c * s_im[None, :]          # (N, K)
+    f = (coef * w[None, :]) @ kv                          # (N, 3) — MXU
+    f = (float(ew.qqrd2e) * q[:, None] * f).astype(acc)
+
+    if eflag:
+        sk2 = (s_re * s_re + s_im * s_im).astype(acc)
+        elong = jnp.sum(jnp.asarray(ew.ug, acc) * sk2) * ew.qqrd2e
+        elong = elong + ew.elong_self
+    else:
+        elong = jnp.zeros((), acc)
+
+    if vflag:
+        g2 = ew.g_ewald**2
+        kx, ky, kz = kv[:, 0], kv[:, 1], kv[:, 2]
+        ksq = kx * kx + ky * ky + kz * kz
+        pref = 2.0 * (1.0 / ksq + 0.25 / g2)
+        sk2f = (s_re * s_re + s_im * s_im)
+        uk = ug * sk2f * float(ew.qqrd2e)
+        virial = jnp.stack([
+            jnp.sum((uk * (1.0 - pref * kx * kx)).astype(acc)),
+            jnp.sum((uk * (1.0 - pref * ky * ky)).astype(acc)),
+            jnp.sum((uk * (1.0 - pref * kz * kz)).astype(acc)),
+            jnp.sum((uk * (-pref * kx * ky)).astype(acc)),
+            jnp.sum((uk * (-pref * kx * kz)).astype(acc)),
+            jnp.sum((uk * (-pref * ky * kz)).astype(acc)),
+        ])
+    else:
+        virial = jnp.zeros((6,), acc)
+
+    return KSpaceResult(f=f, elong=elong, virial=virial)

@@ -1,0 +1,1 @@
+from .spmd import make_mesh, make_spmd_step, ShardedState, pad_to_multiple
