@@ -35,7 +35,9 @@ def main():
     )
     from lammps_buck_intel_tpu.io import lattice, velocity
     from lammps_buck_intel_tpu.models.pair import build_buck
-    from lammps_buck_intel_tpu.integrate import Simulation, NeighborPolicy
+    from lammps_buck_intel_tpu.integrate import (
+        CellPairSimulation, NeighborPolicy,
+    )
 
     u = get_units("lj")
     prec = single()
@@ -46,13 +48,13 @@ def main():
     system = make_system(xs, box, v=v, mass=np.ones(1), dtype=prec.flt)
     style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5,
                        dtype=prec.flt)
-    sim = Simulation(
+    sim = CellPairSimulation(
         system, style, units=u, precision=prec,
         neighbor=NeighborPolicy(skin=0.3, every=20, delay=0, check=False),
     )
     # warmup: compile every block size the steady-state loop will use
     sim.run(100, log=False)
-    steps = 200
+    steps = 400
     t0 = time.perf_counter()
     sim.run(steps, log=False)
     dt = time.perf_counter() - t0

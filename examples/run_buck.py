@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--thermo", type=int, default=50)
+    ap.add_argument("--engine", choices=["cellpair", "nlist"], default="cellpair")
     args = ap.parse_args()
 
     import jax
@@ -35,7 +36,9 @@ def main():
     )
     from lammps_buck_intel_tpu.io import lattice, velocity
     from lammps_buck_intel_tpu.models.pair import build_buck
-    from lammps_buck_intel_tpu.integrate import Simulation, NeighborPolicy
+    from lammps_buck_intel_tpu.integrate import (
+        Simulation, CellPairSimulation, NeighborPolicy,
+    )
 
     u = get_units("lj")
     prec = double() if args.f64 else single()
@@ -48,7 +51,8 @@ def main():
     system = make_system(xs, box, v=v, mass=np.ones(1), dtype=prec.flt)
     style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5,
                        dtype=prec.flt)
-    sim = Simulation(
+    cls = CellPairSimulation if args.engine == "cellpair" else Simulation
+    sim = cls(
         system, style, units=u, precision=prec,
         neighbor=NeighborPolicy(skin=0.3, every=20, delay=0, check=False),
     )

@@ -1,0 +1,308 @@
+"""Cell-pair engine runner — production TPU path.
+
+Same L5 role as integrate/verlet.py but over the sorted slot layout
+(neighbor/cell_slots.py) with the dense cell-pair force kernel
+(models/pair/cellpair.py).  Rebinning replaces neighbor-list rebuilds;
+everything between thermo fetches is a single fori_loop dispatch.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import System, Topology
+from ..core.units import Units, LJ
+from ..core.precision import Precision, single
+from ..neighbor import cell_slots as cs
+from ..models.pair.cellpair import compute_cellpair
+from ..models.pair.driver import _select_small
+from ..models.pair.styles import PairStyle
+from .verlet import NeighborPolicy
+
+
+class CellPairSimulation:
+    """MD driver on the slot layout.  API mirrors ``Simulation``."""
+
+    def __init__(
+        self,
+        system: System,
+        pair: PairStyle,
+        topology: Optional[Topology] = None,
+        kspace=None,
+        units: Units = LJ,
+        precision: Precision = None,
+        dt: Optional[float] = None,
+        neighbor: Optional[NeighborPolicy] = None,
+        cap: Optional[int] = None,
+    ):
+        self.units = units
+        self.precision = precision or single()
+        self.dt = units.dt if dt is None else dt
+        self.pair = pair
+        self.kspace = kspace
+        self.neighbor = neighbor or NeighborPolicy(skin=units.skin)
+        self.box = system.box
+        n = system.n_atoms
+        self.n_atoms = n
+        flt = self.precision.flt
+
+        cutneigh = float(np.sqrt(pair.cutsq_max)) + self.neighbor.skin
+        L = np.asarray(self.box.lengths)
+        grid = cs.make_grid(n, L, cutneigh, cap=cap)
+        if grid is None:
+            raise ValueError(
+                "box too small for the cell-pair engine (needs >=3 cells "
+                "per axis); use Simulation (neighbor-list engine) instead"
+            )
+        self.grid = grid
+
+        typ_np = np.asarray(jax.device_get(system.type), np.int32)
+        mass = np.asarray(jax.device_get(system.mass), np.float64)
+        # per-TYPE 1/mass — baked select chain (typ varies per rebin)
+        self._minv_per_type = (1.0 / mass).astype(np.dtype(flt))
+        self.dtf = float(0.5 * self.dt * units.ftm2v)
+        self.dtv = float(self.dt)
+
+        if topology is not None and topology.special_idx.shape[1] > 0:
+            s_idx = topology.special_idx
+            s_code = topology.special_code
+            # pad with a sentinel row for aid == n
+            self._special_idx = np.concatenate(
+                [s_idx, np.full((1, s_idx.shape[1]), -1, np.int32)], 0
+            )
+            self._special_code = np.concatenate(
+                [s_code, np.zeros((1, s_code.shape[1]), np.int8)], 0
+            )
+        else:
+            self._special_idx = None
+            self._special_code = None
+
+        st = cs.from_atoms(
+            self.grid, self.box, jax.device_get(system.x),
+            jax.device_get(system.v), jax.device_get(system.image),
+            typ_np, jax.device_get(system.q), dtype=flt,
+        )
+        # one host round-trip at setup to right-size the capacity
+        if bool(jax.device_get(st.overflow)):
+            cid_counts = self._occupancy(system, typ_np)
+            self.grid = cs.grow(self.grid, observed_max=cid_counts)
+            st = cs.from_atoms(
+                self.grid, self.box, jax.device_get(system.x),
+                jax.device_get(system.v), jax.device_get(system.image),
+                typ_np, jax.device_get(system.q), dtype=flt,
+            )
+            if bool(jax.device_get(st.overflow)):
+                raise RuntimeError("cell capacity sizing failed")
+        self.state = self._init_force_fn()(st)
+        self.step_count = 0
+        self._chunk_fns: dict[int, Callable] = {}
+        self.timings = {"run": 0.0}
+        self._thermo_jit = jax.jit(self._thermo_device)
+
+    def _occupancy(self, system, typ_np) -> int:
+        x = np.asarray(jax.device_get(system.x))
+        lo = np.asarray(self.box.lo)
+        L = np.asarray(self.box.lengths)
+        nc = np.asarray(self.grid.nc)
+        ci = np.clip(((x - lo) / L * nc).astype(int), 0, nc - 1)
+        cid = (ci[:, 0] * nc[1] + ci[:, 1]) * nc[2] + ci[:, 2]
+        return int(np.bincount(cid, minlength=self.grid.ncell).max())
+
+    # ---------- force + integrate ----------
+
+    def _slot_specials(self, state: cs.SlotState):
+        if self._special_idx is None:
+            return None, None
+        aid = jnp.minimum(state.aid, self.n_atoms)
+        return (
+            jnp.asarray(self._special_idx)[aid],
+            jnp.asarray(self._special_code)[aid],
+        )
+
+    def _forces(self, state: cs.SlotState, sp, eflag: bool, vflag: bool):
+        sp_idx, sp_code = sp
+        r = compute_cellpair(
+            self.pair, self.grid, self.box, state,
+            eflag=eflag, vflag=vflag, acc_dtype=self.precision.acc,
+            slot_special_idx=sp_idx, slot_special_code=sp_code,
+        )
+        fx, fy, fz = r.fx, r.fy, r.fz
+        elong = jnp.zeros((), self.precision.acc)
+        virial = r.virial
+        if self.kspace is not None:
+            xs = jnp.stack([state.x, state.y, state.z], axis=-1)
+            kr = self.kspace.compute(xs, state.q, eflag=eflag, vflag=vflag)
+            fx = fx + kr.f[:, 0]
+            fy = fy + kr.f[:, 1]
+            fz = fz + kr.f[:, 2]
+            elong = kr.elong
+            virial = virial + kr.virial
+        return (fx, fy, fz), r.evdwl, r.ecoul, elong, virial
+
+    def _minv(self, state: cs.SlotState):
+        m = _select_small(self._minv_per_type, state.typ, state.typ.shape,
+                          self.precision.flt)
+        if isinstance(m, float):
+            m = jnp.full(state.typ.shape, m, self.precision.flt)
+        # freeze empty slots
+        return jnp.where(state.aid < self.n_atoms, m, 0.0)
+
+    def _init_force_fn(self):
+        @jax.jit
+        def f(state):
+            sp = self._slot_specials(state)
+            (fx, fy, fz), *_ = self._forces(state, sp, False, False)
+            return state._replace(
+                fx=fx.astype(state.x.dtype),
+                fy=fy.astype(state.x.dtype),
+                fz=fz.astype(state.x.dtype),
+            )
+        return f
+
+    def _block(self, state: cs.SlotState, nsteps: int) -> cs.SlotState:
+        state = cs.rebin(self.grid, self.box, state)
+        sp = self._slot_specials(state)
+        minv = self._minv(state)
+        dtf, dtv = self.dtf, self.dtv
+        flt = self.precision.flt
+
+        def one_step(st: cs.SlotState, _):
+            vx = st.vx + (dtf * minv) * st.fx
+            vy = st.vy + (dtf * minv) * st.fy
+            vz = st.vz + (dtf * minv) * st.fz
+            x = st.x + dtv * vx
+            y = st.y + dtv * vy
+            z = st.z + dtv * vz
+            st = st._replace(x=x, y=y, z=z)
+            (fx, fy, fz), *_ = self._forces(st, sp, False, False)
+            fx = fx.astype(flt); fy = fy.astype(flt); fz = fz.astype(flt)
+            vx = vx + (dtf * minv) * fx
+            vy = vy + (dtf * minv) * fy
+            vz = vz + (dtf * minv) * fz
+            return st._replace(vx=vx, vy=vy, vz=vz, fx=fx, fy=fy, fz=fz), None
+
+        state, _ = jax.lax.scan(one_step, state, None, length=nsteps)
+        return state
+
+    def _repeat_blocks(self, size: int):
+        fn = self._chunk_fns.get(size)
+        if fn is None:
+            def chunk(state, n_blocks):
+                return jax.lax.fori_loop(
+                    0, n_blocks, lambda i, s: self._block(s, size), state
+                )
+            fn = jax.jit(chunk)
+            self._chunk_fns[size] = fn
+        return fn
+
+    # ---------- thermo ----------
+
+    def _thermo_device(self, state: cs.SlotState) -> dict:
+        state = cs.rebin(self.grid, self.box, state)
+        sp = self._slot_specials(state)
+        _, evdwl, ecoul, elong, virial = self._forces(state, sp, True, True)
+        u = self.units
+        acc = self.precision.acc
+        valid = state.aid < self.n_atoms
+        mpt = self._minv_per_type
+        minv = _select_small(mpt, state.typ, state.typ.shape,
+                             self.precision.flt)
+        if isinstance(minv, float):
+            minv = jnp.full(state.typ.shape, minv, self.precision.flt)
+        mass = jnp.where(valid, 1.0 / minv, 0.0)
+        v2 = state.vx**2 + state.vy**2 + state.vz**2
+        sum_mv2 = jnp.sum((mass * v2).astype(acc)) * u.mvv2e
+        dof = max(3 * self.n_atoms - 3, 1)
+        temp = sum_mv2 / (dof * u.boltz)
+        ke = 0.5 * sum_mv2
+        vol = self.box.volume
+        vir_trace = virial[0] + virial[1] + virial[2]
+        press = (sum_mv2 + vir_trace) / (3.0 * vol) * u.nktv2p
+        epair = evdwl + ecoul + elong
+        vmax = jnp.sqrt(jnp.max(jnp.where(valid, v2, 0.0)))
+        return dict(
+            temp=temp, evdwl=evdwl, ecoul=ecoul, elong=elong, epair=epair,
+            ke=ke, etotal=epair + ke, press=press,
+            overflow=state.overflow, vmax=vmax, virial=virial,
+        )
+
+    def thermo(self) -> dict:
+        row = jax.device_get(self._thermo_jit(self.state))
+        out = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v))
+               for k, v in row.items()}
+        out["step"] = self.step_count
+        out["overflow"] = bool(row["overflow"])
+        if out["overflow"]:
+            raise RuntimeError(
+                "cell capacity overflow during run; increase cap "
+                "(CellPairSimulation(cap=...))"
+            )
+        return out
+
+    # ---------- IO ----------
+
+    def get_atoms(self) -> dict:
+        """Atom-ordered state snapshot (host numpy)."""
+        out = jax.device_get(
+            jax.jit(lambda s: cs.to_atoms(self.grid, s))(self.state)
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    # ---------- main loop ----------
+
+    def _cadence(self, vmax: Optional[float]) -> int:
+        nb = self.neighbor
+        if not nb.check or vmax is None or vmax <= 0:
+            return max(1, nb.every)
+        safe = int(nb.skin / (2.0 * vmax * self.dt))
+        return max(1, min(max(safe, 1), 100))
+
+    def _advance(self, total: int, cadence: int):
+        n_full, rem = divmod(total, cadence)
+        if n_full:
+            self.state = self._repeat_blocks(cadence)(self.state, n_full)
+        if rem:
+            self.state = self._repeat_blocks(rem)(self.state, 1)
+
+    def run(self, nsteps: int, thermo_every: int = 0, log: bool = True):
+        rows = []
+        vmax = None
+
+        def emit():
+            nonlocal vmax
+            row = self.thermo()
+            vmax = row.pop("vmax")
+            rows.append(row)
+            if log:
+                if len(rows) == 1:
+                    print(f"{'Step':>8} {'Temp':>12} {'E_pair':>14} "
+                          f"{'E_long':>14} {'TotEng':>14} {'Press':>14}")
+                print(f"{row['step']:>8d} {row['temp']:>12.6g} "
+                      f"{row['epair']:>14.8g} {row['elong']:>14.8g} "
+                      f"{row['etotal']:>14.8g} {row['press']:>14.6g}")
+
+        t0 = time.perf_counter()
+        if thermo_every:
+            emit()
+        end = self.step_count + nsteps
+        while self.step_count < end:
+            target = end
+            if thermo_every:
+                target = min(
+                    end,
+                    ((self.step_count // thermo_every) + 1) * thermo_every,
+                )
+            self._advance(target - self.step_count, self._cadence(vmax))
+            self.step_count = target
+            if thermo_every and self.step_count % thermo_every == 0:
+                emit()
+        if thermo_every and (not rows or rows[-1]["step"] != self.step_count):
+            emit()
+        else:
+            float(self.state.x[0])  # force completion (see verlet.py note)
+        self.timings["run"] += time.perf_counter() - t0
+        return rows

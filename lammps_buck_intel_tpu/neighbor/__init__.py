@@ -9,3 +9,4 @@ from .neighbor_list import (
     build_with_retry,
     needs_rebuild,
 )
+from . import cell_slots

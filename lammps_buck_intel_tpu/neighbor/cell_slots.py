@@ -1,0 +1,230 @@
+"""Sorted cell-slot atom layout — the TPU-native hot-path data structure.
+
+Motivation (measured on TPU v5e through honest chained timing): a single
+(32k, 80) random gather costs ~19 ms (7.5 ns/element, scalar-bound), while
+the entire pair physics is ~1 ms of VPU work.  Neighbor-list MD is therefore
+gather-bound on TPU.  This module removes per-step gathers entirely:
+
+* Atoms live in a fixed (ncell * cap) slot array, grouped by cell, padded
+  with sentinel slots.  All per-step addressing is REGULAR: i-atoms are
+  contiguous (cell, slot) blocks; j-candidates are whole rows of the 27
+  neighbor cells (a static row-gather).  Measured: 2.1 ms/step for the
+  32k-atom buck melt vs 83 ms for the neighbor-list form — 40x.
+* Gathers/scatters happen only at REBIN time (every ``neigh_every`` steps),
+  amortised to ~0.1 ms/step.
+
+This is the TPU answer to the reference's dual machinery of binned neighbor
+lists + AoSoA repacking (SURVEY.md H2 + C1): the bins ARE the layout.
+LAMMPS' own atom sorting (sort every N steps into bins) is the same idea;
+here it is load-bearing for correctness of the dense kernel too.
+
+Skin argument: cells have edge >= cutoff + skin.  Between rebins atoms may
+drift; every pair within ``cutoff`` is still covered by the stale 27-cell
+neighborhood while no atom has moved more than skin/2 — the standard
+criterion, enforced by the runner's rebin cadence.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.box import Box
+
+
+@dataclasses.dataclass(frozen=True)
+class CellGrid:
+    """Static grid geometry (hashable; jit-specializing).
+
+    nc: cells per axis (>= 3 each).  cap: slots per cell.
+    nbr is derived (static 27-neighborhood row table, kept as a tuple for
+    hashability; use .nbr_array).
+    """
+
+    nc: tuple[int, int, int]
+    cap: int
+    n_atoms: int
+
+    @property
+    def ncell(self) -> int:
+        return self.nc[0] * self.nc[1] * self.nc[2]
+
+    @property
+    def nslots(self) -> int:
+        return self.ncell * self.cap
+
+    def nbr_array(self) -> np.ndarray:
+        """(ncell, 27) neighbor-cell ids, periodic wrap."""
+        ncx, ncy, ncz = self.nc
+        ci, cj, ck = np.meshgrid(
+            np.arange(ncx), np.arange(ncy), np.arange(ncz), indexing="ij"
+        )
+        out = np.zeros((self.ncell, 27), np.int32)
+        o = 0
+        for a in (-1, 0, 1):
+            for b in (-1, 0, 1):
+                for c in (-1, 0, 1):
+                    nb = (
+                        ((ci + a) % ncx) * ncy + ((cj + b) % ncy)
+                    ) * ncz + ((ck + c) % ncz)
+                    out[:, o] = nb.reshape(-1)
+                    o += 1
+        return out
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_grid(
+    n_atoms: int,
+    box_lengths,
+    cutneigh: float,
+    cap: Optional[int] = None,
+    safety: float = 1.6,
+) -> Optional[CellGrid]:
+    """Host-side sizing.  Returns None when the box is too small for a 3^3
+    grid (caller falls back to the dense neighbor-list engine)."""
+    L = np.asarray(box_lengths, np.float64)
+    nc = tuple(int(max(1, np.floor(l / cutneigh))) for l in L)
+    if min(nc) < 3:
+        return None
+    if cap is None:
+        mean = n_atoms / (nc[0] * nc[1] * nc[2])
+        cap = _round_up(max(8, int(mean * safety) + 4), 8)
+    return CellGrid(nc=nc, cap=int(cap), n_atoms=n_atoms)
+
+
+def grow(grid: CellGrid, observed_max: Optional[int] = None) -> CellGrid:
+    target = int(grid.cap * 1.25) + 8
+    if observed_max is not None:
+        target = max(target, int(observed_max * 1.15) + 4)
+    return dataclasses.replace(grid, cap=_round_up(target, 8))
+
+
+class SlotState(NamedTuple):
+    """All-(NS,) SoA planes.  aid == n_atoms marks an empty slot."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    vz: jnp.ndarray
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    fz: jnp.ndarray
+    ix: jnp.ndarray   # image flags
+    iy: jnp.ndarray
+    iz: jnp.ndarray
+    typ: jnp.ndarray  # int32
+    q: jnp.ndarray
+    aid: jnp.ndarray  # int32 original atom index; n_atoms = empty
+    overflow: jnp.ndarray  # () bool, sticky
+
+
+def _wrap_plane(p, i, lo, L):
+    rel = (p - lo) / L
+    nshift = jnp.floor(rel)
+    return p - nshift * L, i + nshift.astype(i.dtype)
+
+
+def rebin(grid: CellGrid, box: Box, state: SlotState) -> SlotState:
+    """Re-sort slots by current cell — pure jit-able device function.
+
+    Works on any leading length M (N at init, NS afterwards).  Invalid
+    entries (aid == n) sort to the end and are dropped.
+    """
+    n = grid.n_atoms
+    ncx, ncy, ncz = grid.nc
+    cap = grid.cap
+    ncell = grid.ncell
+    ns = grid.nslots
+    lo = [float(v) for v in np.asarray(box.lo)]
+    L = [float(v) for v in np.asarray(box.lengths)]
+
+    valid = state.aid < n
+    x, ix = _wrap_plane(state.x, state.ix, lo[0], L[0])
+    y, iy = _wrap_plane(state.y, state.iy, lo[1], L[1])
+    z, iz = _wrap_plane(state.z, state.iz, lo[2], L[2])
+
+    def cidx(p, lo_a, L_a, nc_a):
+        c = jnp.floor((p - lo_a) * (nc_a / L_a)).astype(jnp.int32)
+        return jnp.clip(c, 0, nc_a - 1)
+
+    cx = cidx(x, lo[0], L[0], ncx)
+    cy = cidx(y, lo[1], L[1], ncy)
+    cz = cidx(z, lo[2], L[2], ncz)
+    cid = (cx * ncy + cy) * ncz + cz
+    cid = jnp.where(valid, cid, ncell)  # invalid last
+
+    order = jnp.argsort(cid)  # stable
+    cid_sorted = cid[order]
+    starts = jnp.searchsorted(cid_sorted, jnp.arange(ncell, dtype=cid.dtype))
+    m = cid.shape[0]
+    rank = jnp.arange(m, dtype=jnp.int32) - starts[
+        jnp.minimum(cid_sorted, ncell - 1)
+    ].astype(jnp.int32)
+    ok = (cid_sorted < ncell) & (rank < cap)
+    target = jnp.where(ok, cid_sorted * cap + rank, ns)
+    overflow = state.overflow | jnp.any((cid_sorted < ncell) & (rank >= cap))
+
+    def scat(field, fill):
+        out = jnp.full((ns,), fill, field.dtype)
+        return out.at[target].set(field[order], mode="drop")
+
+    return SlotState(
+        x=scat(x, 0.0), y=scat(y, 0.0), z=scat(z, 0.0),
+        vx=scat(state.vx, 0.0), vy=scat(state.vy, 0.0), vz=scat(state.vz, 0.0),
+        fx=scat(state.fx, 0.0), fy=scat(state.fy, 0.0), fz=scat(state.fz, 0.0),
+        ix=scat(ix, 0), iy=scat(iy, 0), iz=scat(iz, 0),
+        typ=scat(state.typ, 0), q=scat(state.q, 0.0),
+        aid=scat(state.aid, n),
+        overflow=overflow,
+    )
+
+
+def from_atoms(grid: CellGrid, box: Box, x, v, image, typ, q,
+               dtype=jnp.float32) -> SlotState:
+    """Initial binning from (N, 3)/(N,) atom-ordered arrays."""
+    n = grid.n_atoms
+    x = jnp.asarray(x, dtype)
+    v = jnp.asarray(v, dtype)
+    image = jnp.asarray(image, jnp.int32)
+    st = SlotState(
+        x=x[:, 0], y=x[:, 1], z=x[:, 2],
+        vx=v[:, 0], vy=v[:, 1], vz=v[:, 2],
+        fx=jnp.zeros((n,), dtype), fy=jnp.zeros((n,), dtype),
+        fz=jnp.zeros((n,), dtype),
+        ix=image[:, 0], iy=image[:, 1], iz=image[:, 2],
+        typ=jnp.asarray(typ, jnp.int32),
+        q=jnp.asarray(q, dtype),
+        aid=jnp.arange(n, dtype=jnp.int32),
+        overflow=jnp.zeros((), bool),
+    )
+    return rebin(grid, box, st)
+
+
+def to_atoms(grid: CellGrid, state: SlotState):
+    """Scatter slots back to original atom order (IO/checkpoint path).
+
+    Returns dict of (N, 3)/(N,) arrays in atom order.
+    """
+    n = grid.n_atoms
+
+    def unscat(plane, fill=0.0):
+        out = jnp.full((n + 1,), fill, plane.dtype)
+        return out.at[jnp.minimum(state.aid, n)].set(plane)[:n]
+
+    x = jnp.stack([unscat(state.x), unscat(state.y), unscat(state.z)], -1)
+    v = jnp.stack([unscat(state.vx), unscat(state.vy), unscat(state.vz)], -1)
+    f = jnp.stack([unscat(state.fx), unscat(state.fy), unscat(state.fz)], -1)
+    image = jnp.stack(
+        [unscat(state.ix, 0), unscat(state.iy, 0), unscat(state.iz, 0)], -1
+    )
+    return dict(x=x, v=v, f=f, image=image,
+                typ=unscat(state.typ, 0), q=unscat(state.q))

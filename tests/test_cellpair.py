@@ -1,0 +1,177 @@
+"""Cell-pair engine cross-validation against the neighbor-list engine."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lammps_buck_intel_tpu.core import (
+    make_box, make_system, get_units, double, build_topology,
+)
+from lammps_buck_intel_tpu.io import lattice, velocity
+from lammps_buck_intel_tpu.models.pair import (
+    build_buck, compute_pair, compute_cellpair,
+)
+from lammps_buck_intel_tpu.neighbor import make_spec, build, cell_slots as cs
+from lammps_buck_intel_tpu.integrate import (
+    Simulation, CellPairSimulation, NeighborPolicy,
+)
+
+import golden
+
+
+def _melt(n_cells=6, dtype=jnp.float64, seed=87287):
+    u = get_units("lj")
+    xs, lo, hi = lattice.create_atoms("fcc", 0.8442, *([n_cells] * 3))
+    n = len(xs)
+    v = velocity.create(n, 1.44, seed, np.ones(n), u)
+    box = make_box(lo, hi, dtype=dtype)
+    return xs, v, box, n, u
+
+
+def test_binning_roundtrip():
+    xs, v, box, n, u = _melt(6)
+    grid = cs.make_grid(n, box.lengths, 2.8)
+    st = cs.from_atoms(grid, box, xs, v, np.zeros((n, 3), np.int32),
+                       np.zeros(n, np.int32), np.zeros(n), dtype=jnp.float64)
+    assert not bool(st.overflow)
+    back = cs.to_atoms(grid, st)
+    np.testing.assert_allclose(np.asarray(back["x"]), xs, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(back["v"]), v, atol=1e-12)
+    # every atom present exactly once
+    aid = np.asarray(st.aid)
+    real = aid[aid < n]
+    assert len(np.unique(real)) == n
+
+
+def test_cellpair_forces_match_nlist():
+    xs, v, box, n, u = _melt(6)
+    style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5,
+                       dtype=jnp.float64)
+    # neighbor-list reference
+    spec = make_spec(n, box.lengths, 2.8, dense=True)
+    nl = build(jnp.asarray(xs), box, spec)
+    pr = compute_pair(style, jnp.asarray(xs), jnp.zeros(n, jnp.int32),
+                      jnp.zeros(n), box, nl, eflag=True, vflag=True,
+                      acc_dtype=jnp.float64)
+    # cell-pair
+    grid = cs.make_grid(n, box.lengths, 2.8)
+    st = cs.from_atoms(grid, box, xs, v, np.zeros((n, 3), np.int32),
+                       np.zeros(n, np.int32), np.zeros(n), dtype=jnp.float64)
+    r = compute_cellpair(style, grid, box, st, eflag=True, vflag=True,
+                         acc_dtype=jnp.float64)
+    # map slot forces back to atom order
+    back = cs.to_atoms(grid, st._replace(
+        fx=r.fx.astype(jnp.float64), fy=r.fy.astype(jnp.float64),
+        fz=r.fz.astype(jnp.float64)))
+    np.testing.assert_allclose(np.asarray(back["f"]), np.asarray(pr.f),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(float(r.evdwl), float(pr.evdwl), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r.virial), np.asarray(pr.virial),
+                               rtol=1e-10, atol=1e-9)
+
+
+def test_cellpair_multitype_coul_cut():
+    rng = np.random.RandomState(5)
+    n_cells = 5
+    a = 3.2
+    xs, q, typ = [], [], []
+    for i in range(n_cells):
+        for j in range(n_cells):
+            for k in range(n_cells):
+                xs.append(np.array([i, j, k]) * a)
+                xs.append((np.array([i, j, k]) + 0.5) * a)
+                q += [1.1, -1.1]
+                typ += [0, 1]
+    x = np.asarray(xs) + rng.uniform(-0.1, 0.1, (len(xs), 3))
+    q = np.asarray(q)
+    typ = np.asarray(typ, np.int32)
+    n = len(x)
+    L = n_cells * a
+    box = make_box([0, 0, 0], [L] * 3)
+    style = build_buck(
+        2,
+        {(0, 0): (1388.77, 0.3623188, 175.0),
+         (0, 1): (18003.0, 0.2052124, 133.5381),
+         (1, 1): (100.0, 0.35, 30.0)},
+        cut_global=4.0, coul="cut", qqrd2e=14.399645, dtype=jnp.float64,
+    )
+    spec = make_spec(n, [L] * 3, 4.3, dense=True)
+    nl = build(jnp.asarray(x), box, spec)
+    pr = compute_pair(style, jnp.asarray(x), jnp.asarray(typ),
+                      jnp.asarray(q), box, nl, eflag=True, vflag=False,
+                      acc_dtype=jnp.float64)
+    grid = cs.make_grid(n, [L] * 3, 4.3)
+    assert grid is not None
+    st = cs.from_atoms(grid, box, x, np.zeros_like(x),
+                       np.zeros((n, 3), np.int32), typ, q,
+                       dtype=jnp.float64)
+    r = compute_cellpair(style, grid, box, st, eflag=True,
+                         acc_dtype=jnp.float64)
+    back = cs.to_atoms(grid, st._replace(
+        fx=r.fx.astype(jnp.float64), fy=r.fy.astype(jnp.float64),
+        fz=r.fz.astype(jnp.float64)))
+    np.testing.assert_allclose(np.asarray(back["f"]), np.asarray(pr.f),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(float(r.ecoul), float(pr.ecoul), rtol=1e-12)
+
+
+def test_cellpair_special_bonds():
+    # bonded triple inside a bigger box; special factors differ from 1
+    xs, v, box, n, u = _melt(6)
+    topo = build_topology(n, bonds=[[0, 0, 1], [0, 1, 2], [0, 2, 3]])
+    style = build_buck(
+        1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5,
+        special_lj=(1.0, 0.0, 0.5, 0.8), dtype=jnp.float64,
+    )
+    spec = make_spec(n, box.lengths, 2.8, dense=True)
+    nl = build(jnp.asarray(xs), box, spec, jnp.asarray(topo.special_idx),
+               jnp.asarray(topo.special_code))
+    pr = compute_pair(style, jnp.asarray(xs), jnp.zeros(n, jnp.int32),
+                      jnp.zeros(n), box, nl, eflag=True,
+                      acc_dtype=jnp.float64)
+    grid = cs.make_grid(n, box.lengths, 2.8)
+    st = cs.from_atoms(grid, box, xs, v, np.zeros((n, 3), np.int32),
+                       np.zeros(n, np.int32), np.zeros(n), dtype=jnp.float64)
+    pad_idx = np.concatenate(
+        [topo.special_idx, np.full((1, topo.special_idx.shape[1]), -1,
+                                   np.int32)], 0)
+    pad_code = np.concatenate(
+        [topo.special_code, np.zeros((1, topo.special_code.shape[1]),
+                                     np.int8)], 0)
+    aid = jnp.minimum(st.aid, n)
+    r = compute_cellpair(
+        style, grid, box, st, eflag=True, acc_dtype=jnp.float64,
+        slot_special_idx=jnp.asarray(pad_idx)[aid],
+        slot_special_code=jnp.asarray(pad_code)[aid],
+    )
+    back = cs.to_atoms(grid, st._replace(
+        fx=r.fx.astype(jnp.float64), fy=r.fy.astype(jnp.float64),
+        fz=r.fz.astype(jnp.float64)))
+    np.testing.assert_allclose(np.asarray(back["f"]), np.asarray(pr.f),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(float(r.evdwl), float(pr.evdwl), rtol=1e-12)
+
+
+def test_cellpair_simulation_matches_nlist_simulation():
+    xs, v, box, n, u = _melt(6)
+    style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5,
+                       shift=True, dtype=jnp.float64)
+    kw = dict(units=u, precision=double(),
+              neighbor=NeighborPolicy(skin=0.3, every=10, delay=0,
+                                      check=False))
+    sys1 = make_system(xs, box, v=v, mass=np.ones(1), dtype=jnp.float64)
+    sim1 = Simulation(sys1, style, **kw)
+    rows1 = sim1.run(40, thermo_every=20, log=False)
+
+    sys2 = make_system(xs, box, v=v, mass=np.ones(1), dtype=jnp.float64)
+    sim2 = CellPairSimulation(sys2, style, **kw)
+    rows2 = sim2.run(40, thermo_every=20, log=False)
+
+    for r1, r2 in zip(rows1, rows2):
+        assert abs(r1["etotal"] - r2["etotal"]) < 1e-8 * abs(r1["etotal"])
+        assert abs(r1["temp"] - r2["temp"]) < 1e-9 * max(r1["temp"], 1e-9)
+
+    # trajectories identical atom-for-atom
+    back = sim2.get_atoms()
+    x1 = np.asarray(sim1.state.x)
+    np.testing.assert_allclose(back["x"], x1, rtol=1e-9, atol=1e-9)
