@@ -51,6 +51,8 @@ class Forces(NamedTuple):
     evdwl: jnp.ndarray
     ecoul: jnp.ndarray
     elong: jnp.ndarray
+    ebond: jnp.ndarray
+    eangle: jnp.ndarray
     virial: jnp.ndarray
 
 
@@ -73,6 +75,7 @@ class Simulation:
         pair: PairStyle,
         topology: Optional[Topology] = None,
         kspace=None,
+        bonded=None,
         units: Units = LJ,
         precision: Precision = None,
         dt: Optional[float] = None,
@@ -85,6 +88,7 @@ class Simulation:
         self.dt = units.dt if dt is None else dt
         self.pair = pair
         self.kspace = kspace
+        self.bonded = bonded
         self.system = system
         self.topology = topology
         self.neighbor = neighbor or NeighborPolicy(skin=units.skin)
@@ -149,15 +153,25 @@ class Simulation:
             use_special=self.special_idx.shape[1] > 0,
         )
         f, virial = pr.f, pr.virial
-        elong = jnp.zeros((), self.precision.acc)
+        acc = self.precision.acc
+        elong = ebond = eangle = jnp.zeros((), acc)
         if self.kspace is not None:
             kr = self.kspace.compute(x, jnp.asarray(self.q), eflag=eflag,
                                      vflag=vflag)
             f = f + kr.f
             elong = kr.elong
             virial = virial + kr.virial
+        if self.bonded is not None and self.bonded.has_terms:
+            from ..models.bonded import compute_bonded
+
+            br = compute_bonded(self.bonded, x, self.box, eflag=eflag,
+                                acc_dtype=acc)
+            f = f + br.f
+            ebond = br.ebond
+            eangle = br.eangle
+            virial = virial + br.virial
         return Forces(f=f, evdwl=pr.evdwl, ecoul=pr.ecoul, elong=elong,
-                      virial=virial)
+                      ebond=ebond, eangle=eangle, virial=virial)
 
     def _init_force(self, state: MDState) -> MDState:
         x, image = wrap(state.x, state.image, self.box)
@@ -222,10 +236,12 @@ class Simulation:
         vir_trace = fr.virial[0] + fr.virial[1] + fr.virial[2]
         press = (sum_mv2 + vir_trace) / (3.0 * vol) * u.nktv2p
         epair = fr.evdwl + fr.ecoul + fr.elong
+        emol = fr.ebond + fr.eangle
         vmax = jnp.sqrt(jnp.max(jnp.sum(v * v, axis=-1)))
         return dict(
             temp=temp, evdwl=fr.evdwl, ecoul=fr.ecoul, elong=fr.elong,
-            epair=epair, ke=ke, etotal=epair + ke, press=press,
+            ebond=fr.ebond, eangle=fr.eangle, emol=emol,
+            epair=epair, ke=ke, etotal=epair + emol + ke, press=press,
             overflow=state.overflow | nl.overflow, vmax=vmax,
             virial=fr.virial,
         )
