@@ -36,6 +36,7 @@ from ..neighbor import neighbor_list as nlmod
 from ..models.pair.driver import compute_pair
 from ..models.pair.styles import PairStyle
 from .nve import make_nve, initial_integrate, final_integrate
+from .nvt import NVTConfig, NHChain, init_chain, nhc_half, chain_energy
 
 
 class MDState(NamedTuple):
@@ -44,6 +45,7 @@ class MDState(NamedTuple):
     image: jnp.ndarray
     f: jnp.ndarray
     overflow: jnp.ndarray  # () bool — any neighbor overflow since last fetch
+    therm: jnp.ndarray     # (2, M) Nose-Hoover chain state ((2,0) when NVE)
 
 
 class Forces(NamedTuple):
@@ -82,6 +84,8 @@ class Simulation:
         neighbor: Optional[NeighborPolicy] = None,
         kmax: Optional[int] = None,
         dense: Optional[bool] = None,
+        exclude_intra: bool = False,
+        thermostat: Optional[NVTConfig] = None,
     ):
         self.units = units
         self.precision = precision or single()
@@ -112,11 +116,24 @@ class Simulation:
             self.special_idx = np.zeros((n, 0), np.int32)
             self.special_code = np.zeros((n, 0), np.int8)
 
+        self._mol = None
+        if exclude_intra:
+            self._mol = np.asarray(jax.device_get(system.molecule), np.int32)
+
         cutneigh = float(np.sqrt(pair.cutsq_max)) + self.neighbor.skin
         L = np.asarray(self.box.lengths)
         self.spec = nlmod.make_spec(n, L, cutneigh, kmax=kmax, dense=dense)
         self.nve = make_nve(self.dt, units.ftm2v, self.mass_per_atom,
                             dtype=flt)
+        self.thermostat = None
+        tchain = 0
+        if thermostat is not None:
+            self.thermostat = dataclasses.replace(
+                thermostat, dof=max(3 * n - 3, 1), boltz=units.boltz,
+                mvv2e=units.mvv2e, dt=self.dt,
+            )
+            tchain = self.thermostat.tchain
+        self._mass_col = self.mass_per_atom.astype(np.dtype(flt))[:, None]
 
         self.state = MDState(
             x=jnp.asarray(jax.device_get(system.x), flt),
@@ -124,6 +141,7 @@ class Simulation:
             image=system.image,
             f=jnp.zeros((n, 3), self.precision.acc),
             overflow=jnp.zeros((), bool),
+            therm=jnp.zeros((2, tchain), flt),
         )
         self.step_count = 0
         self._chunk_fns: dict[tuple, Callable] = {}
@@ -133,7 +151,8 @@ class Simulation:
         # one host round-trip at setup: size the capacity spec properly
         x0, _ = wrap(self.state.x, self.state.image, self.box)
         _, self.spec = nlmod.build_with_retry(
-            x0, self.box, self.spec, self.special_idx, self.special_code
+            x0, self.box, self.spec, self.special_idx, self.special_code,
+            mol=self._mol,
         )
         self._thermo_fn = jax.jit(self._thermo_device)
         self._init_force_fn = jax.jit(self._init_force)
@@ -143,8 +162,9 @@ class Simulation:
     # ---------- force evaluation ----------
 
     def _build(self, x):
+        mol = None if self._mol is None else jnp.asarray(self._mol)
         return nlmod.build(x, self.box, self.spec, self.special_idx,
-                           self.special_code)
+                           self.special_code, mol)
 
     def _forces(self, x, nlist, eflag: bool, vflag: bool) -> Forces:
         pr = compute_pair(
@@ -178,42 +198,59 @@ class Simulation:
         nl = self._build(x)
         fr = self._forces(x, nl, eflag=False, vflag=False)
         return MDState(x=x, v=state.v, image=image, f=fr.f,
-                       overflow=state.overflow | nl.overflow)
+                       overflow=state.overflow | nl.overflow,
+                       therm=state.therm)
 
     # ---------- device-resident stepping ----------
 
-    def _block(self, state: MDState, nsteps: int) -> MDState:
-        """wrap -> rebuild -> nsteps scanned NVE steps, all on device."""
+    def _block(self, state: MDState, nsteps: int,
+               t_target: float) -> MDState:
+        """wrap -> rebuild -> nsteps scanned NVE/NVT steps, all on device."""
         x, image = wrap(state.x, state.image, self.box)
         nl = self._build(x)
         nve = self.nve
+        cfg = self.thermostat
+        mass_col = self._mass_col
 
         def one_step(carry, _):
-            xx, vv, ff = carry
+            xx, vv, ff, th = carry
+            if cfg is not None:
+                chain = NHChain(eta=th[0], eta_dot=th[1])
+                scale, chain = nhc_half(cfg, chain, vv, mass_col, t_target)
+                vv = vv * scale
+                th = jnp.stack([chain.eta, chain.eta_dot])
             xx, vv = initial_integrate(nve, xx, vv, ff)
             fr = self._forces(xx, nl, eflag=False, vflag=False)
             vv = final_integrate(nve, vv, fr.f)
-            return (xx, vv, fr.f), None
+            if cfg is not None:
+                chain = NHChain(eta=th[0], eta_dot=th[1])
+                scale, chain = nhc_half(cfg, chain, vv, mass_col, t_target)
+                vv = vv * scale
+                th = jnp.stack([chain.eta, chain.eta_dot])
+            return (xx, vv, fr.f, th), None
 
-        (x, v, f), _ = jax.lax.scan(
-            one_step, (x, state.v, state.f), None, length=nsteps
+        (x, v, f, th), _ = jax.lax.scan(
+            one_step, (x, state.v, state.f, state.therm), None, length=nsteps
         )
         return MDState(x=x, v=v, image=image, f=f,
-                       overflow=state.overflow | nl.overflow)
+                       overflow=state.overflow | nl.overflow, therm=th)
 
-    def _repeat_blocks(self, size: int):
+    def _repeat_blocks(self, size: int, t_target: float = 0.0):
         """Jitted (state, n_blocks) -> state running n_blocks rebuild+scan
-        blocks of `size` steps via fori_loop — ONE compilation per block
-        size, any repeat count (compiles through the tunnel are expensive)."""
-        fn = self._chunk_fns.get(size)
+        blocks of `size` steps via fori_loop — ONE compilation per
+        (block size, thermostat target), any repeat count (compiles through
+        the tunnel are expensive)."""
+        key = (size, round(float(t_target), 6))
+        fn = self._chunk_fns.get(key)
         if fn is None:
             def chunk(state: MDState, n_blocks) -> MDState:
                 return jax.lax.fori_loop(
-                    0, n_blocks, lambda i, s: self._block(s, size), state
+                    0, n_blocks,
+                    lambda i, s: self._block(s, size, t_target), state
                 )
 
             fn = jax.jit(chunk)
-            self._chunk_fns[size] = fn
+            self._chunk_fns[key] = fn
         return fn
 
     # ---------- thermo ----------
@@ -275,13 +312,26 @@ class Simulation:
         safe = int(nb.skin / (2.0 * vmax * self.dt))
         return max(1, min(max(safe, 1), 100))
 
+    def _t_target(self, ahead: int = 0) -> float:
+        """Thermostat target (linear ramp evaluated at the END of the
+        upcoming segment, baked per chunk — a ramp recompiles once per
+        thermo segment)."""
+        cfg = self.thermostat
+        if cfg is None:
+            return 0.0
+        if self._run_total <= 0 or cfg.t_start == cfg.t_stop:
+            return cfg.t_start
+        frac = min(max((self._run_done + ahead) / self._run_total, 0.0), 1.0)
+        return cfg.t_start + (cfg.t_stop - cfg.t_start) * frac
+
     def _advance(self, total: int, cadence: int):
         """Run `total` steps as n full blocks of `cadence` + one tail."""
+        tt = self._t_target(ahead=total)
         n_full, rem = divmod(total, cadence)
         if n_full:
-            self.state = self._repeat_blocks(cadence)(self.state, n_full)
+            self.state = self._repeat_blocks(cadence, tt)(self.state, n_full)
         if rem:
-            self.state = self._repeat_blocks(rem)(self.state, 1)
+            self.state = self._repeat_blocks(rem, tt)(self.state, 1)
 
     # ---------- main loop ----------
 
@@ -304,6 +354,8 @@ class Simulation:
                       f"{row['etotal']:>14.8g} {row['press']:>14.6g}")
 
         t0 = time.perf_counter()
+        self._run_total = nsteps
+        self._run_done = 0
         if thermo_every:
             emit()
         end = self.step_count + nsteps
@@ -315,6 +367,7 @@ class Simulation:
                     ((self.step_count // thermo_every) + 1) * thermo_every,
                 )
             self._advance(target - self.step_count, self._cadence(vmax))
+            self._run_done += target - self.step_count
             self.step_count = target
             if thermo_every and self.step_count % thermo_every == 0:
                 emit()

@@ -1,3 +1,4 @@
-from .base import KSpaceResult
+from .base import KSpaceResult, BoundKSpace, CombinedKSpace
 from .ewald import Ewald, setup_ewald
 from .pppm import PPPM, setup_pppm
+from .pppm_disp import PPPMDisp, setup_pppm_disp, solve_g6

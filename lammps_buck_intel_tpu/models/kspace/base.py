@@ -108,3 +108,41 @@ def estimate_ik_error(h: float, prd: float, natoms: int, order: int,
     return (q2 * (h * g_ewald) ** order
             * math.sqrt(g_ewald * prd * math.sqrt(2.0 * math.pi) * s / natoms)
             / (prd * prd))
+
+
+class BoundKSpace:
+    """Adapts a solver needing per-atom inputs other than charge (e.g.
+    dispersion 'charges' B_i) to the runner's kspace.compute(x, q) slot."""
+
+    def __init__(self, solver, per_atom):
+        import numpy as np
+
+        self.solver = solver
+        self.per_atom = np.asarray(per_atom)
+
+    def compute(self, x, q, eflag=True, vflag=True):
+        import jax.numpy as jnp
+
+        b = jnp.asarray(self.per_atom, x.dtype)
+        return self.solver.compute(x, b, eflag=eflag, vflag=vflag)
+
+
+class CombinedKSpace:
+    """Sums several kspace solvers (e.g. coulomb PPPM + dispersion PPPM,
+    the pppm/disp dual-pipeline analog — pppm_disp_intel.cpp:183-313)."""
+
+    def __init__(self, solvers):
+        self.solvers = solvers
+
+    def compute(self, x, q, eflag=True, vflag=True):
+        out = None
+        for s in self.solvers:
+            r = s.compute(x, q, eflag=eflag, vflag=vflag)
+            if out is None:
+                out = r
+            else:
+                out = KSpaceResult(
+                    f=out.f + r.f, elong=out.elong + r.elong,
+                    virial=out.virial + r.virial,
+                )
+        return out

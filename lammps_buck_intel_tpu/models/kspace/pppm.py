@@ -178,14 +178,30 @@ def setup_pppm(
     )
 
 
-def _greens_function(grid, L, g_ewald, order, nalias: int = 2) -> np.ndarray:
+def coulomb_kernel(g_ewald):
+    """hat g(k) = 4 pi / k^2 * exp(-k^2 / 4 g^2), 0 at k = 0."""
+
+    def kern(kmsq):
+        safe = np.where(kmsq == 0.0, 1.0, kmsq)
+        g = 4.0 * np.pi / safe * np.exp(-kmsq / (4.0 * g_ewald**2))
+        return np.where(kmsq == 0.0, 0.0, g)
+
+    return kern
+
+
+def _greens_function(grid, L, g_ewald, order, nalias: int = 2,
+                     kernel=None) -> np.ndarray:
     """Hockney-Eastwood optimal influence function for ik differentiation.
 
-    G(k) = [ sum_m U^2(k_m) (4pi/k_m^2) e^{-k_m^2/4g^2} (k . k_m) ]
+    G(k) = [ sum_m U^2(k_m) hat-g(k_m) (k . k_m) ]
            / ( |k|^2 [ sum_m U^2(k_m) ]^2 )
-    with U(k) = prod_axis sinc(k_ax h_ax / 2)^order and the alias sum m over
-    (2 pi n / h) shifts, |n| <= nalias.  k = 0 entry is zeroed.
+    with U(k) = prod_axis sinc(k_ax h_ax / 2)^order, the alias sum m over
+    (2 pi n / h) shifts, |n| <= nalias, and hat-g the pair kernel (Coulomb
+    4pi/k^2 e^{-k^2/4g^2} by default; dispersion uses its own — see
+    pppm_disp.py).  k = 0 entry is zeroed.
     """
+    if kernel is None:
+        kernel = coulomb_kernel(g_ewald)
     nx, ny, nz = grid
 
     def axis_k(n, prd):
@@ -219,9 +235,7 @@ def _greens_function(grid, L, g_ewald, order, nalias: int = 2) -> np.ndarray:
                 uz = sinc(kmz * hz / 2.0) ** order
                 u2 = (ux * uy * uz) ** 2
                 kmsq = kmx**2 + kmy**2 + kmz**2
-                kmsq_safe = np.where(kmsq == 0.0, 1.0, kmsq)
-                g = 4.0 * np.pi / kmsq_safe * np.exp(-kmsq / (4.0 * g_ewald**2))
-                g = np.where(kmsq == 0.0, 0.0, g)
+                g = kernel(kmsq)
                 kdot = kx * kmx + ky * kmy + kz * kmz
                 num += u2 * g * kdot
                 den += u2

@@ -168,8 +168,12 @@ def _special_codes(idx, special_idx, special_code):
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
-def build_dense(x, box: Box, spec: NeighborSpec, special_idx, special_code):
-    """O(N^2) masked build — small systems and golden tests."""
+def build_dense(x, box: Box, spec: NeighborSpec, special_idx, special_code,
+                mol=None):
+    """O(N^2) masked build — small systems and golden tests.
+
+    mol: optional (N,) molecule ids; same-molecule pairs are excluded
+    (LAMMPS ``neigh_modify exclude molecule/intra``)."""
     n = x.shape[0]
     k = min(spec.kmax, n)
     delta = minimum_image(x[:, None, :] - x[None, :, :], box)
@@ -177,6 +181,8 @@ def build_dense(x, box: Box, spec: NeighborSpec, special_idx, special_code):
     cutsq = jnp.asarray(spec.cutneigh**2, rsq.dtype)
     eye = jnp.eye(n, dtype=bool)
     valid = (rsq <= cutsq) & ~eye
+    if mol is not None:
+        valid = valid & (mol[:, None] != mol[None, :])
     key = jnp.where(valid, rsq, jnp.inf)
     neg, pos = jax.lax.top_k(-key, k)
     ok = neg > -jnp.inf
@@ -188,7 +194,8 @@ def build_dense(x, box: Box, spec: NeighborSpec, special_idx, special_code):
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
-def build_cell(x, box: Box, spec: NeighborSpec, special_idx, special_code):
+def build_cell(x, box: Box, spec: NeighborSpec, special_idx, special_code,
+               mol=None):
     """Binned build: cell assignment -> sorted scatter into (ncell, cap)
     slots -> per-tile 27-cell candidate gather -> top_k prune to (N, K).
 
@@ -220,6 +227,9 @@ def build_cell(x, box: Box, spec: NeighborSpec, special_idx, special_code):
     cells = cells[: ncell * cap]
 
     x_pad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
+    mol_pad = None
+    if mol is not None:
+        mol_pad = jnp.concatenate([mol, -jnp.ones((1,), mol.dtype)])
     offsets = jnp.asarray(_OFFSETS)  # (27,3)
     cutsq = jnp.asarray(spec.cutneigh**2, x.dtype)
 
@@ -234,9 +244,14 @@ def build_cell(x, box: Box, spec: NeighborSpec, special_idx, special_code):
     ci_t = ci_p.reshape(ntile, spec.tile, 3)
     xi_t = xi_p.reshape(ntile, spec.tile, 3)
     ai_t = ai_p.reshape(ntile, spec.tile)
+    if mol is not None:
+        mi_p = jnp.concatenate([mol, -jnp.ones((pad,), mol.dtype)])
+        mi_t = mi_p.reshape(ntile, spec.tile)
+    else:
+        mi_t = jnp.zeros((ntile, spec.tile), jnp.int32)
 
     def one_tile(args):
-        ci_b, xi_b, ai_b = args  # (T,3), (T,3), (T,)
+        ci_b, xi_b, ai_b, mi_b = args  # (T,3), (T,3), (T,), (T,)
         nbc = jnp.mod(ci_b[:, None, :] + offsets[None, :, :], nc_arr)  # (T,27,3)
         nbid = (nbc[..., 0] * ncy + nbc[..., 1]) * ncz + nbc[..., 2]  # (T,27)
         base = nbid[..., None] * cap + jnp.arange(cap, dtype=jnp.int32)
@@ -245,6 +260,8 @@ def build_cell(x, box: Box, spec: NeighborSpec, special_idx, special_code):
         delta = minimum_image(xi_b[:, None, :] - xj, box)
         rsq = jnp.sum(delta * delta, axis=-1)
         valid = (cand != n) & (cand != ai_b[:, None]) & (rsq <= cutsq)
+        if mol is not None:
+            valid = valid & (mol_pad[cand] != mi_b[:, None])
         key = jnp.where(valid, rsq, jnp.inf)
         neg, pos = jax.lax.top_k(-key, k)
         ok = neg > -jnp.inf
@@ -252,7 +269,7 @@ def build_cell(x, box: Box, spec: NeighborSpec, special_idx, special_code):
         nnei_b = jnp.sum(valid, axis=1).astype(jnp.int32)
         return idx_b.astype(jnp.int32), nnei_b
 
-    idx_t, nnei_t = jax.lax.map(one_tile, (ci_t, xi_t, ai_t))
+    idx_t, nnei_t = jax.lax.map(one_tile, (ci_t, xi_t, ai_t, mi_t))
     idx = idx_t.reshape(n_pad, k)[:n]
     nnei = nnei_t.reshape(n_pad)[:n]
     overflow = cell_overflow | jnp.any(nnei > k)
@@ -260,14 +277,15 @@ def build_cell(x, box: Box, spec: NeighborSpec, special_idx, special_code):
     return NeighborList(idx=idx, sb=sb, nnei=nnei, x0=x, overflow=overflow)
 
 
-def build(x, box: Box, spec: NeighborSpec, special_idx=None, special_code=None):
+def build(x, box: Box, spec: NeighborSpec, special_idx=None,
+          special_code=None, mol=None):
     n = x.shape[0]
     if special_idx is None:
         special_idx = jnp.zeros((n, 0), jnp.int32)
         special_code = jnp.zeros((n, 0), jnp.int8)
     if spec.dense:
-        return build_dense(x, box, spec, special_idx, special_code)
-    return build_cell(x, box, spec, special_idx, special_code)
+        return build_dense(x, box, spec, special_idx, special_code, mol)
+    return build_cell(x, box, spec, special_idx, special_code, mol)
 
 
 @jax.jit
@@ -280,10 +298,10 @@ def needs_rebuild(x, box: Box, nlist: NeighborList, half_skin_sq) -> jnp.ndarray
 
 
 def build_with_retry(x, box, spec, special_idx=None, special_code=None,
-                     max_retries: int = 5):
+                     mol=None, max_retries: int = 5):
     """Host-side overflow loop: grow capacities until the build fits."""
     for _ in range(max_retries):
-        nl = build(x, box, spec, special_idx, special_code)
+        nl = build(x, box, spec, special_idx, special_code, mol)
         if not bool(jax.device_get(nl.overflow)):
             return nl, spec
         spec = grow(spec, observed_max=int(jax.device_get(nl.nnei.max())))

@@ -164,3 +164,33 @@ def ewald_sum(x, q, L, g_ewald, kmax=8, qqrd2e=1.0):
     e_recip *= (twopi / V) * qqrd2e
     e_self = -qqrd2e * g_ewald / np.sqrt(np.pi) * float(np.sum(q * q))
     return e_real, e_recip, e_self, F_real, F_recip
+
+
+def dispersion_direct(x, B, L, images=3):
+    """Absolutely convergent direct lattice sum of E = -sum_{i<j} C_ij/r^6
+    (+ self-image terms), C_ij = B_i B_j.  Returns (E, F)."""
+    n = len(x)
+    L = np.asarray(L, float)
+    E = 0.0
+    F = np.zeros((n, 3))
+    shifts = []
+    for nx in range(-images, images + 1):
+        for ny in range(-images, images + 1):
+            for nz in range(-images, images + 1):
+                shifts.append(np.array([nx, ny, nz]) * L)
+    for i in range(n):
+        for j in range(n):
+            for s in shifts:
+                if i == j and not s.any():
+                    continue
+                d = x[i] - x[j] + s
+                rsq = float(d @ d)
+                c6 = B[i] * B[j]
+                r6 = rsq**-3
+                # half-count: every ordered pair (and self-image) counted
+                # once here, so energy gets 1/2
+                E += -0.5 * c6 * r6
+                # F_i = -dE/dx_i: the (i,j) and (j,i) ordered terms each
+                # contribute -3 c6 r^-8 d to F_i, so -6 per ordered term here
+                F[i] += -6.0 * c6 * r6 / rsq * d
+    return E, F

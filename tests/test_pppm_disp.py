@@ -1,0 +1,92 @@
+"""Dispersion-PPPM validation against an absolutely convergent direct
+lattice sum of -C6/r^6 (geometric mixing)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lammps_buck_intel_tpu.core import make_box
+from lammps_buck_intel_tpu.models.pair import build_lj, compute_pair
+from lammps_buck_intel_tpu.models.kspace.pppm_disp import (
+    setup_pppm_disp, solve_g6, dispersion_kernel,
+)
+from lammps_buck_intel_tpu.neighbor import make_spec, build
+
+import golden
+
+
+def _disp_system(seed=0, n=24, L=7.0):
+    rng = np.random.RandomState(seed)
+    x = []
+    while len(x) < n:
+        p = rng.uniform(0, L, 3)
+        if all(np.sum(golden.min_image(p - xx, np.array([L] * 3)) ** 2) > 1.2
+               for xx in x):
+            x.append(p)
+    x = np.asarray(x)
+    typ = rng.randint(0, 2, n).astype(np.int32)
+    return x, typ, L
+
+
+def test_kernel_limits():
+    kern = dispersion_kernel(0.8)
+    import math
+    w0 = kern(np.array([0.0]))[0]
+    np.testing.assert_allclose(w0, -math.pi**1.5 * 0.8**3 / 3.0, rtol=1e-12)
+    # decays for large k
+    assert abs(kern(np.array([400.0]))[0]) < abs(w0) * 1e-4
+
+
+def test_disp_total_vs_direct_sum():
+    """pair(real, damped) + pppm/disp(recip + self + k0) == direct sum."""
+    x, typ, L = _disp_system()
+    n = len(x)
+    box = make_box([0, 0, 0], [L] * 3)
+    # LJ with sigma such that C6 = 4 eps sig^6; geometric mixing
+    eps = np.array([0.30, 0.18])
+    sig = np.array([1.10, 1.25])
+    cut = 3.2
+    g6 = solve_g6(cut, 1e-5)
+    style = build_lj(
+        2, {0: (eps[0], sig[0]), 1: (eps[1], sig[1])},
+        cut_global=cut, disp="long", dtype=jnp.float64,
+    ).replace(g_ewald_6=g6)
+    # kill the r^-12 repulsion so ONLY dispersion physics remains:
+    t = np.array(style.tables)
+    t[..., 0] = 0.0  # lj1 (force r^-12)
+    t[..., 2] = 0.0  # lj3 (energy r^-12)
+    style = style.replace(tables=t)
+
+    B = np.sqrt(4.0 * eps) * sig**3
+    pm = setup_pppm_disp(box, B, typ, cutoff=cut, tol_real=1e-5,
+                         g_ewald_6=g6, grid=(32, 32, 32),
+                         acc_dtype=jnp.float64)
+    spec = make_spec(n, [L] * 3, cut + 0.3, dense=True)
+    nl = build(jnp.asarray(x), box, spec)
+    pr = compute_pair(style, jnp.asarray(x), jnp.asarray(typ),
+                      jnp.zeros(n), box, nl, eflag=True, vflag=False,
+                      acc_dtype=jnp.float64)
+    b_atom = jnp.asarray(B[typ])
+    kr = pm.compute(jnp.asarray(x), b_atom)
+
+    e_direct, f_direct = golden.dispersion_direct(x, B[typ], [L] * 3,
+                                                  images=3)
+    e_total = float(pr.evdwl) + float(kr.elong)
+    np.testing.assert_allclose(e_total, e_direct, rtol=2e-4)
+    f_total = np.asarray(pr.f) + np.asarray(kr.f)
+    scale = np.abs(f_direct).max()
+    np.testing.assert_allclose(f_total / scale, f_direct / scale, atol=2e-3)
+
+
+def test_disp_forces_sum_zero():
+    x, typ, L = _disp_system(seed=3)
+    box = make_box([0, 0, 0], [L] * 3)
+    B = np.array([0.9, 0.5])
+    pm = setup_pppm_disp(box, B, typ, cutoff=2.5, acc_dtype=jnp.float64)
+    kr = pm.compute(jnp.asarray(x), jnp.asarray(B[typ]))
+    np.testing.assert_allclose(np.asarray(kr.f).sum(axis=0), 0.0, atol=1e-10)
+
+
+def test_g6_heuristic_monotonic():
+    assert solve_g6(9.8, 1e-4) < solve_g6(9.8, 1e-6)
+    assert solve_g6(5.0, 1e-4) > solve_g6(10.0, 1e-4)
