@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--data", default="/root/reference/examples/data.spce")
+    ap.add_argument("--shake", action="store_true",
+                    help="fix shake b 1 a 1 (rigid water, deck default)")
+    ap.add_argument("--nvt", type=float, default=0.0,
+                    help="Nose-Hoover target T (deck: 300)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +48,9 @@ def main():
     from lammps_buck_intel_tpu.models.pair import build_lj
     from lammps_buck_intel_tpu.models.kspace import setup_pppm
     from lammps_buck_intel_tpu.models.bonded import make_bonded
-    from lammps_buck_intel_tpu.integrate import Simulation, NeighborPolicy
+    from lammps_buck_intel_tpu.integrate import (
+        Simulation, NeighborPolicy, make_shake, NVTConfig,
+    )
 
     u = get_units("real")
     prec = double() if args.f64 else single()
@@ -82,9 +88,19 @@ def main():
     v = velocity.create(n, 300.0, 432567, mass_per_atom, u, dist="uniform")
     system = make_system(x, box, type=typ, v=v, q=q, image=image,
                          mass=d.mass, molecule=mol, dtype=prec.flt)
+    shake = None
+    if args.shake:
+        shake = make_shake(bonds, np.array([[1000.0, 1.0]]), angles,
+                           np.array([[100.0, 109.47]]), mass_per_atom,
+                           iters=30)
+        bonded = None  # constrained bonds carry no flexible forces
+    thermostat = None
+    if args.nvt > 0:
+        thermostat = NVTConfig(t_start=args.nvt, t_stop=args.nvt,
+                               t_damp=100.0)
     sim = Simulation(
         system, style, topology=topo, kspace=pm, bonded=bonded, units=u,
-        precision=prec, dt=args.dt,
+        precision=prec, dt=args.dt, shake=shake, thermostat=thermostat,
         neighbor=NeighborPolicy(skin=2.0, every=5, delay=0, check=False),
     )
     sim.run(1, log=False)  # warmup

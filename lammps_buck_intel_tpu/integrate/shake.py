@@ -1,0 +1,213 @@
+"""SHAKE/RATTLE holonomic distance constraints (``fix shake``).
+
+Host-LAMMPS contract (SURVEY.md H7): examples/in.spce:29
+``fix 1 all shake 0.0001 20 0 b 1 a 1`` — constrain bond type 1 (O-H) and
+angle type 1 (H-O-H, converted to an equivalent H..H distance) so rigid
+SPC/E water runs at dt = 2 fs.
+
+Formulation (classic SHAKE + RATTLE rather than LAMMPS' constraint-force
+variant — same constraint manifold, simpler functionally):
+  * after the Verlet drift, iterate position corrections along the OLD bond
+    directions until |r|^2 == d^2 (fixed iteration count under jit, the
+    deck's max-iter knob);  velocities receive the matching correction.
+  * after the final half-kick, RATTLE projects out the velocity component
+    along each constraint.
+
+Constrained DOF reduce the temperature denominator (handled by the runner).
+All constraint work is scatter-adds over the constraint list — tiny next to
+the pair pass.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ShakeConstraints:
+    """pairs: (Nc, 2) int32 atom indices; d2: (Nc,) squared target lengths;
+    invm: (N,) 1/mass per atom (host numpy, baked).
+    n_independent: independent constraint count for DOF bookkeeping (equals
+    len(pairs) for SHAKE bonds; less when redundant all-pair rigidifying
+    constraints are used — see make_rigid_from_molecules)."""
+
+    pairs: np.ndarray
+    d2: np.ndarray
+    invm: np.ndarray
+    iters: int = 20
+    n_independent: int = -1
+    # Jacobi under-relaxation: all constraints update in parallel (unlike
+    # serial Gauss-Seidel SHAKE); strongly coupled constraint sets (rigid
+    # bodies) need omega < 2/coupling to converge.
+    omega: float = 1.0
+
+    @property
+    def n_constraints(self) -> int:
+        return self.n_independent if self.n_independent >= 0 else len(self.pairs)
+
+
+def make_shake(
+    bonds: np.ndarray,
+    bond_coeffs: np.ndarray,
+    angles: np.ndarray,
+    angle_coeffs: np.ndarray,
+    mass_per_atom: np.ndarray,
+    bond_types=(0,),
+    angle_types=(0,),
+    iters: int = 20,
+) -> ShakeConstraints:
+    """Build the constraint list from topology (``b ... a ...`` syntax).
+
+    An angle constraint i-j-k (j central) with both wing bonds constrained
+    becomes the fixed i..k distance 2 r0 sin(theta0/2) (SPC/E H..H)."""
+    pairs = []
+    d2 = []
+    r0_of_bond_type = {int(t): float(bond_coeffs[int(t), 1])
+                       for t in range(len(bond_coeffs))}
+    for bt, i, j in np.asarray(bonds, np.int64):
+        if int(bt) in bond_types:
+            pairs.append((i, j))
+            d2.append(r0_of_bond_type[int(bt)] ** 2)
+    for row in np.asarray(angles, np.int64):
+        at, i, j, k = row
+        if int(at) in angle_types:
+            th0 = math.radians(float(angle_coeffs[int(at), 1]))
+            # wing bond length: assume the constrained bond type's r0
+            r0 = float(bond_coeffs[0, 1]) if len(bond_coeffs) else 1.0
+            d = 2.0 * r0 * math.sin(th0 / 2.0)
+            pairs.append((i, k))
+            d2.append(d * d)
+    return ShakeConstraints(
+        pairs=np.asarray(pairs, np.int32),
+        d2=np.asarray(d2, np.float64),
+        invm=(1.0 / np.asarray(mass_per_atom, np.float64)),
+        iters=iters,
+    )
+
+
+def _minimg_cols(d, L):
+    out = []
+    for ax in range(3):
+        La = float(L[ax])
+        out.append(d[:, ax] - jnp.round(d[:, ax] * (1.0 / La)) * La)
+    return jnp.stack(out, axis=-1)
+
+
+def shake_positions(sc: ShakeConstraints, x_old, x_new, v, dt: float, L):
+    """Iteratively correct x_new (and v) so constraints hold.
+
+    x_old: positions at the start of the step (reference directions).
+    Returns (x_new, v).
+    """
+    i = jnp.asarray(sc.pairs[:, 0])
+    j = jnp.asarray(sc.pairs[:, 1])
+    d2 = jnp.asarray(sc.d2, x_new.dtype)
+    mi = jnp.asarray(sc.invm[sc.pairs[:, 0]], x_new.dtype)[:, None]
+    mj = jnp.asarray(sc.invm[sc.pairs[:, 1]], x_new.dtype)[:, None]
+    r_old = _minimg_cols(x_old[i] - x_old[j], L)   # reference directions
+
+    omega = float(sc.omega)
+
+    def body(k, xn):
+        r_new = _minimg_cols(xn[i] - xn[j], L)
+        diff = jnp.sum(r_new * r_new, axis=1) - d2
+        denom = 2.0 * jnp.sum(r_new * r_old, axis=1) * (
+            mi[:, 0] + mj[:, 0]
+        )
+        lam = diff / jnp.where(jnp.abs(denom) > 1e-12, denom,
+                               jnp.sign(denom) * 1e-12 + 1e-12)
+        corr = (omega * lam)[:, None] * r_old
+        xn = xn.at[i].add(-mi * corr)
+        xn = xn.at[j].add(mj * corr)
+        return xn
+
+    x_fix = jax.lax.fori_loop(0, sc.iters, body, x_new)
+    v = v + (x_fix - x_new) / dt
+    return x_fix, v
+
+
+def rattle_velocities(sc: ShakeConstraints, x, v, L, iters: int = None):
+    """Project out velocity components along constraints."""
+    i = jnp.asarray(sc.pairs[:, 0])
+    j = jnp.asarray(sc.pairs[:, 1])
+    d2 = jnp.asarray(sc.d2, x.dtype)
+    mi = jnp.asarray(sc.invm[sc.pairs[:, 0]], x.dtype)[:, None]
+    mj = jnp.asarray(sc.invm[sc.pairs[:, 1]], x.dtype)[:, None]
+    r = _minimg_cols(x[i] - x[j], L)
+    it = sc.iters if iters is None else iters
+    omega = float(sc.omega)
+
+    def body(k, vv):
+        dv = vv[i] - vv[j]
+        lam = jnp.sum(r * dv, axis=1) / (d2 * (mi[:, 0] + mj[:, 0]))
+        corr = (omega * lam)[:, None] * r
+        vv = vv.at[i].add(-mi * corr)
+        vv = vv.at[j].add(mj * corr)
+        return vv
+
+    return jax.lax.fori_loop(0, it, body, v)
+
+
+def max_violation(sc: ShakeConstraints, x, L):
+    """Diagnostic: max |r^2/d^2 - 1| over constraints."""
+    i = sc.pairs[:, 0]
+    j = sc.pairs[:, 1]
+    r = _minimg_cols(x[i] - x[j], L)
+    rsq = jnp.sum(r * r, axis=1)
+    return jnp.max(jnp.abs(rsq / jnp.asarray(sc.d2, x.dtype) - 1.0))
+
+
+def make_rigid_from_molecules(
+    x: np.ndarray,
+    molecule: np.ndarray,
+    mass_per_atom: np.ndarray,
+    L,
+    iters: int = 200,
+    max_body: int = 16,
+    omega: float = 0.25,
+) -> ShakeConstraints:
+    """``fix rigid/small molecule`` via redundant distance constraints.
+
+    Every intra-molecular pair distance is frozen at the initial geometry;
+    for a non-degenerate body this pins the rigid-body manifold exactly
+    (same configuration space as quaternion rigid dynamics, integrated here
+    by SHAKE/RATTLE).  Independent constraints per body: 3 n - 6 (n >= 3,
+    non-collinear), so DOF = 6 per body, matching LAMMPS temperature
+    bookkeeping.
+    """
+    x = np.asarray(x, np.float64)
+    L = np.asarray(L, np.float64)
+    mol = np.asarray(molecule)
+    pairs = []
+    d2 = []
+    n_indep = 0
+    for m in np.unique(mol):
+        idx = np.nonzero(mol == m)[0]
+        nb = len(idx)
+        if nb < 2:
+            continue
+        if nb > max_body:
+            raise ValueError(
+                f"molecule {m} has {nb} atoms > max_body={max_body}; "
+                "all-pair rigidification scales quadratically"
+            )
+        for a in range(nb):
+            for b in range(a + 1, nb):
+                i, j = idx[a], idx[b]
+                d = x[i] - x[j]
+                d -= np.round(d / L) * L
+                pairs.append((i, j))
+                d2.append(float(d @ d))
+        n_indep += (1 if nb == 2 else max(3 * nb - 6, 1))
+    return ShakeConstraints(
+        pairs=np.asarray(pairs, np.int32),
+        d2=np.asarray(d2, np.float64),
+        invm=(1.0 / np.asarray(mass_per_atom, np.float64)),
+        iters=iters,
+        n_independent=n_indep,
+        omega=omega,
+    )

@@ -37,6 +37,9 @@ from ..models.pair.driver import compute_pair
 from ..models.pair.styles import PairStyle
 from .nve import make_nve, initial_integrate, final_integrate
 from .nvt import NVTConfig, NHChain, init_chain, nhc_half, chain_energy
+from .shake import (
+    ShakeConstraints, shake_positions, rattle_velocities,
+)
 
 
 class MDState(NamedTuple):
@@ -86,6 +89,7 @@ class Simulation:
         dense: Optional[bool] = None,
         exclude_intra: bool = False,
         thermostat: Optional[NVTConfig] = None,
+        shake: Optional[ShakeConstraints] = None,
     ):
         self.units = units
         self.precision = precision or single()
@@ -125,11 +129,15 @@ class Simulation:
         self.spec = nlmod.make_spec(n, L, cutneigh, kmax=kmax, dense=dense)
         self.nve = make_nve(self.dt, units.ftm2v, self.mass_per_atom,
                             dtype=flt)
+        self.shake = shake
         self.thermostat = None
         tchain = 0
         if thermostat is not None:
+            t_dof = 3 * n - 3
+            if shake is not None:
+                t_dof -= shake.n_constraints
             self.thermostat = dataclasses.replace(
-                thermostat, dof=max(3 * n - 3, 1), boltz=units.boltz,
+                thermostat, dof=max(t_dof, 1), boltz=units.boltz,
                 mvv2e=units.mvv2e, dt=self.dt,
             )
             tchain = self.thermostat.tchain
@@ -156,6 +164,21 @@ class Simulation:
         )
         self._thermo_fn = jax.jit(self._thermo_device)
         self._init_force_fn = jax.jit(self._init_force)
+        if self.shake is not None:
+            # settle the initial state onto the constraint manifold (both
+            # positions and velocities) so the first step doesn't absorb a
+            # one-time kinetic-energy jump
+            Lbox = np.asarray(self.box.lengths, np.float64)
+            sc = self.shake
+
+            @jax.jit
+            def settle(state: MDState) -> MDState:
+                x, _ = shake_positions(sc, state.x, state.x, state.v,
+                                       1.0, Lbox)  # discard v feedback
+                v = rattle_velocities(sc, x, state.v, Lbox)
+                return state._replace(x=x, v=v)
+
+            self.state = settle(self.state)
         self.state = self._init_force_fn(self.state)
         self.timings["setup"] += time.perf_counter() - t0
 
@@ -212,6 +235,9 @@ class Simulation:
         cfg = self.thermostat
         mass_col = self._mass_col
 
+        sc = self.shake
+        Lbox = np.asarray(self.box.lengths, np.float64)
+
         def one_step(carry, _):
             xx, vv, ff, th = carry
             if cfg is not None:
@@ -219,9 +245,14 @@ class Simulation:
                 scale, chain = nhc_half(cfg, chain, vv, mass_col, t_target)
                 vv = vv * scale
                 th = jnp.stack([chain.eta, chain.eta_dot])
+            x_old = xx
             xx, vv = initial_integrate(nve, xx, vv, ff)
+            if sc is not None:
+                xx, vv = shake_positions(sc, x_old, xx, vv, nve.dtv, Lbox)
             fr = self._forces(xx, nl, eflag=False, vflag=False)
             vv = final_integrate(nve, vv, fr.f)
+            if sc is not None:
+                vv = rattle_velocities(sc, xx, vv, Lbox)
             if cfg is not None:
                 chain = NHChain(eta=th[0], eta_dot=th[1])
                 scale, chain = nhc_half(cfg, chain, vv, mass_col, t_target)
@@ -266,7 +297,10 @@ class Simulation:
             (m[:, None] * v * v).astype(self.precision.acc)
         ) * u.mvv2e
         n = v.shape[0]
-        dof = max(3 * n - 3, 1)
+        dof = 3 * n - 3
+        if self.shake is not None:
+            dof -= self.shake.n_constraints
+        dof = max(dof, 1)
         temp = sum_mv2 / (dof * u.boltz)
         ke = 0.5 * sum_mv2
         vol = self.box.volume
