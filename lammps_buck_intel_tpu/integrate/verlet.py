@@ -324,6 +324,13 @@ class Simulation:
                for k, v in row.items()}
         out["step"] = self.step_count
         out["overflow"] = bool(row["overflow"])
+        if not np.isfinite(out["etotal"]) or not np.isfinite(out["temp"]):
+            raise RuntimeError(
+                f"non-finite thermodynamics at step {out['step']} "
+                f"(etotal={out['etotal']}, temp={out['temp']}): "
+                "simulation diverged — reduce the timestep or check "
+                "overlapping atoms / force-field coefficients"
+            )
         if out["overflow"]:
             raise RuntimeError(
                 "neighbor list overflow detected during run; increase kmax "

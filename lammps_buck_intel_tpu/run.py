@@ -1,0 +1,360 @@
+"""Deck runner — the input-script front-end (SURVEY.md H8, L6).
+
+Maps LAMMPS input-script concepts onto the framework from a YAML/dict
+config: units, read_data / lattice+create_atoms, replicate, pair_style,
+kspace_style, special_bonds, bond/angle styles, neighbor/neigh_modify,
+fixes (nve / nvt / shake / rigid), timestep, thermo, dump, run.
+
+CLI:  python -m lammps_buck_intel_tpu.run examples/decks/buck.yaml
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _parse_pair_key(k: str):
+    i, j = k.split()
+    return (int(i) - 1, int(j) - 1)
+
+
+def build_simulation(cfg: dict, prefer_device: bool = True):
+    """Construct a Simulation/CellPairSimulation from a deck config."""
+    import jax
+    import jax.numpy as jnp
+
+    from .core import (
+        make_box, make_system, get_units, get_precision, build_topology,
+    )
+    from .io import read_data, lattice, velocity
+    from .models.pair import build_buck, build_lj
+    from .models.kspace import (
+        setup_ewald, setup_pppm, setup_pppm_disp, solve_g6, BoundKSpace,
+        CombinedKSpace,
+    )
+    from .models.bonded import make_bonded
+    from .integrate import (
+        Simulation, CellPairSimulation, NeighborPolicy, NVTConfig,
+        make_shake, make_rigid_from_molecules,
+    )
+
+    u = get_units(cfg.get("units", "lj"))
+    prec = get_precision(cfg.get("precision", "single"))
+    dt = cfg.get("timestep", u.dt)
+
+    # ---- geometry ----
+    bonds = angles = None
+    mol = None
+    image = None
+    v0 = None
+    q = None
+    mass = None
+    typ = None
+    if "read_data" in cfg:
+        d = read_data(cfg["read_data"])
+        x, lo, hi = d.x, d.box_lo, d.box_hi
+        typ, q, v0, image, mol = d.type, d.q, d.v, d.image, d.molecule
+        bonds, angles, mass = d.bonds, d.angles, d.mass
+        if not np.abs(v0).any():
+            v0 = None
+        rep = cfg.get("replicate")
+        if rep:
+            x, lo, hi, pa, bonds, angles, _, _, mol = lattice.replicate(
+                x, lo, hi, tuple(rep),
+                per_atom={"type": typ, "q": q, "image": image},
+                bonds=bonds, angles=angles, molecule=mol,
+            )
+            typ, q, image = pa["type"], pa["q"], pa["image"]
+            v0 = None
+    elif "lattice" in cfg:
+        lc = cfg["lattice"]
+        x, lo, hi = lattice.create_atoms(
+            lc.get("style", "fcc"), lc["density"],
+            lc["nx"], lc["ny"], lc["nz"],
+        )
+        mass = np.asarray(cfg.get("mass", [1.0]), np.float64)
+    else:
+        raise ValueError("deck needs read_data or lattice")
+
+    n = len(x)
+    if typ is None:
+        typ = np.zeros(n, np.int32)
+    if q is None:
+        q = np.zeros(n)
+    if mass is None:
+        mass = np.asarray(cfg.get("mass", [1.0]), np.float64)
+    ntypes = len(mass)
+    mass_per_atom = mass[typ]
+
+    vel = cfg.get("velocity")
+    if vel:
+        v0 = velocity.create(
+            n, vel["temp"], vel.get("seed", 12345), mass_per_atom, u,
+            dist=vel.get("dist", "gaussian"),
+        )
+
+    box = make_box(lo, hi)
+    topo = build_topology(n, bonds=bonds, angles=angles) \
+        if bonds is not None and len(bonds) else None
+
+    # ---- pair style ----
+    ps = cfg["pair_style"]
+    name = ps["name"]
+    sb = cfg.get("special_bonds", [1.0, 1.0, 1.0])
+    special = (1.0, float(sb[0]), float(sb[1]), float(sb[2]))
+    sbc = cfg.get("special_bonds_coul", sb)
+    special_coul = (1.0, float(sbc[0]), float(sbc[1]), float(sbc[2]))
+    coeffs = {_parse_pair_key(k): tuple(v)
+              for k, v in ps.get("coeffs", {}).items()}
+    kw = dict(special_lj=special, special_coul=special_coul,
+              qqrd2e=u.qqrd2e, shift=ps.get("shift", False))
+    if name.startswith("buck"):
+        coul = ("long" if "coul/long" in name
+                else "cut" if "coul/cut" in name else "none")
+        disp = "long" if name.startswith("buck/long") else "cut"
+        style = build_buck(
+            ntypes, coeffs, cut_global=ps["cut"], coul=coul, disp=disp,
+            cut_coul=ps.get("cut_coul"), name=name, **kw,
+        )
+    elif name.startswith("lj"):
+        coul = ("long" if "coul/long" in name
+                else "cut" if "coul/cut" in name else "none")
+        disp = "long" if name.startswith("lj/long") else "cut"
+        if "coul_off" in ps or ps.get("coul") == "off":
+            coul = "none"
+        lj_coeffs = {}
+        for (i, j), c in coeffs.items():
+            lj_coeffs[(i, j) if i != j else i] = tuple(c)
+        style = build_lj(
+            ntypes, lj_coeffs, cut_global=ps["cut"], coul=coul, disp=disp,
+            cut_coul=ps.get("cut_coul"), mix=ps.get("mix", "geometric"),
+            name=name, **kw,
+        )
+    else:
+        raise ValueError(f"unknown pair style {name!r}")
+
+    # ---- kspace ----
+    kspace = None
+    ks = cfg.get("kspace_style")
+    solvers = []
+    if ks:
+        kname = ks["name"]
+        acc = ks.get("accuracy", 1e-4)
+        cutc = ps.get("cut_coul", ps["cut"])
+        if kname == "ewald":
+            ew = setup_ewald(box, q, cutoff=cutc, accuracy_rel=acc,
+                             qqrd2e=u.qqrd2e, acc_dtype=prec.acc)
+            style = style.replace(g_ewald=ew.g_ewald)
+            solvers.append(ew)
+        elif kname in ("pppm", "pppm/disp"):
+            if style.cfg.coul == "long":
+                pm = setup_pppm(box, q, cutoff=cutc, accuracy_rel=acc,
+                                qqrd2e=u.qqrd2e,
+                                order=ks.get("order", 5),
+                                acc_dtype=prec.acc)
+                style = style.replace(g_ewald=pm.g_ewald)
+                solvers.append(pm)
+            if kname == "pppm/disp" and style.cfg.disp == "long":
+                tol = ks.get("force_disp_real", 1e-4)
+                g6 = solve_g6(ps["cut"], tol)
+                style = style.replace(g_ewald_6=g6)
+                # geometric-mixing B from diagonal coeffs
+                if style.cfg.vdw == "lj":
+                    eps = np.array([coeffs[(t, t)][0] for t in range(ntypes)])
+                    sig = np.array([coeffs[(t, t)][1] for t in range(ntypes)])
+                    B = np.sqrt(4.0 * eps) * sig**3
+                else:
+                    B = np.sqrt(np.array(
+                        [coeffs[(t, t)][2] for t in range(ntypes)]
+                    ))
+                pmd = setup_pppm_disp(box, B, typ, cutoff=ps["cut"],
+                                      g_ewald_6=g6, acc_dtype=prec.acc)
+                solvers.append(BoundKSpace(pmd, B[typ]))
+        else:
+            raise ValueError(f"unknown kspace style {kname!r}")
+    if len(solvers) == 1:
+        kspace = solvers[0]
+    elif len(solvers) > 1:
+        kspace = CombinedKSpace(solvers)
+
+    # ---- bonded ----
+    bonded = None
+    if cfg.get("bond_style") or cfg.get("angle_style"):
+        bc = np.asarray(cfg.get("bond_style", {}).get("coeffs", []) or
+                        np.zeros((0, 2)))
+        ac = np.asarray(cfg.get("angle_style", {}).get("coeffs", []) or
+                        np.zeros((0, 2)))
+        bonded = make_bonded(bonds=bonds, angles=angles,
+                             bond_coeffs=bc, angle_coeffs=ac)
+
+    # ---- fixes ----
+    thermostat = None
+    shake = None
+    exclude_intra = bool(cfg.get("exclude_intra", False))
+    for fx in cfg.get("fixes", [{"name": "nve"}]):
+        fn = fx["name"]
+        if fn == "nve":
+            pass
+        elif fn == "nvt":
+            thermostat = NVTConfig(
+                t_start=fx["t_start"], t_stop=fx.get("t_stop", fx["t_start"]),
+                t_damp=fx["t_damp"], tchain=fx.get("tchain", 3),
+            )
+        elif fn == "shake":
+            bc = np.asarray(cfg["bond_style"]["coeffs"])
+            ac = np.asarray(cfg.get("angle_style", {}).get("coeffs",
+                                                           [[0.0, 109.47]]))
+            shake = make_shake(
+                bonds, bc, angles if angles is not None else np.zeros((0, 4)),
+                ac, mass_per_atom,
+                bond_types=tuple(t - 1 for t in fx.get("b", [1])),
+                angle_types=tuple(t - 1 for t in fx.get("a", [])),
+                iters=fx.get("iters", 30),
+            )
+            bonded = None  # constrained bonds carry no flexible forces
+        elif fn == "rigid/small":
+            shake = make_rigid_from_molecules(
+                x, mol, mass_per_atom, box.lengths,
+            )
+            exclude_intra = True
+        else:
+            raise ValueError(f"unknown fix {fn!r}")
+
+    nb = cfg.get("neighbor", {})
+    policy = NeighborPolicy(
+        skin=nb.get("skin", u.skin), every=nb.get("every", 1),
+        delay=nb.get("delay", 0), check=nb.get("check", True),
+    )
+
+    system = make_system(x, box, type=typ, v=v0, q=q, image=image,
+                         mass=mass, molecule=mol, dtype=prec.flt)
+
+    engine = cfg.get("engine", "nlist")
+    common = dict(topology=topo, kspace=kspace, units=u, precision=prec,
+                  dt=dt, neighbor=policy)
+    if engine == "cellpair" and (
+        bonded is not None or shake is not None or thermostat is not None
+        or exclude_intra
+    ):
+        raise ValueError(
+            "cellpair engine currently supports plain NVE pair+kspace "
+            "decks; use engine: nlist for bonded/shake/nvt"
+        )
+    if engine == "cellpair":
+        try:
+            return CellPairSimulation(system, style, **{
+                k: v for k, v in common.items() if k != "topology"})
+        except ValueError:
+            # box too small for a 3^3 cell grid — fall through to nlist
+            pass
+    sim = Simulation(system, style, bonded=bonded, shake=shake,
+                     thermostat=thermostat, exclude_intra=exclude_intra,
+                     **common)
+    return sim
+
+
+def run_deck(cfg: dict, log: bool = True):
+    """Build and run a deck; returns (sim, thermo_rows)."""
+    from .io import dump as dumpmod
+    from .utils import checkpoint as ckpt
+
+    sim = build_simulation(cfg)
+    nsteps = int(cfg.get("run", 0))
+    thermo = int(cfg.get("thermo", max(nsteps // 10, 1)))
+    dmp = cfg.get("dump")
+    rows = []
+    t0 = time.perf_counter()
+    if dmp:
+        every = int(dmp.get("every", thermo))
+        left = nsteps
+        dumpmod.write_lammpstrj(dmp["file"], sim, append=False)
+        while left > 0:
+            chunk = min(every, left)
+            rows += sim.run(chunk, thermo_every=thermo, log=log)
+            dumpmod.write_lammpstrj(dmp["file"], sim)
+            left -= chunk
+    else:
+        rows = sim.run(nsteps, thermo_every=thermo, log=log)
+    wall = time.perf_counter() - t0
+    if log:
+        n = sim.n_atoms if hasattr(sim, "n_atoms") else sim.state.x.shape[0]
+        print(f"# {nsteps} steps, {n} atoms: {wall:.2f}s "
+              f"-> {n * nsteps / wall:,.0f} atom-steps/s")
+    if cfg.get("write_restart"):
+        ckpt.save(cfg["write_restart"], sim)
+    if cfg.get("write_data"):
+        from .io import write_data
+        from .core import Topology
+
+        write_data(cfg["write_data"], _as_system_like(sim),
+                   topology=sim.topology if hasattr(sim, "topology") else None)
+    return sim, rows
+
+
+def _as_system_like(sim):
+    """Minimal shim exposing write_data's expected attributes."""
+    import jax
+    import jax.numpy as jnp
+
+    class _S:
+        pass
+
+    s = _S()
+    st = jax.device_get(sim.state)
+    s.x, s.v, s.image = st.x, st.v, st.image
+    s.q = sim.q
+    s.type = sim.typ
+    s.molecule = getattr(sim, "_mol", None)
+    if s.molecule is None:
+        s.molecule = np.zeros(len(s.q), np.int32)
+    s.mass = sim.mass_per_atom  # per-atom; write per-type instead:
+    import numpy as _np
+
+    per_type = _np.zeros(int(sim.typ.max()) + 1)
+    for t in range(len(per_type)):
+        m = sim.mass_per_atom[sim.typ == t]
+        per_type[t] = m[0] if len(m) else 1.0
+    s.mass = per_type
+
+    class _B:
+        pass
+
+    b = _B()
+    b.lo, b.hi = sim.box.lo, sim.box.hi
+    s.box = b
+    return s
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="lammps_buck_intel_tpu deck runner")
+    ap.add_argument("deck", help="YAML deck file")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--steps", type=int, help="override run length")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+
+    import yaml
+
+    with open(args.deck) as f:
+        cfg = yaml.safe_load(f)
+    if cfg.get("precision") in ("double", "mixed"):
+        jax.config.update("jax_enable_x64", True)
+    if args.steps is not None:
+        cfg["run"] = args.steps
+    print(f"# deck: {args.deck} on {jax.devices()[0]}")
+    run_deck(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Deck-runner front-end, dump, and checkpoint tests."""
+import copy
+import os
+import tempfile
+
+import numpy as np
+import pytest
+import yaml
+
+from lammps_buck_intel_tpu.run import run_deck, build_simulation
+from lammps_buck_intel_tpu.io.dump import read_lammpstrj
+from lammps_buck_intel_tpu.utils import checkpoint
+
+DECKS = os.path.join(os.path.dirname(__file__), "..", "examples", "decks")
+
+
+def _load(name):
+    with open(os.path.join(DECKS, name)) as f:
+        return yaml.safe_load(f)
+
+
+def test_buck_deck_small():
+    cfg = _load("buck.yaml")
+    cfg["lattice"].update(nx=5, ny=5, nz=5)
+    cfg["run"] = 40
+    cfg["thermo"] = 20
+    cfg["precision"] = "double"
+    sim, rows = run_deck(cfg, log=False)
+    e0 = rows[0]["etotal"]
+    assert abs(rows[-1]["etotal"] - e0) / abs(e0) < 1e-3
+    assert rows[0]["step"] == 0 and rows[-1]["step"] == 40
+
+
+def test_buck_coul_long_deck_small(reference_dir):
+    cfg = _load("buck_coul_long.yaml")
+    cfg.pop("replicate")  # 1,200 atoms
+    cfg["run"] = 10
+    cfg["thermo"] = 5
+    cfg["precision"] = "double"
+    sim, rows = run_deck(cfg, log=False)
+    assert rows[0]["elong"] != 0.0
+    e0 = rows[0]["etotal"]
+    assert abs(rows[-1]["etotal"] - e0) / abs(e0) < 1e-4
+
+
+def test_spce_deck_small(reference_dir):
+    cfg = _load("spce.yaml")
+    cfg.pop("replicate")  # 4,500 atoms
+    cfg["run"] = 6
+    cfg["thermo"] = 3
+    cfg["precision"] = "double"
+    sim, rows = run_deck(cfg, log=False)
+    assert sim.shake is not None and sim.thermostat is not None
+    assert 250 < rows[0]["temp"] < 350
+    assert rows[0]["elong"] < -10000
+
+
+def test_hexane_deck_small(reference_dir):
+    cfg = _load("hexane.yaml")
+    cfg["run"] = 4
+    cfg["thermo"] = 2
+    cfg["precision"] = "double"
+    sim, rows = run_deck(cfg, log=False)
+    assert rows[0]["elong"] != 0.0  # dispersion mesh active
+    assert np.isfinite(rows[-1]["etotal"])
+
+
+def test_dump_roundtrip():
+    cfg = _load("buck.yaml")
+    cfg["lattice"].update(nx=4, ny=4, nz=4)
+    cfg["run"] = 10
+    cfg["thermo"] = 5
+    cfg["engine"] = "nlist"
+    with tempfile.TemporaryDirectory() as td:
+        traj = os.path.join(td, "t.lammpstrj")
+        cfg["dump"] = {"file": traj, "every": 5}
+        sim, rows = run_deck(cfg, log=False)
+        frames = read_lammpstrj(traj)
+        assert len(frames) == 3  # steps 0, 5, 10
+        assert frames[-1]["step"] == 10
+        assert frames[0]["data"].shape == (256, 8)
+        # final frame matches live state
+        import jax
+
+        x_live = np.asarray(jax.device_get(sim.state.x))
+        np.testing.assert_allclose(frames[-1]["data"][:, 2:5], x_live,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_checkpoint_resume_bitexact():
+    base = _load("buck.yaml")
+    base["lattice"].update(nx=4, ny=4, nz=4)
+    base["engine"] = "nlist"
+    base["precision"] = "double"
+    base["thermo"] = 0
+    # run A: 10 + 20 steps in two calls (same block structure as resume)
+    cfg = copy.deepcopy(base)
+    simA = build_simulation(cfg)
+    simA.run(10, log=False)
+    simA.run(20, log=False)
+    # run B: 10 steps, checkpoint, resume into fresh sim, 20 more
+    simB = build_simulation(copy.deepcopy(base))
+    simB.run(10, log=False)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ck.npz")
+        checkpoint.save(p, simB)
+        ck = checkpoint.load(p)
+        simC = build_simulation(copy.deepcopy(base))
+        checkpoint.resume(simC, ck)
+        assert simC.step_count == 10
+        simC.run(20, log=False)
+    import jax
+
+    xa = np.asarray(jax.device_get(simA.state.x))
+    xc = np.asarray(jax.device_get(simC.state.x))
+    np.testing.assert_allclose(xc, xa, rtol=1e-12, atol=1e-12)
+
+
+def test_nan_guard_fires():
+    """Failure detection: non-finite thermodynamics raise a clear error."""
+    import jax.numpy as jnp
+
+    cfg = _load("buck.yaml")
+    cfg["lattice"].update(nx=4, ny=4, nz=4)
+    cfg["engine"] = "nlist"
+    sim = build_simulation(cfg)
+    sim.run(5, log=False)
+    # corrupt one velocity (the kind of state a blown-up force produces)
+    sim.state = sim.state._replace(v=sim.state.v.at[0, 0].set(jnp.nan))
+    with pytest.raises(RuntimeError, match="diverged"):
+        sim.thermo()
