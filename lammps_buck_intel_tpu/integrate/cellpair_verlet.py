@@ -134,13 +134,22 @@ class CellPairSimulation:
         elong = jnp.zeros((), self.precision.acc)
         virial = r.virial
         if self.kspace is not None:
-            xs = jnp.stack([state.x, state.y, state.z], axis=-1)
-            kr = self.kspace.compute(xs, state.q, eflag=eflag, vflag=vflag)
-            fx = fx + kr.f[:, 0]
-            fy = fy + kr.f[:, 1]
-            fz = fz + kr.f[:, 2]
-            elong = kr.elong
-            virial = virial + kr.virial
+            if hasattr(self.kspace, "compute_slots"):
+                kfx, kfy, kfz, elong, kvir = self.kspace.compute_slots(
+                    state, eflag, vflag)
+                fx = fx + kfx
+                fy = fy + kfy
+                fz = fz + kfz
+                virial = virial + kvir
+            else:
+                xs = jnp.stack([state.x, state.y, state.z], axis=-1)
+                kr = self.kspace.compute(xs, state.q, eflag=eflag,
+                                         vflag=vflag)
+                fx = fx + kr.f[:, 0]
+                fy = fy + kr.f[:, 1]
+                fz = fz + kr.f[:, 2]
+                elong = kr.elong
+                virial = virial + kr.virial
         return (fx, fy, fz), r.evdwl, r.ecoul, elong, virial
 
     def _minv(self, state: cs.SlotState):

@@ -132,6 +132,7 @@ def setup_pppm(
     g_ewald: Optional[float] = None,
     grid: Optional[tuple[int, int, int]] = None,
     acc_dtype=jnp.float32,
+    multiple_of: Optional[tuple[int, int, int]] = None,
 ) -> PPPM:
     q = np.asarray(q, np.float64)
     natoms = len(q)
@@ -155,7 +156,15 @@ def setup_pppm(
                 n += 1
                 if n > 4096:
                     raise RuntimeError("pppm grid blew up")
-            grid.append(_next_good(max(n, 2 * order)))
+            n = max(n, 2 * order)
+            if multiple_of is not None:
+                # cell-aligned grids (pppm_cells patch pipeline): round the
+                # per-cell point count up, keep >= the accuracy-driven size
+                m = multiple_of[ax]
+                s = -(-n // m)
+                grid.append(m * s)
+            else:
+                grid.append(_next_good(n))
         grid = tuple(grid)
     nx, ny, nz = grid
 

@@ -1,0 +1,121 @@
+"""Cell-patch PPPM pipeline vs the generic scatter/gather pipeline."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lammps_buck_intel_tpu.core import make_box, make_system, get_units, double
+from lammps_buck_intel_tpu.models.kspace import setup_pppm, CellPPPM
+from lammps_buck_intel_tpu.models.kspace.pppm_cells import (
+    make_patch_spec, deposit_rho_cells, patches_to_grid, grid_to_patches,
+)
+from lammps_buck_intel_tpu.models.kspace import pppm as pmod
+from lammps_buck_intel_tpu.neighbor import cell_slots as cs
+
+
+def _system(seed=0, n=400, L=12.0):
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(0, L, (n, 3))
+    q = rng.uniform(-1, 1, n)
+    q -= q.mean()
+    return x, q, L
+
+
+def _slots(x, q, L, cutneigh=4.0):
+    n = len(x)
+    box = make_box([0, 0, 0], [L] * 3)
+    grid = cs.make_grid(n, [L] * 3, cutneigh)
+    st = cs.from_atoms(grid, box, x, np.zeros_like(x),
+                       np.zeros((n, 3), np.int32), np.zeros(n, np.int32),
+                       q, dtype=jnp.float64)
+    return box, grid, st
+
+
+def test_patch_roundtrip():
+    """grid_to_patches is the exact adjoint slicing of patches_to_grid."""
+    x, q, L = _system()
+    box, grid, st = _slots(x, q, L)
+    pm = setup_pppm(box, q, cutoff=4.0, accuracy_rel=1e-5, qqrd2e=1.0,
+                    multiple_of=grid.nc, acc_dtype=jnp.float64)
+    ps = make_patch_spec(pm, grid)
+    rng = np.random.RandomState(1)
+    mesh = jnp.asarray(rng.standard_normal(pm.grid))
+    pats = grid_to_patches(mesh, ps, grid)
+    # every grid point appears in exactly the patches whose cells can see it;
+    # adjoint check: <patches_to_grid(P), M> == <P, grid_to_patches(M)>
+    pats2 = jnp.asarray(rng.standard_normal(pats.shape))
+    lhs = jnp.sum(patches_to_grid(pats2, ps, grid, pm.grid) * mesh)
+    rhs = jnp.sum(pats2 * pats)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
+
+
+def test_cell_deposition_matches_generic():
+    x, q, L = _system()
+    box, grid, st = _slots(x, q, L)
+    pm = setup_pppm(box, q, cutoff=4.0, accuracy_rel=1e-5, qqrd2e=1.0,
+                    multiple_of=grid.nc, acc_dtype=jnp.float64)
+    ps = make_patch_spec(pm, grid)
+    mesh_c = deposit_rho_cells(pm, ps, grid, st)
+    mesh_g = pmod.deposit_rho(pm, jnp.asarray(x), jnp.asarray(q))
+    np.testing.assert_allclose(float(mesh_c.sum()), q.sum(), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(mesh_c), np.asarray(mesh_g),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_cellpppm_matches_generic_compute():
+    x, q, L = _system(seed=2)
+    box, grid, st = _slots(x, q, L)
+    pm = setup_pppm(box, q, cutoff=4.0, accuracy_rel=1e-5, qqrd2e=332.06371,
+                    multiple_of=grid.nc, acc_dtype=jnp.float64)
+    cp = CellPPPM(pm, grid)
+    fx, fy, fz, elong, virial = cp.compute_slots(st, True, True)
+    rg = pm.compute(jnp.asarray(x), jnp.asarray(q))
+    # map slot forces back to atom order
+    back = cs.to_atoms(grid, st._replace(
+        fx=fx.astype(jnp.float64), fy=fy.astype(jnp.float64),
+        fz=fz.astype(jnp.float64)))
+    np.testing.assert_allclose(float(elong), float(rg.elong), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(back["f"]), np.asarray(rg.f),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(virial), np.asarray(rg.virial),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_cellpair_simulation_with_pppm(reference_dir):
+    """buck/coul/long + CellPPPM on the cell-pair engine conserves energy."""
+    from lammps_buck_intel_tpu.io import read_data, velocity
+    from lammps_buck_intel_tpu.models.pair import build_buck
+    from lammps_buck_intel_tpu.integrate import (
+        CellPairSimulation, NeighborPolicy,
+    )
+
+    u = get_units("metal")
+    d = read_data(f"{reference_dir}/examples/data.aC")  # 1200-atom silica
+    box = make_box(d.box_lo, d.box_hi)
+    style = build_buck(
+        2,
+        {(1, 1): (1388.77, 0.3623188, 175.0),
+         (0, 1): (18003.0, 0.2052124, 133.5381),
+         (0, 0): (0.0, 0.1, 0.0)},
+        cut_global=7.0, coul="long", qqrd2e=u.qqrd2e, dtype=jnp.float64,
+    )
+    mass_per_atom = d.mass[d.type]
+    v = velocity.create(d.n_atoms, 300.0, 1281937, mass_per_atom, u)
+    system = make_system(d.x, box, type=d.type, v=v, q=d.q, mass=d.mass,
+                         dtype=jnp.float64)
+    # build sim first to get the grid, then bind pppm to it
+    sim = CellPairSimulation(
+        system, style, units=u, precision=double(),
+        neighbor=NeighborPolicy(skin=1.0, every=5, delay=0, check=False),
+    )
+    pm = setup_pppm(box, d.q, cutoff=7.0, accuracy_rel=1e-4,
+                    qqrd2e=u.qqrd2e, multiple_of=sim.grid.nc,
+                    acc_dtype=jnp.float64)
+    sim.pair = style.replace(g_ewald=pm.g_ewald)
+    sim.kspace = CellPPPM(pm, sim.grid)
+    sim.state = sim._init_force_fn()(sim.state)
+    rows = sim.run(20, thermo_every=10, log=False)
+    assert rows[0]["elong"] != 0.0
+    e0 = rows[0]["etotal"]
+    drift = max(abs(r["etotal"] - e0) for r in rows) / abs(e0)
+    assert drift < 5e-4, f"drift {drift}"
