@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import dataclasses
+
 from ..core.state import System, Topology
 from ..core.units import Units, LJ
 from ..core.precision import Precision, single
@@ -22,6 +24,8 @@ from ..models.pair.cellpair import compute_cellpair
 from ..models.pair.driver import _select_small
 from ..models.pair.styles import PairStyle
 from .verlet import NeighborPolicy
+from .nvt import NVTConfig, NHChain, nhc_half
+from .shake import ShakeConstraints, shake_positions, rattle_velocities
 
 
 class CellPairSimulation:
@@ -38,6 +42,9 @@ class CellPairSimulation:
         dt: Optional[float] = None,
         neighbor: Optional[NeighborPolicy] = None,
         cap: Optional[int] = None,
+        bonded=None,
+        shake: Optional[ShakeConstraints] = None,
+        thermostat: Optional[NVTConfig] = None,
     ):
         self.units = units
         self.precision = precision or single()
@@ -58,6 +65,16 @@ class CellPairSimulation:
                 "box too small for the cell-pair engine (needs >=3 cells "
                 "per axis); use Simulation (neighbor-list engine) instead"
             )
+        if cap is None:
+            # size capacity from OBSERVED max occupancy (+20% margin), not
+            # the mean-density guess — padding enters the pair cost
+            # quadratically ((cap/mean)^2 overcompute)
+            self.grid = grid
+            occ = self._occupancy(system, None)
+            grid = cs.make_grid(
+                n, L, cutneigh,
+                cap=max(8, ((int(occ * 1.2) + 4 + 7) // 8) * 8),
+            )
         self.grid = grid
 
         typ_np = np.asarray(jax.device_get(system.type), np.int32)
@@ -66,6 +83,22 @@ class CellPairSimulation:
         self._minv_per_type = (1.0 / mass).astype(np.dtype(flt))
         self.dtf = float(0.5 * self.dt * units.ftm2v)
         self.dtv = float(self.dt)
+
+        self.bonded = bonded if (bonded is not None
+                                 and bonded.has_terms) else None
+        self.shake = shake
+        self.thermostat = None
+        tchain = 0
+        if thermostat is not None:
+            t_dof = 3 * n - 3
+            if shake is not None:
+                t_dof -= shake.n_constraints
+            self.thermostat = dataclasses.replace(
+                thermostat, dof=max(t_dof, 1), boltz=units.boltz,
+                mvv2e=units.mvv2e, dt=self.dt,
+            )
+            tchain = self.thermostat.tchain
+        self._tchain = tchain
 
         if topology is not None and topology.special_idx.shape[1] > 0:
             s_idx = topology.special_idx
@@ -84,7 +117,7 @@ class CellPairSimulation:
         st = cs.from_atoms(
             self.grid, self.box, jax.device_get(system.x),
             jax.device_get(system.v), jax.device_get(system.image),
-            typ_np, jax.device_get(system.q), dtype=flt,
+            typ_np, jax.device_get(system.q), dtype=flt, tchain=tchain,
         )
         # one host round-trip at setup to right-size the capacity
         if bool(jax.device_get(st.overflow)):
@@ -93,10 +126,30 @@ class CellPairSimulation:
             st = cs.from_atoms(
                 self.grid, self.box, jax.device_get(system.x),
                 jax.device_get(system.v), jax.device_get(system.image),
-                typ_np, jax.device_get(system.q), dtype=flt,
+                typ_np, jax.device_get(system.q), dtype=flt, tchain=tchain,
             )
             if bool(jax.device_get(st.overflow)):
                 raise RuntimeError("cell capacity sizing failed")
+        if self.shake is not None:
+            # settle initial state onto the constraint manifold
+            Lbox = np.asarray(self.box.lengths, np.float64)
+            sc = self.shake
+
+            @jax.jit
+            def settle(state: cs.SlotState) -> cs.SlotState:
+                inv = self._inv_map(state)
+                prs = inv[jnp.asarray(sc.pairs)]
+                xs = jnp.stack([state.x, state.y, state.z], -1)
+                vs = jnp.stack([state.vx, state.vy, state.vz], -1)
+                xs2, _ = shake_positions(sc, xs, xs, vs, 1.0, Lbox,
+                                         pairs=prs)
+                vs2 = rattle_velocities(sc, xs2, vs, Lbox, pairs=prs)
+                return state._replace(
+                    x=xs2[:, 0], y=xs2[:, 1], z=xs2[:, 2],
+                    vx=vs2[:, 0], vy=vs2[:, 1], vz=vs2[:, 2],
+                )
+
+            st = settle(st)
         self.state = self._init_force_fn()(st)
         self.step_count = 0
         self._chunk_fns: dict[int, Callable] = {}
@@ -113,6 +166,13 @@ class CellPairSimulation:
         return int(np.bincount(cid, minlength=self.grid.ncell).max())
 
     # ---------- force + integrate ----------
+
+    def _inv_map(self, state: cs.SlotState):
+        """slot_of_atom: (N+1,) traced map, rebuilt per rebin."""
+        ns = self.grid.nslots
+        inv = jnp.zeros((self.n_atoms + 1,), jnp.int32)
+        return inv.at[state.aid].set(
+            jnp.arange(ns, dtype=jnp.int32), mode="drop")
 
     def _slot_specials(self, state: cs.SlotState):
         if self._special_idx is None:
@@ -165,6 +225,16 @@ class CellPairSimulation:
         def f(state):
             sp = self._slot_specials(state)
             (fx, fy, fz), *_ = self._forces(state, sp, False, False)
+            if self.bonded is not None:
+                inv = self._inv_map(state)
+                bidx = (inv[jnp.asarray(self.bonded.bonds[:, 1:])]
+                        if len(self.bonded.bonds) else None)
+                aidx = (inv[jnp.asarray(self.bonded.angles[:, 1:])]
+                        if len(self.bonded.angles) else None)
+                br = self._bonded_forces(state, bidx, aidx, False)
+                fx = fx + br.f[:, 0]
+                fy = fy + br.f[:, 1]
+                fz = fz + br.f[:, 2]
             return state._replace(
                 fx=fx.astype(state.x.dtype),
                 fy=fy.astype(state.x.dtype),
@@ -172,40 +242,100 @@ class CellPairSimulation:
             )
         return f
 
-    def _block(self, state: cs.SlotState, nsteps: int) -> cs.SlotState:
+    def _bonded_forces(self, st: cs.SlotState, bidx, aidx, eflag):
+        from ..models.bonded import compute_bonded
+
+        xs = jnp.stack([st.x, st.y, st.z], -1)
+        return compute_bonded(self.bonded, xs, self.box, eflag=eflag,
+                              acc_dtype=self.precision.acc,
+                              bonds_idx=bidx, angles_idx=aidx)
+
+    def _block(self, state: cs.SlotState, nsteps: int,
+               t_target: float = 0.0) -> cs.SlotState:
         state = cs.rebin(self.grid, self.box, state)
         sp = self._slot_specials(state)
         minv = self._minv(state)
         dtf, dtv = self.dtf, self.dtv
         flt = self.precision.flt
+        cfg = self.thermostat
+        sc = self.shake
+        Lbox = np.asarray(self.box.lengths, np.float64)
+        need_inv = (sc is not None or self.bonded is not None)
+        inv = self._inv_map(state) if need_inv else None
+        shake_pairs = (inv[jnp.asarray(sc.pairs)] if sc is not None
+                       else None)
+        bidx = aidx = None
+        if self.bonded is not None:
+            if len(self.bonded.bonds):
+                bidx = inv[jnp.asarray(self.bonded.bonds[:, 1:])]
+            if len(self.bonded.angles):
+                aidx = inv[jnp.asarray(self.bonded.angles[:, 1:])]
+        if cfg is not None:
+            mass_col = jnp.where(minv > 0, 1.0 / jnp.maximum(minv, 1e-30),
+                                 0.0)[:, None]
 
         def one_step(st: cs.SlotState, _):
-            vx = st.vx + (dtf * minv) * st.fx
-            vy = st.vy + (dtf * minv) * st.fy
-            vz = st.vz + (dtf * minv) * st.fz
+            th = st.therm
+            vx, vy, vz = st.vx, st.vy, st.vz
+            if cfg is not None:
+                vs = jnp.stack([vx, vy, vz], -1)
+                chain = NHChain(eta=th[0], eta_dot=th[1])
+                scale, chain = nhc_half(cfg, chain, vs, mass_col, t_target)
+                vx, vy, vz = vx * scale, vy * scale, vz * scale
+                th = jnp.stack([chain.eta, chain.eta_dot])
+            vx = vx + (dtf * minv) * st.fx
+            vy = vy + (dtf * minv) * st.fy
+            vz = vz + (dtf * minv) * st.fz
             x = st.x + dtv * vx
             y = st.y + dtv * vy
             z = st.z + dtv * vz
+            if sc is not None:
+                xs_old = jnp.stack([st.x, st.y, st.z], -1)
+                xs_new = jnp.stack([x, y, z], -1)
+                vs = jnp.stack([vx, vy, vz], -1)
+                xs_fix, vs = shake_positions(sc, xs_old, xs_new, vs, dtv,
+                                             Lbox, pairs=shake_pairs)
+                x, y, z = xs_fix[:, 0], xs_fix[:, 1], xs_fix[:, 2]
+                vx, vy, vz = vs[:, 0], vs[:, 1], vs[:, 2]
             st = st._replace(x=x, y=y, z=z)
             (fx, fy, fz), *_ = self._forces(st, sp, False, False)
+            if self.bonded is not None:
+                br = self._bonded_forces(st, bidx, aidx, False)
+                fx = fx + br.f[:, 0]
+                fy = fy + br.f[:, 1]
+                fz = fz + br.f[:, 2]
             fx = fx.astype(flt); fy = fy.astype(flt); fz = fz.astype(flt)
             vx = vx + (dtf * minv) * fx
             vy = vy + (dtf * minv) * fy
             vz = vz + (dtf * minv) * fz
-            return st._replace(vx=vx, vy=vy, vz=vz, fx=fx, fy=fy, fz=fz), None
+            if sc is not None:
+                xs = jnp.stack([x, y, z], -1)
+                vs = jnp.stack([vx, vy, vz], -1)
+                vs = rattle_velocities(sc, xs, vs, Lbox, pairs=shake_pairs)
+                vx, vy, vz = vs[:, 0], vs[:, 1], vs[:, 2]
+            if cfg is not None:
+                vs = jnp.stack([vx, vy, vz], -1)
+                chain = NHChain(eta=th[0], eta_dot=th[1])
+                scale, chain = nhc_half(cfg, chain, vs, mass_col, t_target)
+                vx, vy, vz = vx * scale, vy * scale, vz * scale
+                th = jnp.stack([chain.eta, chain.eta_dot])
+            return st._replace(vx=vx, vy=vy, vz=vz, fx=fx, fy=fy, fz=fz,
+                               therm=th), None
 
         state, _ = jax.lax.scan(one_step, state, None, length=nsteps)
         return state
 
-    def _repeat_blocks(self, size: int):
-        fn = self._chunk_fns.get(size)
+    def _repeat_blocks(self, size: int, t_target: float = 0.0):
+        key = (size, round(float(t_target), 6))
+        fn = self._chunk_fns.get(key)
         if fn is None:
             def chunk(state, n_blocks):
                 return jax.lax.fori_loop(
-                    0, n_blocks, lambda i, s: self._block(s, size), state
+                    0, n_blocks,
+                    lambda i, s: self._block(s, size, t_target), state
                 )
             fn = jax.jit(chunk)
-            self._chunk_fns[size] = fn
+            self._chunk_fns[key] = fn
         return fn
 
     # ---------- thermo ----------
@@ -214,6 +344,16 @@ class CellPairSimulation:
         state = cs.rebin(self.grid, self.box, state)
         sp = self._slot_specials(state)
         _, evdwl, ecoul, elong, virial = self._forces(state, sp, True, True)
+        emol = jnp.zeros((), self.precision.acc)
+        if self.bonded is not None:
+            inv = self._inv_map(state)
+            bidx = (inv[jnp.asarray(self.bonded.bonds[:, 1:])]
+                    if len(self.bonded.bonds) else None)
+            aidx = (inv[jnp.asarray(self.bonded.angles[:, 1:])]
+                    if len(self.bonded.angles) else None)
+            br = self._bonded_forces(state, bidx, aidx, True)
+            emol = br.ebond + br.eangle
+            virial = virial + br.virial
         u = self.units
         acc = self.precision.acc
         valid = state.aid < self.n_atoms
@@ -225,7 +365,10 @@ class CellPairSimulation:
         mass = jnp.where(valid, 1.0 / minv, 0.0)
         v2 = state.vx**2 + state.vy**2 + state.vz**2
         sum_mv2 = jnp.sum((mass * v2).astype(acc)) * u.mvv2e
-        dof = max(3 * self.n_atoms - 3, 1)
+        dof = 3 * self.n_atoms - 3
+        if self.shake is not None:
+            dof -= self.shake.n_constraints
+        dof = max(dof, 1)
         temp = sum_mv2 / (dof * u.boltz)
         ke = 0.5 * sum_mv2
         vol = self.box.volume
@@ -234,8 +377,8 @@ class CellPairSimulation:
         epair = evdwl + ecoul + elong
         vmax = jnp.sqrt(jnp.max(jnp.where(valid, v2, 0.0)))
         return dict(
-            temp=temp, evdwl=evdwl, ecoul=ecoul, elong=elong, epair=epair,
-            ke=ke, etotal=epair + ke, press=press,
+            temp=temp, evdwl=evdwl, ecoul=ecoul, elong=elong, emol=emol,
+            epair=epair, ke=ke, etotal=epair + emol + ke, press=press,
             overflow=state.overflow, vmax=vmax, virial=virial,
         )
 
@@ -277,12 +420,22 @@ class CellPairSimulation:
         safe = int(nb.skin / (2.0 * vmax * self.dt))
         return max(1, min(max(safe, 1), 100))
 
+    def _t_target(self, ahead: int = 0) -> float:
+        cfg = self.thermostat
+        if cfg is None:
+            return 0.0
+        if self._run_total <= 0 or cfg.t_start == cfg.t_stop:
+            return cfg.t_start
+        frac = min(max((self._run_done + ahead) / self._run_total, 0.0), 1.0)
+        return cfg.t_start + (cfg.t_stop - cfg.t_start) * frac
+
     def _advance(self, total: int, cadence: int):
+        tt = self._t_target(ahead=total)
         n_full, rem = divmod(total, cadence)
         if n_full:
-            self.state = self._repeat_blocks(cadence)(self.state, n_full)
+            self.state = self._repeat_blocks(cadence, tt)(self.state, n_full)
         if rem:
-            self.state = self._repeat_blocks(rem)(self.state, 1)
+            self.state = self._repeat_blocks(rem, tt)(self.state, 1)
 
     def run(self, nsteps: int, thermo_every: int = 0, log: bool = True):
         rows = []
@@ -302,6 +455,8 @@ class CellPairSimulation:
                       f"{row['etotal']:>14.8g} {row['press']:>14.6g}")
 
         t0 = time.perf_counter()
+        self._run_total = nsteps
+        self._run_done = 0
         if thermo_every:
             emit()
         end = self.step_count + nsteps
@@ -313,6 +468,7 @@ class CellPairSimulation:
                     ((self.step_count // thermo_every) + 1) * thermo_every,
                 )
             self._advance(target - self.step_count, self._cadence(vmax))
+            self._run_done += target - self.step_count
             self.step_count = target
             if thermo_every and self.step_count % thermo_every == 0:
                 emit()

@@ -97,14 +97,17 @@ def _minimg_cols(d, L):
     return jnp.stack(out, axis=-1)
 
 
-def shake_positions(sc: ShakeConstraints, x_old, x_new, v, dt: float, L):
+def shake_positions(sc: ShakeConstraints, x_old, x_new, v, dt: float, L,
+                    pairs=None):
     """Iteratively correct x_new (and v) so constraints hold.
 
     x_old: positions at the start of the step (reference directions).
-    Returns (x_new, v).
+    pairs: optional traced (Nc, 2) index override (slot-layout engines remap
+    atom ids to slots per rebin).  Returns (x_new, v).
     """
-    i = jnp.asarray(sc.pairs[:, 0])
-    j = jnp.asarray(sc.pairs[:, 1])
+    idxp = sc.pairs if pairs is None else pairs
+    i = jnp.asarray(idxp[:, 0]) if pairs is None else pairs[:, 0]
+    j = jnp.asarray(idxp[:, 1]) if pairs is None else pairs[:, 1]
     d2 = jnp.asarray(sc.d2, x_new.dtype)
     mi = jnp.asarray(sc.invm[sc.pairs[:, 0]], x_new.dtype)[:, None]
     mj = jnp.asarray(sc.invm[sc.pairs[:, 1]], x_new.dtype)[:, None]
@@ -130,10 +133,11 @@ def shake_positions(sc: ShakeConstraints, x_old, x_new, v, dt: float, L):
     return x_fix, v
 
 
-def rattle_velocities(sc: ShakeConstraints, x, v, L, iters: int = None):
+def rattle_velocities(sc: ShakeConstraints, x, v, L, iters: int = None,
+                      pairs=None):
     """Project out velocity components along constraints."""
-    i = jnp.asarray(sc.pairs[:, 0])
-    j = jnp.asarray(sc.pairs[:, 1])
+    i = jnp.asarray(sc.pairs[:, 0]) if pairs is None else pairs[:, 0]
+    j = jnp.asarray(sc.pairs[:, 1]) if pairs is None else pairs[:, 1]
     d2 = jnp.asarray(sc.d2, x.dtype)
     mi = jnp.asarray(sc.invm[sc.pairs[:, 0]], x.dtype)[:, None]
     mj = jnp.asarray(sc.invm[sc.pairs[:, 1]], x.dtype)[:, None]

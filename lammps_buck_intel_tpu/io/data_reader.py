@@ -80,7 +80,31 @@ def _section_name(line: str) -> str | None:
     return None
 
 
-def read_data(path: str, atom_style: str = "auto") -> DataFile:
+def _scan_atom_style(raw_lines) -> str | None:
+    """Resolve the atom style from the 'Atoms # style' tag or column count
+    without parsing the sections."""
+    for i, line in enumerate(raw_lines):
+        stripped = _strip(line)
+        if stripped and _section_name(stripped) == "Atoms":
+            if "#" in line:
+                tag = line.split("#")[1].strip()
+                if tag in ("atomic", "charge", "full"):
+                    return tag
+            for j in range(i + 1, min(i + 10, len(raw_lines))):
+                row = _strip(raw_lines[j])
+                if row:
+                    try:
+                        return _guess_atom_style([row.split()])
+                    except KeyError:
+                        return None
+    return None
+
+
+def read_data(path: str, atom_style: str = "auto",
+              native: bool = True) -> DataFile:
+    """Parse a LAMMPS data file.  Large sections go through the native
+    C++ parser (native/fastdata.cpp) when available; pure Python otherwise
+    — both paths are equality-tested."""
     with open(path) as f:
         raw_lines = f.readlines()
 
@@ -134,7 +158,16 @@ def read_data(path: str, atom_style: str = "auto") -> DataFile:
     d.dihedrals = np.zeros((d.n_dihedrals, 5), np.int32)
     d.impropers = np.zeros((d.n_impropers, 5), np.int32)
 
-    # --- sections ---
+    native_done = False
+    if native:
+        style = atom_style if atom_style != "auto" else \
+            _scan_atom_style(raw_lines)
+        if style in ("atomic", "charge", "full"):
+            from . import fastdata
+
+            native_done = fastdata.parse_sections(path, style, d)
+
+    # --- sections (python path; with native_done only coeff sections) ---
     while i < len(raw_lines):
         header = _strip(raw_lines[i])
         name = _section_name(header)
@@ -151,6 +184,10 @@ def read_data(path: str, atom_style: str = "auto") -> DataFile:
             if line:
                 rows.append(line.split())
             i += 1
+        if native_done and name in ("Masses", "Atoms", "Velocities",
+                                    "Bonds", "Angles", "Dihedrals",
+                                    "Impropers"):
+            continue
         if name == "Masses":
             for r in rows:
                 d.mass[int(r[0]) - 1] = float(r[1])

@@ -73,7 +73,10 @@ def _minimg(d, L):
 
 
 def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
-                   acc_dtype=jnp.float32) -> BondedResult:
+                   acc_dtype=jnp.float32, bonds_idx=None,
+                   angles_idx=None) -> BondedResult:
+    """bonds_idx/angles_idx: optional traced (Nb,2)/(Na,3) index overrides
+    (slot-layout engines remap atom ids to slots per rebin)."""
     n = x.shape[0]
     L = np.asarray(box.lengths, np.float64)
     f = jnp.zeros((n, 3), acc_dtype)
@@ -83,8 +86,11 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
 
     if len(style.bonds):
         bt = style.bonds[:, 0]
-        bi = jnp.asarray(style.bonds[:, 1])
-        bj = jnp.asarray(style.bonds[:, 2])
+        if bonds_idx is None:
+            bi = jnp.asarray(style.bonds[:, 1])
+            bj = jnp.asarray(style.bonds[:, 2])
+        else:
+            bi, bj = bonds_idx[:, 0], bonds_idx[:, 1]
         K = jnp.asarray(style.bond_coeffs[bt, 0], x.dtype)
         r0 = jnp.asarray(style.bond_coeffs[bt, 1], x.dtype)
         d = _minimg(x[bi] - x[bj], L)
@@ -109,9 +115,13 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
 
     if len(style.angles):
         at = style.angles[:, 0]
-        ai = jnp.asarray(style.angles[:, 1])
-        aj = jnp.asarray(style.angles[:, 2])
-        ak = jnp.asarray(style.angles[:, 3])
+        if angles_idx is None:
+            ai = jnp.asarray(style.angles[:, 1])
+            aj = jnp.asarray(style.angles[:, 2])
+            ak = jnp.asarray(style.angles[:, 3])
+        else:
+            ai, aj, ak = (angles_idx[:, 0], angles_idx[:, 1],
+                          angles_idx[:, 2])
         K = jnp.asarray(style.angle_coeffs[at, 0], x.dtype)
         th0 = jnp.asarray(np.deg2rad(style.angle_coeffs[at, 1]), x.dtype)
         d1 = _minimg(x[ai] - x[aj], L)

@@ -35,6 +35,14 @@ class CellPairResult(NamedTuple):
     virial: jnp.ndarray
 
 
+def _cell_tile_size(cap: int, ncell: int, budget_bytes: float = 2.5e8) -> int:
+    """Cells per lax.map tile: bound the ~6 live (tile, cap, 27*cap) f32
+    temporaries to ~budget."""
+    per_cell = 6 * cap * 27 * cap * 4
+    t = max(8, int(budget_bytes / max(per_cell, 1)))
+    return min(ncell, t)
+
+
 def compute_cellpair(
     style: PairStyle,
     grid: CellGrid,
@@ -50,95 +58,133 @@ def compute_cellpair(
     n = grid.n_atoms
     ncell = grid.ncell
     cap = grid.cap
-    nbr = jnp.asarray(grid.nbr_array())          # static (ncell, 27)
+    nbr_np = grid.nbr_array()                    # static (ncell, 27)
     flt = state.x.dtype
     L = [float(v) for v in np.asarray(box.lengths)]
     ntypes = style.tables.shape[0]
+    has_special = (slot_special_idx is not None
+                   and slot_special_idx.shape[1] > 0)
 
-    def cellview(p):
+    # tile over cells: bounds the (tile, cap, 27*cap) temporaries so big
+    # systems fit HBM (a monolithic 288k-atom energy pass needs >18 GB)
+    tile = _cell_tile_size(cap, ncell)
+    nt = -(-ncell // tile)
+    pad = nt * tile - ncell
+
+    def cellv(p):
         return p.reshape(ncell, cap)
 
-    def jview(p):
-        # (ncell, 27, cap) -> (ncell, 27*cap): static row gather
-        return p.reshape(ncell, cap)[nbr].reshape(ncell, 27 * cap)
+    def jv(p):
+        return p.reshape(ncell, cap)[jnp.asarray(nbr_np)].reshape(
+            ncell, 27 * cap)
 
-    xi = [cellview(state.x), cellview(state.y), cellview(state.z)]
-    xj = [jview(state.x), jview(state.y), jview(state.z)]
-    aid_i = cellview(state.aid)
-    aid_j = jview(state.aid)
+    def tiled(a, fill=0):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+        return a.reshape(nt, tile, *a.shape[1:])
 
-    mask = (
-        (aid_i[:, :, None] != aid_j[:, None, :])
-        & (aid_i[:, :, None] < n)
-        & (aid_j[:, None, :] < n)
-    )
-
-    d = []
-    rsq = None
-    for ax in range(3):
-        dd = xi[ax][:, :, None] - xj[ax][:, None, :]   # (ncell, cap, 27cap)
-        dd = dd - jnp.round(dd * (1.0 / L[ax])) * L[ax]
-        d.append(dd)
-        rsq = dd * dd if rsq is None else rsq + dd * dd
-    rsq = jnp.where(mask, rsq, jnp.asarray(1e30, flt))
-
-    # type-pair coefficients: select chains over baked host tables
-    if ntypes == 1:
-        coef = {name: float(style.tables.reshape(1, -1)[0, ci])
-                for ci, name in enumerate(COEF_NAMES)}
+    xi_t = [tiled(cellv(state.x)), tiled(cellv(state.y)),
+            tiled(cellv(state.z))]
+    xj_t = [tiled(jv(state.x)), tiled(jv(state.y)), tiled(jv(state.z))]
+    aid_i_t = tiled(cellv(state.aid), fill=n)
+    aid_j_t = tiled(jv(state.aid), fill=n)
+    if ntypes > 1:
+        ti_t = tiled(cellv(state.typ))
+        tj_t = tiled(jv(state.typ))
     else:
-        ti = cellview(state.typ)[:, :, None]
-        tj = jview(state.typ)[:, None, :]
-        tt = ti * ntypes + tj
-        flat = np.asarray(style.tables).reshape(ntypes * ntypes, -1)
-        coef = {}
-        for ci, name in enumerate(COEF_NAMES):
-            coef[name] = _select_small(flat[:, ci], tt, rsq.shape, flt)
-
+        z = jnp.zeros((nt, tile, 0), jnp.int32)
+        ti_t = tj_t = z
     if style.cfg.has_coul:
-        qi = cellview(state.q)[:, :, None]
-        qj = jview(state.q)[:, None, :]
+        qi_t = tiled(cellv(state.q))
+        qj_t = tiled(jv(state.q))
     else:
-        qi = qj = 0.0
-
-    if slot_special_idx is not None and slot_special_idx.shape[1] > 0:
-        sp_i = slot_special_idx.reshape(ncell, cap, -1)       # (ncell,cap,S)
-        sp_c = slot_special_code.reshape(ncell, cap, -1).astype(jnp.int32)
-        match = sp_i[:, :, None, :] == aid_j[:, None, :, None]
-        sb = jnp.sum(jnp.where(match, sp_c[:, :, None, :], 0), axis=-1)
-        f_lj = _select_small(style.special_lj, sb, rsq.shape, flt)
-        f_coul = _select_small(style.special_coul, sb, rsq.shape, flt)
+        qi_t = qj_t = jnp.zeros((nt, tile, 0), flt)
+    if has_special:
+        sp_i_t = tiled(slot_special_idx.reshape(ncell, cap, -1), fill=-1)
+        sp_c_t = tiled(
+            slot_special_code.reshape(ncell, cap, -1).astype(jnp.int32))
     else:
-        f_lj = f_coul = 1.0
+        sp_i_t = sp_c_t = jnp.zeros((nt, tile, 0), jnp.int32)
 
-    fscalar, evdwl, ecoul = pair_terms(
-        style, rsq, coef, qi, qj, f_lj, f_coul, eflag=eflag
+    flat_tables = np.asarray(style.tables).reshape(ntypes * ntypes, -1)
+
+    def one_tile(args):
+        (xi, yi, zi, xj, yj, zj, aid_i, aid_j, ti, tj, qi, qj,
+         sp_i, sp_c) = args
+        mask = (
+            (aid_i[:, :, None] != aid_j[:, None, :])
+            & (aid_i[:, :, None] < n)
+            & (aid_j[:, None, :] < n)
+        )
+        d = []
+        rsq = None
+        for ax, (ci, cj) in enumerate(((xi, xj), (yi, yj), (zi, zj))):
+            dd = ci[:, :, None] - cj[:, None, :]   # (tile, cap, 27cap)
+            dd = dd - jnp.round(dd * (1.0 / L[ax])) * L[ax]
+            d.append(dd)
+            rsq = dd * dd if rsq is None else rsq + dd * dd
+        rsq = jnp.where(mask, rsq, jnp.asarray(1e30, flt))
+
+        if ntypes == 1:
+            coef = {name: float(flat_tables[0, ci])
+                    for ci, name in enumerate(COEF_NAMES)}
+        else:
+            tt = ti[:, :, None] * ntypes + tj[:, None, :]
+            coef = {name: _select_small(flat_tables[:, ci], tt, rsq.shape,
+                                        flt)
+                    for ci, name in enumerate(COEF_NAMES)}
+
+        qip = qi[:, :, None] if style.cfg.has_coul else 0.0
+        qjp = qj[:, None, :] if style.cfg.has_coul else 0.0
+
+        if has_special:
+            match = sp_i[:, :, None, :] == aid_j[:, None, :, None]
+            sb = jnp.sum(jnp.where(match, sp_c[:, :, None, :], 0), axis=-1)
+            f_lj = _select_small(style.special_lj, sb, rsq.shape, flt)
+            f_coul = _select_small(style.special_coul, sb, rsq.shape, flt)
+        else:
+            f_lj = f_coul = 1.0
+
+        fscalar, evdwl, ecoul = pair_terms(
+            style, rsq, coef, qip, qjp, f_lj, f_coul, eflag=eflag
+        )
+        fscalar = jnp.where(mask, fscalar, 0.0)
+
+        fx = jnp.sum((fscalar * d[0]).astype(acc_dtype), axis=2)
+        fy = jnp.sum((fscalar * d[1]).astype(acc_dtype), axis=2)
+        fz = jnp.sum((fscalar * d[2]).astype(acc_dtype), axis=2)
+        if eflag:
+            ev = jnp.sum(jnp.where(mask, evdwl, 0.0).astype(acc_dtype))
+            ec = jnp.sum(jnp.where(mask, ecoul, 0.0).astype(acc_dtype))
+        else:
+            ev = ec = jnp.zeros((), acc_dtype)
+        if vflag:
+            w = fscalar * 0.5
+            vir = jnp.stack([
+                jnp.sum((w * d[0] * d[0]).astype(acc_dtype)),
+                jnp.sum((w * d[1] * d[1]).astype(acc_dtype)),
+                jnp.sum((w * d[2] * d[2]).astype(acc_dtype)),
+                jnp.sum((w * d[0] * d[1]).astype(acc_dtype)),
+                jnp.sum((w * d[0] * d[2]).astype(acc_dtype)),
+                jnp.sum((w * d[1] * d[2]).astype(acc_dtype)),
+            ])
+        else:
+            vir = jnp.zeros((6,), acc_dtype)
+        return fx, fy, fz, ev, ec, vir
+
+    fx_t, fy_t, fz_t, ev_t, ec_t, vir_t = jax.lax.map(
+        one_tile,
+        (xi_t[0], xi_t[1], xi_t[2], xj_t[0], xj_t[1], xj_t[2],
+         aid_i_t, aid_j_t, ti_t, tj_t, qi_t, qj_t, sp_i_t, sp_c_t),
     )
-    fscalar = jnp.where(mask, fscalar, 0.0)
-
-    fx = jnp.sum((fscalar * d[0]).astype(acc_dtype), axis=2).reshape(-1)
-    fy = jnp.sum((fscalar * d[1]).astype(acc_dtype), axis=2).reshape(-1)
-    fz = jnp.sum((fscalar * d[2]).astype(acc_dtype), axis=2).reshape(-1)
-
-    if eflag:
-        half = jnp.asarray(0.5, acc_dtype)
-        evdwl_t = half * jnp.sum(jnp.where(mask, evdwl, 0.0).astype(acc_dtype))
-        ecoul_t = half * jnp.sum(jnp.where(mask, ecoul, 0.0).astype(acc_dtype))
-    else:
-        evdwl_t = ecoul_t = jnp.zeros((), acc_dtype)
-
-    if vflag:
-        w = fscalar * 0.5
-        virial = jnp.stack([
-            jnp.sum((w * d[0] * d[0]).astype(acc_dtype)),
-            jnp.sum((w * d[1] * d[1]).astype(acc_dtype)),
-            jnp.sum((w * d[2] * d[2]).astype(acc_dtype)),
-            jnp.sum((w * d[0] * d[1]).astype(acc_dtype)),
-            jnp.sum((w * d[0] * d[2]).astype(acc_dtype)),
-            jnp.sum((w * d[1] * d[2]).astype(acc_dtype)),
-        ])
-    else:
-        virial = jnp.zeros((6,), acc_dtype)
+    fx = fx_t.reshape(nt * tile, cap)[:ncell].reshape(-1)
+    fy = fy_t.reshape(nt * tile, cap)[:ncell].reshape(-1)
+    fz = fz_t.reshape(nt * tile, cap)[:ncell].reshape(-1)
+    half = jnp.asarray(0.5, acc_dtype)
+    evdwl_t = half * jnp.sum(ev_t)
+    ecoul_t = half * jnp.sum(ec_t)
+    virial = jnp.sum(vir_t, axis=0)
 
     return CellPairResult(fx=fx, fy=fy, fz=fz, evdwl=evdwl_t, ecoul=ecoul_t,
                           virial=virial)

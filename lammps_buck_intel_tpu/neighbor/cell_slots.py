@@ -125,6 +125,7 @@ class SlotState(NamedTuple):
     q: jnp.ndarray
     aid: jnp.ndarray  # int32 original atom index; n_atoms = empty
     overflow: jnp.ndarray  # () bool, sticky
+    therm: jnp.ndarray     # (2, M) Nose-Hoover chain ((2,0) when NVE)
 
 
 def _wrap_plane(p, i, lo, L):
@@ -185,11 +186,12 @@ def rebin(grid: CellGrid, box: Box, state: SlotState) -> SlotState:
         typ=scat(state.typ, 0), q=scat(state.q, 0.0),
         aid=scat(state.aid, n),
         overflow=overflow,
+        therm=state.therm,
     )
 
 
 def from_atoms(grid: CellGrid, box: Box, x, v, image, typ, q,
-               dtype=jnp.float32) -> SlotState:
+               dtype=jnp.float32, tchain: int = 0) -> SlotState:
     """Initial binning from (N, 3)/(N,) atom-ordered arrays."""
     n = grid.n_atoms
     x = jnp.asarray(x, dtype)
@@ -205,6 +207,7 @@ def from_atoms(grid: CellGrid, box: Box, x, v, image, typ, q,
         q=jnp.asarray(q, dtype),
         aid=jnp.arange(n, dtype=jnp.int32),
         overflow=jnp.zeros((), bool),
+        therm=jnp.zeros((2, tchain), dtype),
     )
     return rebin(grid, box, st)
 

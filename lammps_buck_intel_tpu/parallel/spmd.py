@@ -63,15 +63,38 @@ def make_spmd_step(
     eflag: bool = False,
     acc_dtype=jnp.float32,
     axis: str = "atoms",
+    ewald=None,
 ):
     """Build a jitted sharded MD step.
 
     Every per-atom array (state, typ, q, mass_inv, neighbor idx/sb rows) is
     sharded along the atom axis.  Neighbor indices point into the gathered
-    global position array.  Returns
+    global position array.  With ``ewald`` set, the reciprocal solve runs
+    sharded too: each device computes partial structure factors over its
+    atom shard, ``psum`` completes S(k) (the MPI_Allreduce analog), and the
+    force matmul stays local — the k-space counterpart of SURVEY.md §2.3's
+    reduction-parallel row.  Returns
     ``step(state, typ, q, mass_inv, idx, sb) -> (state, energies)`` with
     energies a dict of replicated (psum'd) scalars.
     """
+
+    def _ewald_local(x_l, q_l):
+        flt = x_l.dtype
+        kv = jnp.asarray(ewald.kvecs, flt)          # host consts, baked
+        ug = jnp.asarray(ewald.ug, flt)
+        phase = x_l @ kv.T                           # (n_l, K)
+        c = jnp.cos(phase)
+        s = jnp.sin(phase)
+        s_re = jax.lax.psum(jnp.sum(q_l[:, None] * c, axis=0), axis)
+        s_im = jax.lax.psum(jnp.sum(q_l[:, None] * s, axis=0), axis)
+        w = 2.0 * ug
+        coef = s * s_re[None, :] - c * s_im[None, :]
+        f = (coef * w[None, :]) @ kv
+        f = (float(ewald.qqrd2e) * q_l[:, None] * f).astype(acc_dtype)
+        elong = jnp.sum(ug.astype(acc_dtype) * (s_re * s_re + s_im * s_im
+                                                ).astype(acc_dtype))
+        elong = elong * ewald.qqrd2e + ewald.elong_self
+        return f, elong
 
     def _local_step(x_l, v_l, f_l, typ_l, q_l, minv_l, idx_l, sb_l,
                     typ_g, q_g):
@@ -85,10 +108,17 @@ def make_spmd_step(
             eflag=eflag, vflag=False, acc_dtype=acc_dtype,
             src=(x_full, typ_g, q_g),
         )
-        v_l = final_integrate(nve_l, v_l, pr.f)
+        f_tot = pr.f
+        elong = jnp.zeros((), acc_dtype)
+        if ewald is not None:
+            fk, elong = _ewald_local(x_l, q_l)
+            f_tot = f_tot + fk
+        v_l = final_integrate(nve_l, v_l, f_tot)
         evdwl = jax.lax.psum(pr.evdwl, axis)
         ecoul = jax.lax.psum(pr.ecoul, axis)
-        return ShardedState(x_l, v_l, pr.f), {"evdwl": evdwl, "ecoul": ecoul}
+        return ShardedState(x_l, v_l, f_tot), {
+            "evdwl": evdwl, "ecoul": ecoul, "elong": elong,
+        }
 
     sharded = shard_map(
         _local_step,
@@ -99,7 +129,7 @@ def make_spmd_step(
         ),
         out_specs=(
             ShardedState(P(axis), P(axis), P(axis)),
-            {"evdwl": P(), "ecoul": P()},
+            {"evdwl": P(), "ecoul": P(), "elong": P()},
         ),
     )
 

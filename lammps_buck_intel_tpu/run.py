@@ -236,18 +236,36 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     engine = cfg.get("engine", "nlist")
     common = dict(topology=topo, kspace=kspace, units=u, precision=prec,
                   dt=dt, neighbor=policy)
-    if engine == "cellpair" and (
-        bonded is not None or shake is not None or thermostat is not None
-        or exclude_intra
-    ):
+    if engine == "cellpair" and exclude_intra:
         raise ValueError(
-            "cellpair engine currently supports plain NVE pair+kspace "
-            "decks; use engine: nlist for bonded/shake/nvt"
+            "cellpair engine does not support exclude_intra yet; "
+            "use engine: nlist"
         )
     if engine == "cellpair":
         try:
-            return CellPairSimulation(system, style, **{
-                k: v for k, v in common.items() if k != "topology"})
+            use_cellpppm = (
+                ks and ks.get("name") == "pppm" and style.cfg.coul == "long"
+            )
+            kw2 = dict(common)
+            if use_cellpppm:
+                kw2["kspace"] = None
+            sim = CellPairSimulation(
+                system, style, bonded=bonded, shake=shake,
+                thermostat=thermostat, **kw2)
+            if use_cellpppm:
+                # rebuild pppm aligned to the sim's cell grid and bind the
+                # scatter-free patch pipeline (g_ewald is grid-independent)
+                from .models.kspace import setup_pppm as _setup
+                from .models.kspace import CellPPPM
+
+                pm2 = _setup(box, q, cutoff=ps.get("cut_coul", ps["cut"]),
+                             accuracy_rel=ks.get("accuracy", 1e-4),
+                             qqrd2e=u.qqrd2e, order=ks.get("order", 5),
+                             g_ewald=style.g_ewald,
+                             multiple_of=sim.grid.nc, acc_dtype=prec.acc)
+                sim.kspace = CellPPPM(pm2, sim.grid)
+                sim.state = sim._init_force_fn()(sim.state)
+            return sim
         except ValueError:
             # box too small for a 3^3 cell grid — fall through to nlist
             pass

@@ -175,3 +175,68 @@ def test_cellpair_simulation_matches_nlist_simulation():
     back = sim2.get_atoms()
     x1 = np.asarray(sim1.state.x)
     np.testing.assert_allclose(back["x"], x1, rtol=1e-9, atol=1e-9)
+
+
+def test_cellpair_spce_shake_nvt(reference_dir):
+    """The literal in.spce physics on the cell-pair engine: shake + nvt +
+    pppm at dt=2fs, cross-checked against the nlist engine."""
+    import jax.numpy as jnp
+    from lammps_buck_intel_tpu.io import read_data, velocity
+    from lammps_buck_intel_tpu.models.pair import build_lj
+    from lammps_buck_intel_tpu.models.kspace import setup_pppm, CellPPPM
+    from lammps_buck_intel_tpu.integrate import make_shake
+    from lammps_buck_intel_tpu.integrate.nvt import NVTConfig
+    from lammps_buck_intel_tpu.integrate.shake import max_violation
+    from lammps_buck_intel_tpu.core import build_topology
+
+    u = get_units("real")
+    d = read_data(f"{reference_dir}/examples/data.spce")
+    n = d.n_atoms
+    box = make_box(d.box_lo, d.box_hi)
+    topo = build_topology(n, bonds=d.bonds, angles=d.angles)
+    style = build_lj(
+        2, {(0, 0): (0.15535, 3.166), (0, 1): (0.0, 0.0), (1, 1): (0.0, 0.0)},
+        cut_global=6.8, coul="long", cut_coul=8.8,
+        special_lj=(1.0, 0.0, 0.0, 0.5), special_coul=(1.0, 0.0, 0.0, 0.5),
+        qqrd2e=u.qqrd2e, dtype=jnp.float64,
+    )
+    mass_per_atom = d.mass[d.type]
+    sc = make_shake(d.bonds, np.array([[1000.0, 1.0]]), d.angles,
+                    np.array([[100.0, 109.47]]), mass_per_atom, iters=30)
+    v = velocity.create(n, 300.0, 432567, mass_per_atom, u, dist="uniform")
+    system = make_system(d.x, box, type=d.type, v=v, q=d.q, image=d.image,
+                         mass=d.mass, molecule=d.molecule, dtype=jnp.float64)
+    sim = CellPairSimulation(
+        system, style, topology=topo, units=u, precision=double(), dt=2.0,
+        shake=sc,
+        thermostat=NVTConfig(t_start=300.0, t_stop=300.0, t_damp=100.0),
+        neighbor=NeighborPolicy(skin=2.0, every=5, delay=0, check=False),
+    )
+    pm = setup_pppm(box, d.q, cutoff=8.8, accuracy_rel=1e-4,
+                    qqrd2e=u.qqrd2e, multiple_of=sim.grid.nc,
+                    acc_dtype=jnp.float64)
+    sim.pair = style.replace(g_ewald=pm.g_ewald)
+    sim.kspace = CellPPPM(pm, sim.grid)
+    sim.state = sim._init_force_fn()(sim.state)
+    rows = sim.run(10, thermo_every=5, log=False)
+    # constraints hold (slot order -> atom order via get_atoms)
+    atoms = sim.get_atoms()
+    L = np.asarray(sim.box.lengths)
+    viol = float(max_violation(sc, jnp.asarray(atoms["x"]), L))
+    assert viol < 2e-4, f"violation {viol}"
+    assert 250 < rows[-1]["temp"] < 350
+    assert rows[0]["elong"] < -10000
+    assert np.isfinite(rows[-1]["etotal"])
+
+
+def test_profiler_phases():
+    from lammps_buck_intel_tpu.utils.profiler import profile_phases
+
+    xs, v, box, n, u = _melt(6)
+    style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5,
+                       dtype=jnp.float64)
+    sys1 = make_system(xs, box, v=v, mass=np.ones(1), dtype=jnp.float64)
+    sim = CellPairSimulation(sys1, style, precision=double())
+    t = profile_phases(sim, nscan=3, reps=1)
+    assert set(t) >= {"pair", "rebin", "step"}
+    assert all(v > 0 for v in t.values())

@@ -68,3 +68,25 @@ def test_velocity_create():
     np.testing.assert_allclose(t, 1.44, rtol=1e-10)
     p = (m[:, None] * v).sum(axis=0)
     np.testing.assert_allclose(p, 0.0, atol=1e-10)
+
+
+def test_native_reader_matches_python(reference_dir):
+    """The C++ fastdata parser and the Python parser must agree exactly."""
+    from lammps_buck_intel_tpu.io.fastdata import _load
+
+    if _load() is None:
+        import pytest
+
+        pytest.skip("native fastdata unavailable (no g++?)")
+    for name in ("data.aC", "data.spce", "equilibrated_data.hexane"):
+        a = read_data(f"{reference_dir}/examples/{name}", native=True)
+        b = read_data(f"{reference_dir}/examples/{name}", native=False)
+        np.testing.assert_array_equal(a.x, b.x)
+        np.testing.assert_array_equal(a.v, b.v)
+        np.testing.assert_array_equal(a.q, b.q)
+        np.testing.assert_array_equal(a.type, b.type)
+        np.testing.assert_array_equal(a.molecule, b.molecule)
+        np.testing.assert_array_equal(a.image, b.image)
+        np.testing.assert_array_equal(a.mass, b.mass)
+        np.testing.assert_array_equal(a.bonds, b.bonds)
+        np.testing.assert_array_equal(a.angles, b.angles)

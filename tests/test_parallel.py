@@ -64,3 +64,59 @@ def test_pad_to_multiple():
     assert p.shape == (16, 3) and n == 10
     p2, n2 = pad_to_multiple(np.ones((16, 3)), 8)
     assert p2.shape == (16, 3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spmd_step_with_ewald_matches_single_device():
+    """Sharded k-space: partial structure factors + psum == replicated."""
+    from lammps_buck_intel_tpu.models.kspace import setup_ewald
+    from lammps_buck_intel_tpu.models.pair import compute_pair
+
+    u = get_units("metal")
+    rng = np.random.RandomState(0)
+    n = 256
+    L = 12.0
+    x0 = rng.uniform(0, L, (n, 3))
+    q0 = rng.uniform(-1, 1, n)
+    q0 -= q0.mean()
+    dtype = jnp.float64
+    box = make_box([0, 0, 0], [L] * 3)
+    style = build_buck(
+        1, {(0, 0): (1000.0, 0.3, 10.0)}, cut_global=4.0, coul="long",
+        qqrd2e=u.qqrd2e, dtype=dtype,
+    )
+    ew = setup_ewald(box, q0, cutoff=4.0, accuracy_rel=1e-6,
+                     qqrd2e=u.qqrd2e, acc_dtype=dtype)
+    style = style.replace(g_ewald=ew.g_ewald)
+    spec = make_spec(n, [L] * 3, 4.3)
+    x = jnp.asarray(x0, dtype)
+    q = jnp.asarray(q0, dtype)
+    typ = jnp.zeros(n, jnp.int32)
+    nl = build(x, box, spec)
+    nve = make_nve(u.dt, u.ftm2v, np.ones(n) * 28.0, dtype=dtype)
+
+    # single-device reference: 5 manual velocity-verlet steps
+    from lammps_buck_intel_tpu.integrate import (
+        initial_integrate, final_integrate,
+    )
+
+    f0 = compute_pair(style, x, typ, q, box, nl, acc_dtype=dtype).f \
+        + ew.compute(x, q).f
+    xs, vs, fs = x, jnp.zeros_like(x), f0
+    for _ in range(5):
+        xs, vs = initial_integrate(nve, xs, vs, fs)
+        fr = compute_pair(style, xs, typ, q, box, nl, acc_dtype=dtype).f \
+            + ew.compute(xs, q).f
+        vs = final_integrate(nve, vs, fr)
+        fs = fr
+
+    mesh = make_mesh(8)
+    step = make_spmd_step(style, nve, box, mesh, eflag=True,
+                          acc_dtype=dtype, ewald=ew)
+    state = ShardedState(x, jnp.zeros_like(x), f0)
+    for _ in range(5):
+        state, energies = step(state, typ, q, nve.mass_inv, nl.idx, nl.sb)
+    # psum reduction order differs from the single-device sum: ~1e-8 rel
+    np.testing.assert_allclose(np.asarray(state.x), np.asarray(xs),
+                               rtol=1e-7, atol=1e-9)
+    assert np.isfinite(float(energies["elong"]))
