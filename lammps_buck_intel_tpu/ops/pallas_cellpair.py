@@ -1,0 +1,164 @@
+"""Pallas cell-pair force kernel — VMEM-fused variant of the dense kernel.
+
+Keeps the whole pair-tile pipeline in VMEM: grid over cell blocks, the 27
+neighbor-cell sub-tiles processed in an on-chip fori_loop with (cap, cap)
+working sets, accumulating forces in VMEM.  Physics reuses the exact
+pair_terms formula set, so numerical equivalence with both other engines is
+testable to f32 summation order.
+
+STATUS (measured, TPU v5e, 259k-atom silica, cap=168): 107 ms/step vs
+59 ms for the XLA dense kernel — the XLA path remains the default.  The
+gap is lane padding (168 -> 256) in the (cap, cap) inner tiles plus the
+unpipelined 27-iteration loop; candidate fixes for later rounds are
+128-quantized capacities, (CB*cap, cap) re-tiled physics, and
+double-buffered j-block DMA.
+
+The j-side (ncell, 27*cap) planes are pre-gathered by XLA (a static
+row-gather, bandwidth-cheap); Pallas removes only the expensive part — the
+pair-tile traffic.  This is the reference's SIMD j-loop
+(pair_buck_intel.cpp:236-275) in its most literal TPU form: an 8x128-lane
+inner tile with VMASK-style selects, per-cell instead of per-thread.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.pair.styles import PairStyle, pair_terms
+from ..models.pair.driver import _select_small, COEF_NAMES
+from ..neighbor.cell_slots import CellGrid, SlotState
+
+
+def _tile_physics(style, L, n_atoms, ntypes, flat_tables,
+                  xi, yi, zi, qi, ti, aidi,
+                  xj, yj, zj, qj, tj, aidj):
+    """(cap,) i-arrays x (cap_j,) j-arrays -> per-pair force scalar and
+    displacement planes; pure jnp, runs inside the Pallas kernel."""
+    flt = xi.dtype
+    mask = (
+        (aidi[:, None] != aidj[None, :])
+        & (aidi[:, None] < n_atoms)
+        & (aidj[None, :] < n_atoms)
+    )
+    d = []
+    rsq = None
+    for ci, cj, La in ((xi, xj, L[0]), (yi, yj, L[1]), (zi, zj, L[2])):
+        dd = ci[:, None] - cj[None, :]
+        dd = dd - jnp.round(dd * (1.0 / La)) * La
+        d.append(dd)
+        rsq = dd * dd if rsq is None else rsq + dd * dd
+    rsq = jnp.where(mask, rsq, jnp.asarray(1e30, flt))
+    if ntypes == 1:
+        coef = {name: float(flat_tables[0, k])
+                for k, name in enumerate(COEF_NAMES)}
+    else:
+        tt = ti[:, None] * ntypes + tj[None, :]
+        coef = {name: _select_small(flat_tables[:, k], tt, rsq.shape, flt)
+                for k, name in enumerate(COEF_NAMES)}
+    if style.cfg.has_coul:
+        qip, qjp = qi[:, None], qj[None, :]
+    else:
+        qip = qjp = 0.0
+    fscalar, _, _ = pair_terms(style, rsq, coef, qip, qjp, 1.0, 1.0,
+                               eflag=False)
+    fscalar = jnp.where(mask, fscalar, 0.0)
+    return fscalar, d
+
+
+def make_pallas_cellpair(style: PairStyle, grid: CellGrid, box,
+                         interpret: bool = False):
+    """Build a jit-able slot-force function fn(state) -> (fx, fy, fz).
+
+    Force-only, no special bonds (production inner steps of atomic decks);
+    energy/virial passes use the XLA kernel at thermo cadence.
+    """
+    cap = grid.cap
+    ncell = grid.ncell
+    n = grid.n_atoms
+    ntypes = style.tables.shape[0]
+    flat_tables = np.asarray(style.tables).reshape(ntypes * ntypes, -1)
+    L = [float(v) for v in np.asarray(box.lengths)]
+    nbr = grid.nbr_array()
+
+    # Mosaic wants the second-to-last block dim divisible by 8: process
+    # CB = 8 cells per grid step (python-unrolled inside the kernel).
+    CB = 8
+    ncell_p = ((ncell + CB - 1) // CB) * CB
+
+    def kernel(xi_r, yi_r, zi_r, qi_r, ti_r, ai_r,
+               xj_r, yj_r, zj_r, qj_r, tj_r, aj_r,
+               fx_r, fy_r, fz_r):
+        for c in range(CB):
+            xi = xi_r[c, :]
+            yi = yi_r[c, :]
+            zi = zi_r[c, :]
+            qi = qi_r[c, :]
+            ti = ti_r[c, :]
+            ai = ai_r[c, :]
+
+            def body(k, acc, c=c, xi=xi, yi=yi, zi=zi, qi=qi, ti=ti, ai=ai):
+                accx, accy, accz = acc
+                fs, d = _tile_physics(
+                    style, L, n, ntypes, flat_tables,
+                    xi, yi, zi, qi, ti, ai,
+                    xj_r[c, k, :], yj_r[c, k, :], zj_r[c, k, :],
+                    qj_r[c, k, :], tj_r[c, k, :], aj_r[c, k, :],
+                )
+                accx = accx + jnp.sum(fs * d[0], axis=1)
+                accy = accy + jnp.sum(fs * d[1], axis=1)
+                accz = accz + jnp.sum(fs * d[2], axis=1)
+                return accx, accy, accz
+
+            z = jnp.zeros((cap,), xi.dtype)
+            fx, fy, fz = jax.lax.fori_loop(0, 27, body, (z, z, z))
+            fx_r[c, :] = fx
+            fy_r[c, :] = fy
+            fz_r[c, :] = fz
+
+    ispec = pl.BlockSpec((CB, cap), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM)
+    jspec = pl.BlockSpec((CB, 27, cap), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(ncell_p // CB,),
+        in_specs=[ispec] * 6 + [jspec] * 6,
+        out_specs=[ispec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((ncell_p, cap), jnp.float32)] * 3,
+        interpret=interpret,
+    )
+
+    nbr_j = jnp.asarray(nbr)
+    padc = ncell_p - ncell
+
+    def fn(state: SlotState):
+        def cv(p, fill=0):
+            a = p.reshape(ncell, cap)
+            if padc:
+                a = jnp.concatenate(
+                    [a, jnp.full((padc, cap), fill, a.dtype)])
+            return a
+
+        def jv(p, fill=0):
+            a = p.reshape(ncell, cap)[nbr_j]          # (ncell, 27, cap)
+            if padc:
+                a = jnp.concatenate(
+                    [a, jnp.full((padc, 27, cap), fill, a.dtype)])
+            return a
+
+        fx, fy, fz = call(
+            cv(state.x), cv(state.y), cv(state.z), cv(state.q),
+            cv(state.typ), cv(state.aid, fill=n),
+            jv(state.x), jv(state.y), jv(state.z), jv(state.q),
+            jv(state.typ), jv(state.aid, fill=n),
+        )
+        return (fx[:ncell].reshape(-1), fy[:ncell].reshape(-1),
+                fz[:ncell].reshape(-1))
+
+    return fn
