@@ -447,7 +447,8 @@ class CellPairSimulation:
             vmax = row.pop("vmax")
             rows.append(row)
             if log:
-                if len(rows) == 1:
+                if not getattr(self, "_printed_header", False):
+                    self._printed_header = True
                     print(f"{'Step':>8} {'Temp':>12} {'E_pair':>14} "
                           f"{'E_long':>14} {'TotEng':>14} {'Press':>14}")
                 print(f"{row['step']:>8d} {row['temp']:>12.6g} "

@@ -193,3 +193,68 @@ def pair_energy_fn(style: PairStyle, typ, q, box, nlist, acc_dtype=jnp.float32):
         return r.evdwl + r.ecoul
 
     return e
+
+
+def compute_pair_peratom(
+    style: PairStyle,
+    x, typ, q, box, nlist,
+    *,
+    acc_dtype=jnp.float32,
+    use_special: bool = True,
+):
+    """Per-atom pair energy and virial (the eflag_atom/vflag_atom contract,
+    pair_buck_intel.cpp:303-322): each atom receives half of every pair term
+    it participates in.  Returns (eatom (N,), vatom (N, 6))."""
+    x_src, typ_src, q_src = x, typ, q
+    n_src = x_src.shape[0]
+    ntypes = style.tables.shape[0]
+    flt = x.dtype
+    if isinstance(typ, np.ndarray):
+        typ = jnp.asarray(typ)
+        typ_src = typ
+    if isinstance(q, np.ndarray):
+        q = jnp.asarray(q, flt)
+        q_src = q
+
+    j = nlist.idx
+    mask = j < n_src
+    j_safe = jnp.minimum(j, n_src - 1)
+    L = np.asarray(box.lengths, np.float64)
+    d = []
+    rsq = None
+    for ax in range(3):
+        xc = x_src[:, ax]
+        dd = x[:, ax][:, None] - xc[j_safe]
+        La = float(L[ax])
+        dd = dd - jnp.round(dd * (1.0 / La)) * La
+        d.append(dd)
+        rsq = dd * dd if rsq is None else rsq + dd * dd
+    rsq = jnp.where(mask, rsq, jnp.asarray(1e30, flt))
+    ti = typ[:, None]
+    tj = typ_src[j_safe] if ntypes > 1 else jnp.zeros((), jnp.int32)
+    coef = gather_coefs(style.tables, ti, tj, rsq)
+    if style.cfg.has_coul:
+        qi, qj = q[:, None], q_src[j_safe]
+    else:
+        qi = qj = 0.0
+    if use_special:
+        sb = nlist.sb.astype(jnp.int32)
+        f_lj = _select_small(style.special_lj, sb, rsq.shape, flt)
+        f_coul = _select_small(style.special_coul, sb, rsq.shape, flt)
+    else:
+        f_lj = f_coul = 1.0
+    fscalar, evdwl, ecoul = pair_terms(style, rsq, coef, qi, qj, f_lj,
+                                       f_coul, eflag=True)
+    half = jnp.asarray(0.5, acc_dtype)
+    epair = jnp.where(mask, evdwl + ecoul, 0.0).astype(acc_dtype)
+    eatom = half * jnp.sum(epair, axis=1)
+    w = jnp.where(mask, fscalar, 0.0) * 0.5
+    vatom = jnp.stack([
+        jnp.sum((w * d[0] * d[0]).astype(acc_dtype), axis=1),
+        jnp.sum((w * d[1] * d[1]).astype(acc_dtype), axis=1),
+        jnp.sum((w * d[2] * d[2]).astype(acc_dtype), axis=1),
+        jnp.sum((w * d[0] * d[1]).astype(acc_dtype), axis=1),
+        jnp.sum((w * d[0] * d[2]).astype(acc_dtype), axis=1),
+        jnp.sum((w * d[1] * d[2]).astype(acc_dtype), axis=1),
+    ], axis=-1)
+    return eatom, vatom

@@ -52,8 +52,6 @@ def profile_phases(sim, nscan: int = 10, reps: int = 3) -> dict:
     state = sim.state
     out = {}
 
-    sp = None
-
     def pair_only(st):
         spp = sim._slot_specials(st)
         from ..models.pair.cellpair import compute_cellpair

@@ -190,3 +190,20 @@ def test_forces_are_gradient():
     g = jax.grad(efn)(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(res.f), -np.asarray(g), rtol=1e-9,
                                atol=1e-10)
+
+
+def test_peratom_sums_to_totals():
+    """eatom/vatom (the eflag_atom/vflag_atom contract) sum to the global
+    energy and virial."""
+    from lammps_buck_intel_tpu.models.pair import compute_pair_peratom
+
+    x, typ, q = _system(60, 8.0, 7, ntypes=2, charged=True)
+    style = _buck_style("cut", cut_lj=3.0, cut_coul=3.8, qqrd2e=14.399645)
+    res, nl, box = _eval(style, x, typ, q, 8.0)
+    eatom, vatom = compute_pair_peratom(
+        style, jnp.asarray(x), jnp.asarray(typ), jnp.asarray(q), box, nl,
+        acc_dtype=jnp.float64)
+    np.testing.assert_allclose(float(eatom.sum()),
+                               float(res.evdwl + res.ecoul), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(vatom).sum(axis=0),
+                               np.asarray(res.virial), rtol=1e-10)
