@@ -51,6 +51,7 @@ class CellPairSimulation:
         self.dt = units.dt if dt is None else dt
         self.pair = pair
         self.kspace = kspace
+        self.topology = topology
         self.neighbor = neighbor or NeighborPolicy(skin=units.skin)
         self.box = system.box
         n = system.n_atoms
@@ -78,6 +79,7 @@ class CellPairSimulation:
         self.grid = grid
 
         typ_np = np.asarray(jax.device_get(system.type), np.int32)
+        self._mol = np.asarray(jax.device_get(system.molecule), np.int32)
         mass = np.asarray(jax.device_get(system.mass), np.float64)
         # per-TYPE 1/mass — baked select chain (typ varies per rebin)
         self._minv_per_type = (1.0 / mass).astype(np.dtype(flt))
@@ -414,10 +416,12 @@ class CellPairSimulation:
     # ---------- main loop ----------
 
     def _cadence(self, vmax: Optional[float]) -> int:
+        # 1.5x vmax headroom: vmax is sampled at the previous thermo fetch
+        # and may grow mid-segment (see verlet.Simulation._cadence)
         nb = self.neighbor
         if not nb.check or vmax is None or vmax <= 0:
             return max(1, nb.every)
-        safe = int(nb.skin / (2.0 * vmax * self.dt))
+        safe = int(nb.skin / (2.0 * 1.5 * vmax * self.dt))
         return max(1, min(max(safe, 1), 100))
 
     def _t_target(self, ahead: int = 0) -> float:

@@ -62,13 +62,31 @@ def make_shake(
 ) -> ShakeConstraints:
     """Build the constraint list from topology (``b ... a ...`` syntax).
 
-    An angle constraint i-j-k (j central) with both wing bonds constrained
-    becomes the fixed i..k distance 2 r0 sin(theta0/2) (SPC/E H..H)."""
+    An angle constraint i-j-k (j central) becomes the fixed i..k distance
+    by the law of cosines over the ACTUAL wing-bond rest lengths
+    (r_ij^2 + r_jk^2 - 2 r_ij r_jk cos theta0); for equal wings this is the
+    familiar 2 r0 sin(theta0/2) (SPC/E H..H)."""
     pairs = []
     d2 = []
     r0_of_bond_type = {int(t): float(bond_coeffs[int(t), 1])
                        for t in range(len(bond_coeffs))}
-    for bt, i, j in np.asarray(bonds, np.int64):
+    bond_arr = np.asarray(bonds, np.int64)
+    # (i, j) sorted pair -> bond type, for angle wing-bond lookup
+    type_of_pair = {
+        (min(int(i), int(j)), max(int(i), int(j))): int(bt)
+        for bt, i, j in bond_arr
+    }
+
+    def _wing_r0(a: int, b: int) -> float:
+        bt = type_of_pair.get((min(a, b), max(a, b)))
+        if bt is None or bt not in r0_of_bond_type:
+            raise ValueError(
+                f"shake angle constraint references wing bond ({a},{b}) "
+                "with no bond entry/coefficients in the topology"
+            )
+        return r0_of_bond_type[bt]
+
+    for bt, i, j in bond_arr:
         if int(bt) in bond_types:
             pairs.append((i, j))
             d2.append(r0_of_bond_type[int(bt)] ** 2)
@@ -76,11 +94,11 @@ def make_shake(
         at, i, j, k = row
         if int(at) in angle_types:
             th0 = math.radians(float(angle_coeffs[int(at), 1]))
-            # wing bond length: assume the constrained bond type's r0
-            r0 = float(bond_coeffs[0, 1]) if len(bond_coeffs) else 1.0
-            d = 2.0 * r0 * math.sin(th0 / 2.0)
+            ri = _wing_r0(int(j), int(i))
+            rk = _wing_r0(int(j), int(k))
+            dd = ri * ri + rk * rk - 2.0 * ri * rk * math.cos(th0)
             pairs.append((i, k))
-            d2.append(d * d)
+            d2.append(dd)
     return ShakeConstraints(
         pairs=np.asarray(pairs, np.int32),
         d2=np.asarray(d2, np.float64),

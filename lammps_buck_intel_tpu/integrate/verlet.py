@@ -346,11 +346,15 @@ class Simulation:
         check=no: the deck's fixed ``every``.
         check=yes: conservative displacement bound — two atoms approaching
         head-on cover 2*vmax*dt per step; rebuild before they cover skin.
+        vmax is sampled at the previous thermo fetch and may grow during the
+        segment (equilibration spikes), so a 1.5x headroom factor is applied;
+        pathological mid-segment acceleration beyond that can still outrun
+        the bound — use check=no + every for strict control.
         """
         nb = self.neighbor
         if not nb.check or vmax is None or vmax <= 0:
             return max(1, nb.every)
-        safe = int(nb.skin / (2.0 * vmax * self.dt))
+        safe = int(nb.skin / (2.0 * 1.5 * vmax * self.dt))
         return max(1, min(max(safe, 1), 100))
 
     def _t_target(self, ahead: int = 0) -> float:

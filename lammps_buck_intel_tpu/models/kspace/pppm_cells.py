@@ -50,7 +50,14 @@ class PatchSpec:
 
 
 def make_patch_spec(pm: PPPM, grid: CellGrid, margin: int = 2,
-                    cell_tile: Optional[int] = None) -> PatchSpec:
+                    cell_tile: Optional[int] = None,
+                    skin: Optional[float] = None) -> PatchSpec:
+    if skin is not None:
+        # Atoms drift up to skin/2 between rebins (the runner's cadence
+        # bound); the patch margin must cover that drift in grid units or
+        # B-spline weight mass silently falls off the patch.
+        need = int(math.ceil((0.5 * skin) / float(np.min(pm.h)) - 1e-9))
+        margin = max(margin, need)
     S = []
     P = []
     lo = []
@@ -235,10 +242,10 @@ class CellPPPM:
     """
 
     def __init__(self, pm: PPPM, grid: CellGrid, margin: int = 2,
-                 per_slot_charge=None):
+                 per_slot_charge=None, skin: Optional[float] = None):
         self.pm = pm
         self.grid = grid
-        self.ps = make_patch_spec(pm, grid, margin=margin)
+        self.ps = make_patch_spec(pm, grid, margin=margin, skin=skin)
         # dispersion mode: override 'charge' source (B per slot is dynamic
         # via typ; caller passes a per-TYPE table instead)
         self.b_per_type = per_slot_charge

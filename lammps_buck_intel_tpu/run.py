@@ -208,14 +208,25 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             bc = np.asarray(cfg["bond_style"]["coeffs"])
             ac = np.asarray(cfg.get("angle_style", {}).get("coeffs",
                                                            [[0.0, 109.47]]))
+            b_types = tuple(t - 1 for t in fx.get("b", [1]))
+            a_types = tuple(t - 1 for t in fx.get("a", []))
             shake = make_shake(
                 bonds, bc, angles if angles is not None else np.zeros((0, 4)),
                 ac, mass_per_atom,
-                bond_types=tuple(t - 1 for t in fx.get("b", [1])),
-                angle_types=tuple(t - 1 for t in fx.get("a", [])),
+                bond_types=b_types, angle_types=a_types,
                 iters=fx.get("iters", 30),
             )
-            bonded = None  # constrained bonds carry no flexible forces
+            # LAMMPS `fix shake b ... a ...` removes ONLY the constrained
+            # types; any remaining bond/angle types keep flexible forces
+            rb = (bonds[~np.isin(bonds[:, 0], b_types)]
+                  if bonds is not None and len(bonds) else None)
+            ra = (angles[~np.isin(angles[:, 0], a_types)]
+                  if angles is not None and len(angles) else None)
+            if (rb is not None and len(rb)) or (ra is not None and len(ra)):
+                bonded = make_bonded(bonds=rb, angles=ra,
+                                     bond_coeffs=bc, angle_coeffs=ac)
+            else:
+                bonded = None
         elif fn == "rigid/small":
             shake = make_rigid_from_molecules(
                 x, mol, mass_per_atom, box.lengths,
@@ -263,7 +274,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                              qqrd2e=u.qqrd2e, order=ks.get("order", 5),
                              g_ewald=style.g_ewald,
                              multiple_of=sim.grid.nc, acc_dtype=prec.acc)
-                sim.kspace = CellPPPM(pm2, sim.grid)
+                sim.kspace = CellPPPM(pm2, sim.grid, skin=policy.skin)
                 sim.state = sim._init_force_fn()(sim.state)
             return sim
         except ValueError:
@@ -314,27 +325,34 @@ def run_deck(cfg: dict, log: bool = True):
 
 
 def _as_system_like(sim):
-    """Minimal shim exposing write_data's expected attributes."""
+    """Minimal shim exposing write_data's expected attributes.
+
+    Works for both engines: CellPairSimulation stores atoms in slot planes
+    and exposes get_atoms(); Simulation keeps (N, 3) arrays directly."""
     import jax
-    import jax.numpy as jnp
 
     class _S:
         pass
 
     s = _S()
-    st = jax.device_get(sim.state)
-    s.x, s.v, s.image = st.x, st.v, st.image
-    s.q = sim.q
-    s.type = sim.typ
+    if hasattr(sim, "get_atoms"):  # cell-pair engine: slot -> atom order
+        atoms = sim.get_atoms()
+        s.x, s.v, s.image = atoms["x"], atoms["v"], atoms["image"]
+        typ, q = atoms["typ"], atoms["q"]
+        mass_per_atom = (1.0 / sim._minv_per_type)[typ]
+    else:
+        st = jax.device_get(sim.state)
+        s.x, s.v, s.image = st.x, st.v, st.image
+        typ, q = np.asarray(sim.typ), np.asarray(sim.q)
+        mass_per_atom = sim.mass_per_atom
+    s.q = q
+    s.type = typ
     s.molecule = getattr(sim, "_mol", None)
     if s.molecule is None:
-        s.molecule = np.zeros(len(s.q), np.int32)
-    s.mass = sim.mass_per_atom  # per-atom; write per-type instead:
-    import numpy as _np
-
-    per_type = _np.zeros(int(sim.typ.max()) + 1)
+        s.molecule = np.zeros(len(q), np.int32)
+    per_type = np.zeros(int(typ.max()) + 1)
     for t in range(len(per_type)):
-        m = sim.mass_per_atom[sim.typ == t]
+        m = mass_per_atom[typ == t]
         per_type[t] = m[0] if len(m) else 1.0
     s.mass = per_type
 

@@ -5,6 +5,12 @@ The reference's checkpoint story is ``write_data`` -> ``read_data``
 format is an .npz of the full simulation state pytree (positions,
 velocities, image flags, thermostat chain, step counter); LAMMPS data-file
 interop lives in io.data_reader.write_data.
+
+Both engines are covered: the neighbor-list ``Simulation`` checkpoints its
+(N, 3) arrays directly; ``CellPairSimulation`` round-trips through atom
+order (slots -> atoms at save, atoms -> fresh slot binning at resume) and
+persists the Nose-Hoover chain, which lives in the slot state's global
+``therm`` field.
 """
 from __future__ import annotations
 
@@ -16,21 +22,31 @@ import numpy as np
 
 def save(path: str, sim) -> None:
     """Snapshot a Simulation (or CellPairSimulation via get_atoms)."""
+    extra = {}
     if hasattr(sim, "get_atoms"):  # cell-pair engine: slot -> atom order
         atoms = sim.get_atoms()
         x, v, image = atoms["x"], atoms["v"], atoms["image"]
-        therm = np.zeros((2, 0))
+        typ, q = atoms["typ"], atoms["q"]
+        therm = np.asarray(jax.device_get(sim.state.therm))
+        # verbatim slot planes too: resuming into an identically-sized grid
+        # restores the exact slot permutation -> bit-exact continuation
+        st = jax.device_get(sim.state)
+        extra = {f"slot_{k}": np.asarray(p)
+                 for k, p in st._asdict().items()}
     else:
         st = jax.device_get(sim.state)
         x, v, image, therm = st.x, st.v, st.image, st.therm
+        typ = sim.typ if hasattr(sim, "typ") else np.zeros(0)
+        q = np.asarray(getattr(sim, "q", np.zeros(0)), np.float64)
     np.savez_compressed(
         path,
+        **extra,
         x=np.asarray(x, np.float64),
         v=np.asarray(v, np.float64),
         image=np.asarray(image, np.int32),
         therm=np.asarray(therm, np.float64),
-        typ=sim.typ if hasattr(sim, "typ") else np.zeros(0),
-        q=np.asarray(getattr(sim, "q", np.zeros(0)), np.float64),
+        typ=np.asarray(typ),
+        q=np.asarray(q, np.float64),
         box_lo=np.asarray(sim.box.lo, np.float64),
         box_hi=np.asarray(sim.box.hi, np.float64),
         step_count=np.asarray(sim.step_count, np.int64),
@@ -52,19 +68,47 @@ def load(path: str) -> dict:
 
 
 def resume(sim, ckpt: dict) -> None:
-    """Restore dynamic state into an already-constructed Simulation."""
+    """Restore dynamic state into an already-constructed simulation
+    (either engine)."""
     import jax.numpy as jnp
 
     flt = sim.precision.flt
-    st = sim.state
-    therm = ckpt["therm"]
-    if therm.shape[1] != st.therm.shape[1]:
-        therm = np.zeros(np.asarray(st.therm).shape)
-    sim.state = st._replace(
-        x=jnp.asarray(ckpt["x"], flt),
-        v=jnp.asarray(ckpt["v"], flt),
-        image=jnp.asarray(ckpt["image"], jnp.int32),
-        therm=jnp.asarray(therm, flt),
-    )
-    sim.state = sim._init_force_fn(sim.state)
+    if hasattr(sim, "grid"):  # cell-pair engine
+        from ..neighbor import cell_slots as cs
+
+        if ("slot_x" in ckpt
+                and len(ckpt["slot_x"]) == sim.grid.nslots
+                and ckpt["slot_therm"].shape
+                == tuple(np.asarray(sim.state.therm).shape)):
+            # same grid geometry: restore slot planes verbatim (bit-exact)
+            st = cs.SlotState(**{
+                k: jnp.asarray(ckpt[f"slot_{k}"])
+                for k in cs.SlotState._fields
+            })
+        else:  # geometry changed: re-bin from atom order
+            atoms = sim.get_atoms()  # current typ/q in atom order
+            typ = ckpt["typ"] if len(ckpt.get("typ", ())) else atoms["typ"]
+            q = ckpt["q"] if len(ckpt.get("q", ())) else atoms["q"]
+            st = cs.from_atoms(
+                sim.grid, sim.box, ckpt["x"], ckpt["v"], ckpt["image"],
+                np.asarray(typ, np.int32), q, dtype=flt,
+                tchain=sim._tchain,
+            )
+            therm = ckpt["therm"]
+            if therm.shape != tuple(np.asarray(st.therm).shape):
+                therm = np.zeros(np.asarray(st.therm).shape)
+            st = st._replace(therm=jnp.asarray(therm, flt))
+        sim.state = sim._init_force_fn()(st)
+    else:
+        st = sim.state
+        therm = ckpt["therm"]
+        if therm.shape[1] != st.therm.shape[1]:
+            therm = np.zeros(np.asarray(st.therm).shape)
+        sim.state = st._replace(
+            x=jnp.asarray(ckpt["x"], flt),
+            v=jnp.asarray(ckpt["v"], flt),
+            image=jnp.asarray(ckpt["image"], jnp.int32),
+            therm=jnp.asarray(therm, flt),
+        )
+        sim.state = sim._init_force_fn(sim.state)
     sim.step_count = ckpt["step_count"]
