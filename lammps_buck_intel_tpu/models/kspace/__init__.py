@@ -3,3 +3,4 @@ from .ewald import Ewald, setup_ewald
 from .pppm import PPPM, setup_pppm
 from .pppm_disp import PPPMDisp, setup_pppm_disp, solve_g6
 from .pppm_cells import CellPPPM, make_patch_spec
+from .pppm_slab import SlabCellPPPM

@@ -1,0 +1,289 @@
+"""Slab-sharded cell-patch PPPM — the multi-chip k-space pipeline.
+
+Distributes the CellPPPM pipeline (pppm_cells.py) over a 1-D device mesh
+whose axis shards the cell grid's x direction (parallel/slab.py owns the
+atom side).  This is the TPU-native analog of the reference's distributed
+mesh machinery (SURVEY.md H4):
+
+* mesh ghost-cell reduction  (``cg->reverse_comm(REVERSE_RHO)``,
+  /root/reference/pppm_intel.cpp:185) -> deposition overhang planes summed into
+  x-neighbors with ``lax.ppermute`` over ICI;
+* E-field ghost fill (``cg->forward_comm(FORWARD_IK)``, pppm_intel.cpp:
+  219-228) -> ppermute halo planes of the E-meshes before the patch gather;
+* brick->pencil Remap + distributed FFT (pppm_intel.cpp:642-672, 835) ->
+  ``lax.all_to_all`` transpose between a y/z-local FFT pass (x-sharded
+  bricks) and an x-local pass (y-sharded pencils);
+* ``MPI_Allreduce`` energy/virial (pppm_intel.cpp:260,273) -> ``lax.psum``.
+
+Everything here runs INSIDE ``shard_map`` — functions take the local shard
+and the mesh axis name.  Spectral constants (Green's function, k vectors)
+arrive as sharded *arguments* (never closures: closed-over device arrays
+poison compilation on this runtime, see core/box.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...neighbor.cell_slots import CellGrid, SlotState
+from .pppm import PPPM
+from .pppm_cells import (
+    PatchSpec, make_patch_spec, _axis_weights, _ranges, _OFF3,
+)
+
+
+def _perm_right(D):
+    """Send to the +x ring neighbor (receive from the left)."""
+    return [(i, (i + 1) % D) for i in range(D)]
+
+
+def _perm_left(D):
+    return [(i, (i - 1) % D) for i in range(D)]
+
+
+def patches_to_grid_slab(patches, ps: PatchSpec, nc_loc, dtype=None):
+    """(ncell_loc, Px, Py, Pz) -> ((ncx_loc+2)*Sx, ny, nz) extended slab.
+
+    x-overhang is NOT wrapped — it lands on the extra boundary planes for
+    the caller to ppermute into the neighbors; y/z wrap locally (those axes
+    are unsharded)."""
+    ncx, ncy, ncz = nc_loc
+    Sx, Sy, Sz = ps.S
+    pat = patches.reshape(ncx, ncy, ncz, *ps.P)
+    G = jnp.zeros((ncx + 2, Sx, ncy, Sy, ncz, Sz),
+                  dtype or patches.dtype)
+    for (ox, oy, oz) in _OFF3:
+        psx, gsx = _ranges(ps, 0, ox)
+        psy, gsy = _ranges(ps, 1, oy)
+        psz, gsz = _ranges(ps, 2, oz)
+        part = pat[:, :, :, psx, psy, psz]
+        part = jnp.roll(part, (oy, oz), axis=(1, 2))
+        G = G.at[1 + ox:1 + ox + ncx, gsx, :, gsy, :, gsz].add(
+            jnp.moveaxis(part, (3, 4, 5), (1, 3, 5))
+        )
+    return G.reshape((ncx + 2) * Sx, ncy * Sy, ncz * Sz)
+
+
+def grid_to_patches_slab(mesh_ext, ps: PatchSpec, nc_loc):
+    """((ncx_loc+2)*Sx, ny, nz) extended slab -> (ncell_loc, Px, Py, Pz)."""
+    ncx, ncy, ncz = nc_loc
+    Sx, Sy, Sz = ps.S
+    G = mesh_ext.reshape(ncx + 2, Sx, ncy, Sy, ncz, Sz)
+    pat = jnp.zeros((ncx, ncy, ncz, *ps.P), mesh_ext.dtype)
+    for (ox, oy, oz) in _OFF3:
+        psx, gsx = _ranges(ps, 0, ox)
+        psy, gsy = _ranges(ps, 1, oy)
+        psz, gsz = _ranges(ps, 2, oz)
+        part = jnp.moveaxis(
+            G[1 + ox:1 + ox + ncx, gsx, :, gsy, :, gsz], (1, 3, 5), (3, 4, 5)
+        )
+        part = jnp.roll(part, (-oy, -oz), axis=(1, 2))
+        pat = pat.at[:, :, :, psx, psy, psz].add(part)
+    return pat.reshape(ncx * ncy * ncz, *ps.P)
+
+
+def fft3_slab(mesh_loc, axis: str, D: int):
+    """x-sharded brick (nx_loc, ny, nz) -> y-sharded pencils (nx, ny_loc, nz)
+    fully transformed.  The all_to_all IS the reference's Remap."""
+    h = jnp.fft.fft2(mesh_loc, axes=(1, 2))
+    if D > 1:
+        h = jax.lax.all_to_all(h, axis, split_axis=1, concat_axis=0,
+                               tiled=True)
+    return jnp.fft.fft(h, axis=0)
+
+
+def ifft3_slab(spec, axis: str, D: int):
+    """Inverse of fft3_slab: (nx, ny_loc, nz) -> (nx_loc, ny, nz)."""
+    t = jnp.fft.ifft(spec, axis=0)
+    if D > 1:
+        t = jax.lax.all_to_all(t, axis, split_axis=0, concat_axis=1,
+                               tiled=True)
+    return jnp.fft.ifft2(t, axes=(1, 2))
+
+
+class SlabCellPPPM:
+    """Cell-patch PPPM over a 1-D slab mesh; plugs into the slab engine.
+
+    ``spectral_consts()`` returns the host arrays the caller must place
+    with the matching shardings (G: P(None, axis, None), ky: P(axis),
+    kx/kz: replicated) and pass to ``compute_slots_local`` each step.
+    """
+
+    def __init__(self, pm: PPPM, grid: CellGrid, n_dev: int,
+                 margin: int = 2, skin: Optional[float] = None):
+        self.pm = pm
+        self.grid = grid
+        self.D = int(n_dev)
+        self.ps = make_patch_spec(pm, grid, margin=margin, skin=skin)
+        if grid.nc[0] % self.D:
+            raise ValueError(
+                f"cell grid x extent {grid.nc[0]} not divisible by "
+                f"{self.D} devices")
+        if pm.grid[1] % self.D:
+            raise ValueError(
+                f"pppm grid ny={pm.grid[1]} not divisible by {self.D} "
+                "devices (pass multiple_of with lcm(ncy, n_dev))")
+        self.ncx_loc = grid.nc[0] // self.D
+        self.nc_loc = (self.ncx_loc, grid.nc[1], grid.nc[2])
+
+    def spectral_consts(self) -> dict:
+        """Host numpy spectral tables, FULL size; caller shards them."""
+        pm = self.pm
+        return dict(G=pm.greensfn, kx=pm.kx, ky=pm.ky, kz=pm.kz)
+
+    def shardings(self, mesh, axis: str = "x"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return dict(
+            G=NamedSharding(mesh, P(None, axis, None)),
+            kx=NamedSharding(mesh, P()),
+            ky=NamedSharding(mesh, P(axis)),
+            kz=NamedSharding(mesh, P()),
+        )
+
+    def in_specs(self, axis: str = "x"):
+        from jax.sharding import PartitionSpec as P
+
+        return dict(G=P(None, axis, None), kx=P(), ky=P(axis), kz=P())
+
+    # ---- the local (inside-shard_map) pipeline ----
+
+    def _weights_local(self, state: SlotState, cell_off):
+        """Per-axis (ncell_loc, cap, P) B-spline weights for local slots.
+
+        cell_off: traced scalar — this device's first global x cell."""
+        pm, ps = self.pm, self.ps
+        cap = self.grid.cap
+        gl = dataclasses.replace(self.grid, nc=self.nc_loc)
+        ncell = gl.ncell
+        # x axis: static local cell table + traced global offset folded
+        # into the grid coordinate (patch_lo stays static)
+        xoff = cell_off.astype(state.x.dtype) * (ps.S[0] * pm.h[0])
+        wx = _axis_weights(pm, ps, gl, state.x - xoff, 0)
+        wy = _axis_weights(pm, ps, gl, state.y, 1)
+        wz = _axis_weights(pm, ps, gl, state.z, 2)
+        return (wx.reshape(ncell, cap, -1), wy.reshape(ncell, cap, -1),
+                wz.reshape(ncell, cap, -1))
+
+    def _tile_pads(self, ncell):
+        tile = min(self.ps.cell_tile, ncell)
+        nt = -(-ncell // tile)
+        return tile, nt, nt * tile - ncell
+
+    def compute_slots_local(self, state: SlotState, kc: dict,
+                            eflag: bool, vflag: bool, axis: str = "x"):
+        """Local shard of (fx, fy, fz, elong, virial); elong/virial are
+        psum-completed (replicated).  state: local slot planes."""
+        pm, ps, D = self.pm, self.ps, self.D
+        grid_loc = self.nc_loc
+        cap = self.grid.cap
+        ncell = grid_loc[0] * grid_loc[1] * grid_loc[2]
+        acc = pm.acc_dtype
+        flt = state.x.dtype
+        V = float(pm.volume)
+        Sx = ps.S[0]
+        dev = (jax.lax.axis_index(axis) if D > 1
+               else jnp.zeros((), jnp.int32))
+        cell_off = dev * self.ncx_loc
+
+        qqrd2e = float(pm.qqrd2e)
+        wx, wy, wz = self._weights_local(state, cell_off)
+        q2d = state.q.reshape(ncell, cap)
+
+        # ---- deposition (make_rho + reverse_comm analog) ----
+        tile, nt, pad = self._tile_pads(ncell)
+
+        def padc(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a
+
+        qx_t = padc(wx * q2d[:, :, None]).reshape(nt, tile, cap, ps.P[0])
+        wy_t = padc(wy).reshape(nt, tile, cap, ps.P[1])
+        wz_t = padc(wz).reshape(nt, tile, cap, ps.P[2])
+
+        def dep_tile(args):
+            qxb, wyb, wzb = args
+            wyz = jnp.einsum("tay,taz->tayz", wyb, wzb)
+            return jnp.einsum("tax,tayz->txyz", qxb, wyz)
+
+        pat = jax.lax.map(dep_tile, (qx_t, wy_t, wz_t))
+        pat = pat.reshape(nt * tile, *ps.P)[:ncell]
+        G_ext = patches_to_grid_slab(pat, ps, grid_loc)
+        mesh = G_ext[Sx:-Sx]
+        if D > 1:
+            from_right = jax.lax.ppermute(G_ext[:Sx], axis, _perm_left(D))
+            from_left = jax.lax.ppermute(G_ext[-Sx:], axis, _perm_right(D))
+        else:
+            from_right, from_left = G_ext[:Sx], G_ext[-Sx:]
+        mesh = mesh.at[-Sx:].add(from_right).at[:Sx].add(from_left)
+
+        # ---- pencil FFT + spectral solve ----
+        rhat = fft3_slab(mesh.astype(acc), axis, D)   # (nx, ny_loc, nz)
+        G = kc["G"].astype(acc)
+        phi_hat = G * rhat
+
+        def allsum(v):
+            return jax.lax.psum(v, axis) if D > 1 else v
+
+        if eflag or vflag:
+            s2 = jnp.real(rhat * jnp.conj(rhat))
+            ek = G * s2
+        if eflag:
+            elong = allsum((0.5 / V) * jnp.sum(ek.astype(acc))) * qqrd2e
+            elong = elong + pm.elong_self
+        else:
+            elong = jnp.zeros((), acc)
+
+        kx = kc["kx"].astype(acc)[:, None, None]
+        ky = kc["ky"].astype(acc)[None, :, None]
+        kz = kc["kz"].astype(acc)[None, None, :]
+        if vflag:
+            ksq = kx * kx + ky * ky + kz * kz
+            ksq_safe = jnp.where(ksq == 0.0, 1.0, ksq)
+            pref = 2.0 * (1.0 / ksq_safe + 0.25 / pm.g_ewald**2)
+            c = (0.5 / V) * qqrd2e
+            virial = allsum(jnp.stack([
+                jnp.sum((ek * (1.0 - pref * kx * kx)).astype(acc)),
+                jnp.sum((ek * (1.0 - pref * ky * ky)).astype(acc)),
+                jnp.sum((ek * (1.0 - pref * kz * kz)).astype(acc)),
+                jnp.sum((ek * (-pref * kx * ky)).astype(acc)),
+                jnp.sum((ek * (-pref * kx * kz)).astype(acc)),
+                jnp.sum((ek * (-pref * ky * kz)).astype(acc)),
+            ])) * c
+        else:
+            virial = jnp.zeros((6,), acc)
+
+        # ---- ik E-field, inverse pencil FFT, halo, patch gather ----
+        ngrid = pm.grid[0] * pm.grid[1] * pm.grid[2]
+        scale = (1.0 / V) * ngrid
+        wx_t = padc(wx).reshape(nt, tile, cap, ps.P[0])
+        out = []
+        for kax in (kx, ky, kz):
+            ehat = (-1j) * kax * phi_hat
+            em = (jnp.real(ifft3_slab(ehat, axis, D)) * scale).astype(flt)
+            if D > 1:
+                left_h = jax.lax.ppermute(em[-Sx:], axis, _perm_right(D))
+                right_h = jax.lax.ppermute(em[:Sx], axis, _perm_left(D))
+            else:
+                left_h, right_h = em[-Sx:], em[:Sx]
+            em_ext = jnp.concatenate([left_h, em, right_h], axis=0)
+            ep = grid_to_patches_slab(em_ext, ps, grid_loc)
+            ep_t = padc(ep).reshape(nt, tile, *ps.P)
+
+            def gat_tile(args):
+                wxb, wyb, wzb, eb = args
+                t1 = jnp.einsum("tax,txyz->tayz", wxb, eb)
+                t2 = jnp.einsum("tay,tayz->taz", wyb, t1)
+                return jnp.einsum("taz,taz->ta", wzb, t2)
+
+            f = jax.lax.map(gat_tile, (wx_t, wy_t, wz_t, ep_t))
+            out.append(f.reshape(nt * tile, cap)[:ncell].reshape(-1))
+
+        qf = (qqrd2e * state.q).astype(acc)
+        return (out[0].astype(acc) * qf, out[1].astype(acc) * qf,
+                out[2].astype(acc) * qf, elong, virial)

@@ -11,6 +11,14 @@ the neighbor-list driver, so both paths share one validated formula set.
 Special bonds: per-slot padded partner tables (atom-id space) are carried
 through the rebin permutation and matched against j atom-ids inside the
 tile — the SBBITS analog (SURVEY.md H2) without bit packing.
+
+``compute_cell_tiles`` is the general form: i-cells and j-cells live in
+separate index spaces connected by an explicit (ncell_i, 27) neighbor
+table.  The single-device path uses the grid's periodic 27-table with
+i == j; the slab-sharded engine (parallel/slab.py) feeds local i-cells
+against a halo-extended j-slab — the ghost-atom machinery of the
+reference (SURVEY.md H3) reduced to one table swap, because full
+neighbor lists need no reverse force scatter.
 """
 from __future__ import annotations
 
@@ -43,24 +51,25 @@ def _cell_tile_size(cap: int, ncell: int, budget_bytes: float = 2.5e8) -> int:
     return min(ncell, t)
 
 
-def compute_cellpair(
+def compute_cell_tiles(
     style: PairStyle,
-    grid: CellGrid,
-    box: Box,
-    state: SlotState,
+    L,                       # (3,) box lengths (minimum image)
+    n: int,                  # atom-id sentinel (aid == n marks empty)
+    cap: int,
+    nbr_np: np.ndarray,      # (ncell_i, 27) static j-cell ids
+    i_planes: dict,          # x,y,z,typ,q,aid : (ncell_i * cap,) planes
+    j_planes: dict,          # same keys       : (ncell_j * cap,) planes
     *,
     eflag: bool = False,
     vflag: bool = False,
     acc_dtype=jnp.float32,
-    slot_special_idx: Optional[jnp.ndarray] = None,   # (NS, S) atom ids
-    slot_special_code: Optional[jnp.ndarray] = None,  # (NS, S) int8
+    slot_special_idx: Optional[jnp.ndarray] = None,   # (NS_i, S) atom ids
+    slot_special_code: Optional[jnp.ndarray] = None,  # (NS_i, S) int8
 ) -> CellPairResult:
-    n = grid.n_atoms
-    ncell = grid.ncell
-    cap = grid.cap
-    nbr_np = grid.nbr_array()                    # static (ncell, 27)
-    flt = state.x.dtype
-    L = [float(v) for v in np.asarray(box.lengths)]
+    ncell = nbr_np.shape[0]
+    ncell_j = j_planes["x"].shape[0] // cap
+    flt = i_planes["x"].dtype
+    L = [float(v) for v in np.asarray(L)]
     ntypes = style.tables.shape[0]
     has_special = (slot_special_idx is not None
                    and slot_special_idx.shape[1] > 0)
@@ -75,7 +84,7 @@ def compute_cellpair(
         return p.reshape(ncell, cap)
 
     def jv(p):
-        return p.reshape(ncell, cap)[jnp.asarray(nbr_np)].reshape(
+        return p.reshape(ncell_j, cap)[jnp.asarray(nbr_np)].reshape(
             ncell, 27 * cap)
 
     def tiled(a, fill=0):
@@ -84,20 +93,21 @@ def compute_cellpair(
                 [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
         return a.reshape(nt, tile, *a.shape[1:])
 
-    xi_t = [tiled(cellv(state.x)), tiled(cellv(state.y)),
-            tiled(cellv(state.z))]
-    xj_t = [tiled(jv(state.x)), tiled(jv(state.y)), tiled(jv(state.z))]
-    aid_i_t = tiled(cellv(state.aid), fill=n)
-    aid_j_t = tiled(jv(state.aid), fill=n)
+    xi_t = [tiled(cellv(i_planes["x"])), tiled(cellv(i_planes["y"])),
+            tiled(cellv(i_planes["z"]))]
+    xj_t = [tiled(jv(j_planes["x"])), tiled(jv(j_planes["y"])),
+            tiled(jv(j_planes["z"]))]
+    aid_i_t = tiled(cellv(i_planes["aid"]), fill=n)
+    aid_j_t = tiled(jv(j_planes["aid"]), fill=n)
     if ntypes > 1:
-        ti_t = tiled(cellv(state.typ))
-        tj_t = tiled(jv(state.typ))
+        ti_t = tiled(cellv(i_planes["typ"]))
+        tj_t = tiled(jv(j_planes["typ"]))
     else:
         z = jnp.zeros((nt, tile, 0), jnp.int32)
         ti_t = tj_t = z
     if style.cfg.has_coul:
-        qi_t = tiled(cellv(state.q))
-        qj_t = tiled(jv(state.q))
+        qi_t = tiled(cellv(i_planes["q"]))
+        qj_t = tiled(jv(j_planes["q"]))
     else:
         qi_t = qj_t = jnp.zeros((nt, tile, 0), flt)
     if has_special:
@@ -188,3 +198,31 @@ def compute_cellpair(
 
     return CellPairResult(fx=fx, fy=fy, fz=fz, evdwl=evdwl_t, ecoul=ecoul_t,
                           virial=virial)
+
+
+def _state_planes(state: SlotState) -> dict:
+    return dict(x=state.x, y=state.y, z=state.z, typ=state.typ,
+                q=state.q, aid=state.aid)
+
+
+def compute_cellpair(
+    style: PairStyle,
+    grid: CellGrid,
+    box: Box,
+    state: SlotState,
+    *,
+    eflag: bool = False,
+    vflag: bool = False,
+    acc_dtype=jnp.float32,
+    slot_special_idx: Optional[jnp.ndarray] = None,   # (NS, S) atom ids
+    slot_special_code: Optional[jnp.ndarray] = None,  # (NS, S) int8
+) -> CellPairResult:
+    """Single-device form: i == j == the full grid, periodic 27-table."""
+    planes = _state_planes(state)
+    return compute_cell_tiles(
+        style, box.lengths, grid.n_atoms, grid.cap, grid.nbr_array(),
+        planes, planes,
+        eflag=eflag, vflag=vflag, acc_dtype=acc_dtype,
+        slot_special_idx=slot_special_idx,
+        slot_special_code=slot_special_code,
+    )

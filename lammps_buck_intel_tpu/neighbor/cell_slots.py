@@ -134,35 +134,30 @@ def _wrap_plane(p, i, lo, L):
     return p - nshift * L, i + nshift.astype(i.dtype)
 
 
-def rebin(grid: CellGrid, box: Box, state: SlotState) -> SlotState:
-    """Re-sort slots by current cell — pure jit-able device function.
-
-    Works on any leading length M (N at init, NS afterwards).  Invalid
-    entries (aid == n) sort to the end and are dropped.
-    """
-    n = grid.n_atoms
-    ncx, ncy, ncz = grid.nc
-    cap = grid.cap
-    ncell = grid.ncell
-    ns = grid.nslots
+def wrap_state(box: Box, state: SlotState) -> SlotState:
+    """Wrap positions into the box, updating image flags (pure)."""
     lo = [float(v) for v in np.asarray(box.lo)]
     L = [float(v) for v in np.asarray(box.lengths)]
-
-    valid = state.aid < n
     x, ix = _wrap_plane(state.x, state.ix, lo[0], L[0])
     y, iy = _wrap_plane(state.y, state.iy, lo[1], L[1])
     z, iz = _wrap_plane(state.z, state.iz, lo[2], L[2])
+    return state._replace(x=x, y=y, z=z, ix=ix, iy=iy, iz=iz)
 
-    def cidx(p, lo_a, L_a, nc_a):
-        c = jnp.floor((p - lo_a) * (nc_a / L_a)).astype(jnp.int32)
-        return jnp.clip(c, 0, nc_a - 1)
 
-    cx = cidx(x, lo[0], L[0], ncx)
-    cy = cidx(y, lo[1], L[1], ncy)
-    cz = cidx(z, lo[2], L[2], ncz)
-    cid = (cx * ncy + cy) * ncz + cz
-    cid = jnp.where(valid, cid, ncell)  # invalid last
+def cell_index(p, lo_a: float, L_a: float, nc_a: int):
+    c = jnp.floor((p - lo_a) * (nc_a / L_a)).astype(jnp.int32)
+    return jnp.clip(c, 0, nc_a - 1)
 
+
+def bin_to_slots(state: SlotState, cid, ncell: int, cap: int,
+                 n: int) -> SlotState:
+    """Sort entries by cell id and scatter into (ncell * cap,) slot planes.
+
+    cid: (M,) cell index per input entry, == ncell for invalid entries.
+    Works on any leading length M (N at init, NS afterwards, NS + received
+    migrants in the slab engine).  Entries beyond a cell's capacity set the
+    sticky overflow flag."""
+    ns = ncell * cap
     order = jnp.argsort(cid)  # stable
     cid_sorted = cid[order]
     starts = jnp.searchsorted(cid_sorted, jnp.arange(ncell, dtype=cid.dtype))
@@ -179,15 +174,37 @@ def rebin(grid: CellGrid, box: Box, state: SlotState) -> SlotState:
         return out.at[target].set(field[order], mode="drop")
 
     return SlotState(
-        x=scat(x, 0.0), y=scat(y, 0.0), z=scat(z, 0.0),
+        x=scat(state.x, 0.0), y=scat(state.y, 0.0), z=scat(state.z, 0.0),
         vx=scat(state.vx, 0.0), vy=scat(state.vy, 0.0), vz=scat(state.vz, 0.0),
         fx=scat(state.fx, 0.0), fy=scat(state.fy, 0.0), fz=scat(state.fz, 0.0),
-        ix=scat(ix, 0), iy=scat(iy, 0), iz=scat(iz, 0),
+        ix=scat(state.ix, 0), iy=scat(state.iy, 0), iz=scat(state.iz, 0),
         typ=scat(state.typ, 0), q=scat(state.q, 0.0),
         aid=scat(state.aid, n),
         overflow=overflow,
         therm=state.therm,
     )
+
+
+def rebin(grid: CellGrid, box: Box, state: SlotState) -> SlotState:
+    """Re-sort slots by current cell — pure jit-able device function.
+
+    Works on any leading length M (N at init, NS afterwards).  Invalid
+    entries (aid == n) sort to the end and are dropped.
+    """
+    n = grid.n_atoms
+    ncx, ncy, ncz = grid.nc
+    ncell = grid.ncell
+    lo = [float(v) for v in np.asarray(box.lo)]
+    L = [float(v) for v in np.asarray(box.lengths)]
+
+    state = wrap_state(box, state)
+    valid = state.aid < n
+    cx = cell_index(state.x, lo[0], L[0], ncx)
+    cy = cell_index(state.y, lo[1], L[1], ncy)
+    cz = cell_index(state.z, lo[2], L[2], ncz)
+    cid = (cx * ncy + cy) * ncz + cz
+    cid = jnp.where(valid, cid, ncell)  # invalid last
+    return bin_to_slots(state, cid, ncell, grid.cap, n)
 
 
 def from_atoms(grid: CellGrid, box: Box, x, v, image, typ, q,

@@ -1,0 +1,495 @@
+"""Slab-sharded production MD engine — multi-chip CellPairSimulation.
+
+Spatial decomposition of the sorted cell-slot layout (SURVEY.md §5.7, H3)
+over a 1-D device mesh: each device owns a contiguous slab of cell x-planes
+of the SAME flat slot arrays the single-device engine uses (the x-major
+slot order makes ``PartitionSpec('x')`` on the flat planes exactly the slab
+decomposition — no re-layout).  Per step:
+
+* pair forces: ppermute the two boundary cell-planes (ghost-atom exchange,
+  the reference's forward_comm analog — /root/reference/pair_buck_intel.cpp:86
+  nlocal/nghost contract), evaluate dense (cap, 27*cap) tiles of local
+  i-cells against the halo-extended j-slab.  Full neighbor lists mean no
+  reverse force communication — each device owns its atoms' forces.
+* k-space: SlabCellPPPM (models/kspace/pppm_slab.py) — ppermute mesh
+  halos + all_to_all pencil FFT.
+* rebin (atom migration): atoms drift <= skin/2 < one cell between rebins,
+  so migrants can only cross into the adjacent slab.  Each device ships
+  copies of its two boundary cell-planes to its ring neighbors; every
+  device then bins {my slots} + {received planes} by LOCAL cell id —
+  out-of-range rows (stay-at-home copies on the receiver, migrants on the
+  sender) drop out as invalid.  Faster drift sets the sticky overflow flag
+  (surfaced at thermo, like capacity overflow).
+* scalars: lax.psum (the MPI_Allreduce analog).
+
+Scope mirrors the reference fork's own integrator (FixNVEIntel): NVE, pair
++ PPPM.  SHAKE/bonded/NVT stay on the single-chip engines for now.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.state import System
+from ..core.units import Units, LJ
+from ..core.precision import Precision, single
+from ..neighbor import cell_slots as cs
+from ..models.pair.cellpair import compute_cell_tiles, _state_planes
+from ..models.pair.driver import _select_small
+from ..models.pair.styles import PairStyle
+from ..models.kspace.pppm_slab import SlabCellPPPM, _perm_left, _perm_right
+from ..integrate.verlet import NeighborPolicy
+
+try:
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def slab_mesh(n_devices: int, axis: str = "x") -> Mesh:
+    return Mesh(np.asarray(jax.devices()[:n_devices]), (axis,))
+
+
+def ext_nbr_table(ncx_loc: int, ncy: int, ncz: int) -> np.ndarray:
+    """(ncell_loc, 27) neighbor ids into the halo-extended slab
+    ((ncx_loc+2, ncy, ncz) cells; x offset shifts, y/z wrap)."""
+    lx, cy, cz = np.meshgrid(np.arange(ncx_loc), np.arange(ncy),
+                             np.arange(ncz), indexing="ij")
+    out = np.zeros((ncx_loc * ncy * ncz, 27), np.int32)
+    o = 0
+    for a in (-1, 0, 1):
+        for b in (-1, 0, 1):
+            for c in (-1, 0, 1):
+                nb = ((lx + 1 + a) * ncy + (cy + b) % ncy) * ncz \
+                    + (cz + c) % ncz
+                out[:, o] = nb.reshape(-1)
+                o += 1
+    return out
+
+
+class SlabCellPairSimulation:
+    """Multi-device MD driver on the slot layout.  API mirrors
+    ``CellPairSimulation`` (run/thermo/get_atoms)."""
+
+    def __init__(
+        self,
+        system: System,
+        pair: PairStyle,
+        mesh: Optional[Mesh] = None,
+        n_devices: Optional[int] = None,
+        units: Units = LJ,
+        precision: Precision = None,
+        dt: Optional[float] = None,
+        neighbor: Optional[NeighborPolicy] = None,
+        cap: Optional[int] = None,
+        kspace_setup: Optional[Callable] = None,
+    ):
+        """kspace_setup: optional fn (sim) -> SlabCellPPPM called after the
+        grid exists (the runner wires setup_pppm through it)."""
+        if mesh is None:
+            mesh = slab_mesh(n_devices or len(jax.devices()))
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.D = mesh.devices.size
+        self.units = units
+        self.precision = precision or single()
+        self.dt = units.dt if dt is None else dt
+        self.pair = pair
+        self.neighbor = neighbor or NeighborPolicy(skin=units.skin)
+        self.box = system.box
+        n = system.n_atoms
+        self.n_atoms = n
+        flt = self.precision.flt
+
+        cutneigh = float(np.sqrt(pair.cutsq_max)) + self.neighbor.skin
+        L = np.asarray(self.box.lengths)
+        grid = cs.make_grid(n, L, cutneigh, cap=cap)
+        if grid is None:
+            raise ValueError("box too small for the cell-pair engine")
+        # x extent must tile the device axis; rounding DOWN keeps cells
+        # >= cutneigh (bigger cells are always correct)
+        ncx = (grid.nc[0] // self.D) * self.D
+        if ncx < 3 or (self.D == 2 and ncx // self.D < 2):
+            raise ValueError(
+                f"cannot cut {grid.nc[0]} x-planes into {self.D} slabs "
+                "(need >= 1 plane/device; >= 2 with 2 devices)")
+        grid = dataclasses.replace(grid, nc=(ncx,) + grid.nc[1:])
+        if cap is None:
+            self.grid = grid
+            occ = self._occupancy(system)
+            grid = dataclasses.replace(
+                grid, cap=max(8, ((int(occ * 1.2) + 4 + 7) // 8) * 8))
+        self.grid = grid
+        self.ncx_loc = ncx // self.D
+        self.nc_loc = (self.ncx_loc,) + grid.nc[1:]
+        self.ncell_loc = self.ncx_loc * grid.nc[1] * grid.nc[2]
+        self._plane = grid.nc[1] * grid.nc[2] * grid.cap
+        self._nbr_ext = ext_nbr_table(self.ncx_loc, grid.nc[1], grid.nc[2])
+
+        typ_np = np.asarray(jax.device_get(system.type), np.int32)
+        self._mol = np.asarray(jax.device_get(system.molecule), np.int32)
+        mass = np.asarray(jax.device_get(system.mass), np.float64)
+        self._minv_per_type = (1.0 / mass).astype(np.dtype(flt))
+        self.dtf = float(0.5 * self.dt * units.ftm2v)
+        self.dtv = float(self.dt)
+        self.topology = None
+        self.kspace: Optional[SlabCellPPPM] = None
+        self._kc = {}
+
+        st = cs.from_atoms(
+            self.grid, self.box, jax.device_get(system.x),
+            jax.device_get(system.v), jax.device_get(system.image),
+            typ_np, jax.device_get(system.q), dtype=flt, tchain=0,
+        )
+        if bool(jax.device_get(st.overflow)):
+            self.grid = cs.grow(self.grid, observed_max=self._occupancy(
+                system))
+            self._plane = self.grid.nc[1] * self.grid.nc[2] * self.grid.cap
+            st = cs.from_atoms(
+                self.grid, self.box, jax.device_get(system.x),
+                jax.device_get(system.v), jax.device_get(system.image),
+                typ_np, jax.device_get(system.q), dtype=flt, tchain=0,
+            )
+            if bool(jax.device_get(st.overflow)):
+                raise RuntimeError("cell capacity sizing failed")
+
+        if kspace_setup is not None:
+            self.kspace = kspace_setup(self)
+            consts = self.kspace.spectral_consts()
+            shards = self.kspace.shardings(self.mesh, self.axis)
+            self._kc = {k: jax.device_put(np.asarray(v), shards[k])
+                        for k, v in consts.items()}
+
+        self._state_spec = cs.SlotState(
+            **{f: P(self.axis) for f in cs.SlotState._fields
+               if f not in ("overflow", "therm")},
+            overflow=P(), therm=P(),
+        )
+        self._state_sharding = jax.tree.map(
+            lambda s: NamedSharding(self.mesh, s), self._state_spec,
+            is_leaf=lambda v: isinstance(v, P),
+        )
+        self.state = jax.device_put(st, self._state_sharding)
+        self.step_count = 0
+        self._chunk_fns: dict[int, Callable] = {}
+        self.timings = {"run": 0.0}
+        self._thermo_jit = self._make_thermo_fn()
+        self.state = self._make_init_force_fn()(self.state, self._kc)
+
+    def _occupancy(self, system) -> int:
+        x = np.asarray(jax.device_get(system.x))
+        lo = np.asarray(self.box.lo)
+        L = np.asarray(self.box.lengths)
+        nc = np.asarray(self.grid.nc)
+        ci = np.clip(((x - lo) / L * nc).astype(int), 0, nc - 1)
+        cid = (ci[:, 0] * nc[1] + ci[:, 1]) * nc[2] + ci[:, 2]
+        return int(np.bincount(cid, minlength=self.grid.ncell).max())
+
+    # ---------- local (inside shard_map) pieces ----------
+
+    def _kc_in_specs(self):
+        return (self.kspace.in_specs(self.axis) if self.kspace is not None
+                else {})
+
+    def _halo_planes(self, state: cs.SlotState) -> dict:
+        """j-side planes extended with the two neighbor boundary planes."""
+        plane = self._plane
+        D = self.D
+
+        def halo(p):
+            first, last = p[:plane], p[-plane:]
+            if D > 1:
+                left = jax.lax.ppermute(last, self.axis, _perm_right(D))
+                right = jax.lax.ppermute(first, self.axis, _perm_left(D))
+            else:
+                left, right = last, first
+            return jnp.concatenate([left, p, right])
+
+        pl = _state_planes(state)
+        return {k: halo(v) for k, v in pl.items()}
+
+    def _forces_local(self, state: cs.SlotState, kc: dict, eflag: bool,
+                      vflag: bool):
+        """Local forces + energy terms.  evdwl/ecoul/vir_pair are LOCAL
+        partial sums (psum at the consumer); elong/vir_k come back from
+        the k-space pipeline already psum-completed (replicated)."""
+        jp = self._halo_planes(state)
+        r = compute_cell_tiles(
+            self.pair, self.box.lengths, self.n_atoms, self.grid.cap,
+            self._nbr_ext, _state_planes(state), jp,
+            eflag=eflag, vflag=vflag, acc_dtype=self.precision.acc,
+        )
+        fx, fy, fz = r.fx, r.fy, r.fz
+        elong = jnp.zeros((), self.precision.acc)
+        vir_k = jnp.zeros((6,), self.precision.acc)
+        if self.kspace is not None:
+            kfx, kfy, kfz, elong, vir_k = self.kspace.compute_slots_local(
+                state, kc, eflag, vflag, axis=self.axis)
+            fx, fy, fz = fx + kfx, fy + kfy, fz + kfz
+        return (fx, fy, fz), r.evdwl, r.ecoul, elong, r.virial, vir_k
+
+    def _rebin_local(self, state: cs.SlotState) -> cs.SlotState:
+        """Wrap + migrate boundary planes + bin by local cell id."""
+        grid = self.grid
+        n = self.n_atoms
+        ncx, ncy, ncz = grid.nc
+        lo = [float(v) for v in np.asarray(self.box.lo)]
+        L = [float(v) for v in np.asarray(self.box.lengths)]
+        D = self.D
+        ncx_loc = self.ncx_loc
+        plane = self._plane
+
+        state = cs.wrap_state(self.box, state)
+        if D > 1:
+            # ship COPIES of the boundary planes both ways; receivers keep
+            # only rows that bin into their range, senders drop migrants
+            from_left = jax.tree.map(
+                lambda p: jax.lax.ppermute(p[-plane:], self.axis,
+                                           _perm_right(D))
+                if p.ndim and p.shape[0] == grid.nslots // D else p,
+                state)
+            from_right = jax.tree.map(
+                lambda p: jax.lax.ppermute(p[:plane], self.axis,
+                                           _perm_left(D))
+                if p.ndim and p.shape[0] == grid.nslots // D else p,
+                state)
+            merged = cs.SlotState(*[
+                (jnp.concatenate([a, b, c]) if a.ndim
+                 and a.shape[0] == grid.nslots // D else a)
+                for a, b, c in zip(state, from_left, from_right)
+            ])
+        else:
+            merged = state
+
+        valid = merged.aid < n
+        cx = cs.cell_index(merged.x, lo[0], L[0], ncx)
+        cy = cs.cell_index(merged.y, lo[1], L[1], ncy)
+        cz = cs.cell_index(merged.z, lo[2], L[2], ncz)
+        if D == 1:
+            cid = jnp.where(valid, (cx * ncy + cy) * ncz + cz,
+                            self.ncell_loc)
+            return cs.bin_to_slots(merged, cid, self.ncell_loc, grid.cap, n)
+
+        x0 = jax.lax.axis_index(self.axis) * ncx_loc
+        rel = jnp.mod(cx - x0 + 1, ncx) - 1   # [-1, ncx-2]
+        keep = valid & (rel >= 0) & (rel < ncx_loc)
+        cid = jnp.where(keep, (rel * ncy + cy) * ncz + cz, self.ncell_loc)
+        # an OWN atom leaving my range is only legitimate when it exits
+        # through the boundary plane it sits in (<= 1-plane drift: the
+        # skin/cadence bound).  Anything else would vanish silently from
+        # every device -> sticky overflow, surfaced at the next thermo.
+        ns_loc = grid.nslots // D
+        row = jnp.arange(merged.aid.shape[0])
+        own = row < ns_loc
+        in_first = row < plane
+        in_last = own & (row >= ns_loc - plane)
+        ok_exit = (in_first & (rel == -1)) | (in_last & (rel == ncx_loc))
+        lost = jnp.any(own & valid & ~keep & ~ok_exit)
+        merged = merged._replace(overflow=merged.overflow | lost)
+        out = cs.bin_to_slots(merged, cid, self.ncell_loc, grid.cap, n)
+        ov = jax.lax.psum(out.overflow.astype(jnp.int32), self.axis) > 0
+        return out._replace(overflow=ov)
+
+    def _minv(self, state: cs.SlotState):
+        m = _select_small(self._minv_per_type, state.typ, state.typ.shape,
+                          self.precision.flt)
+        if isinstance(m, float):
+            m = jnp.full(state.typ.shape, m, self.precision.flt)
+        return jnp.where(state.aid < self.n_atoms, m, 0.0)
+
+    # ---------- sharded step functions ----------
+
+    def _shmap(self, fn, out_specs):
+        kc_specs = self._kc_in_specs()
+        return shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(self._state_spec, kc_specs),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+
+    def _make_init_force_fn(self):
+        def local(state, kc):
+            state = self._rebin_local(state)
+            (fx, fy, fz), *_ = self._forces_local(state, kc, False, False)
+            flt = state.x.dtype
+            return state._replace(fx=fx.astype(flt), fy=fy.astype(flt),
+                                  fz=fz.astype(flt))
+
+        return jax.jit(self._shmap(local, self._state_spec))
+
+    def _block_local(self, state: cs.SlotState, kc: dict, nsteps: int):
+        state = self._rebin_local(state)
+        minv = self._minv(state)
+        dtf, dtv = self.dtf, self.dtv
+        flt = self.precision.flt
+
+        def one_step(st, _):
+            vx = st.vx + (dtf * minv) * st.fx
+            vy = st.vy + (dtf * minv) * st.fy
+            vz = st.vz + (dtf * minv) * st.fz
+            st = st._replace(
+                x=st.x + dtv * vx, y=st.y + dtv * vy, z=st.z + dtv * vz)
+            (fx, fy, fz), *_ = self._forces_local(st, kc, False, False)
+            fx = fx.astype(flt)
+            fy = fy.astype(flt)
+            fz = fz.astype(flt)
+            return st._replace(
+                vx=vx + (dtf * minv) * fx, vy=vy + (dtf * minv) * fy,
+                vz=vz + (dtf * minv) * fz, fx=fx, fy=fy, fz=fz), None
+
+        state, _ = jax.lax.scan(one_step, state, None, length=nsteps)
+        return state
+
+    def _repeat_blocks(self, size: int):
+        fn = self._chunk_fns.get(size)
+        if fn is None:
+            def local(state, kc, n_blocks):
+                return jax.lax.fori_loop(
+                    0, n_blocks,
+                    lambda i, s: self._block_local(s, kc, size),
+                    state)
+
+            sharded = shard_map(
+                local, mesh=self.mesh,
+                in_specs=(self._state_spec, self._kc_in_specs(), P()),
+                out_specs=self._state_spec,
+                check_vma=False,
+            )
+            fn = jax.jit(sharded)
+            self._chunk_fns[size] = fn
+        return fn
+
+    def _make_thermo_fn(self):
+        u = self.units
+        acc = self.precision.acc
+        D = self.D
+
+        def local(state, kc):
+            state = self._rebin_local(state)
+            _, evdwl, ecoul, elong, vir_pair, vir_k = self._forces_local(
+                state, kc, True, True)
+
+            def allsum(v):
+                return jax.lax.psum(v, self.axis) if D > 1 else v
+
+            evdwl, ecoul = allsum(evdwl), allsum(ecoul)
+            # vir_pair is a local partial; vir_k/elong arrive replicated
+            virial = allsum(vir_pair) + vir_k
+            valid = state.aid < self.n_atoms
+            minv = self._minv(state)
+            mass = jnp.where(valid, 1.0 / jnp.maximum(minv, 1e-30), 0.0)
+            v2 = state.vx**2 + state.vy**2 + state.vz**2
+            sum_mv2 = allsum(jnp.sum((mass * v2).astype(acc))) * u.mvv2e
+            vmax2 = jnp.max(jnp.where(valid, v2, 0.0))
+            if D > 1:
+                vmax2 = jax.lax.pmax(vmax2, self.axis)
+            dof = max(3 * self.n_atoms - 3, 1)
+            temp = sum_mv2 / (dof * u.boltz)
+            ke = 0.5 * sum_mv2
+            vir_trace = virial[0] + virial[1] + virial[2]
+            press = (sum_mv2 + vir_trace) / (3.0 * self.box.volume) \
+                * u.nktv2p
+            epair = evdwl + ecoul + elong
+            return dict(
+                temp=temp, evdwl=evdwl, ecoul=ecoul, elong=elong,
+                emol=jnp.zeros((), acc), epair=epair, ke=ke,
+                etotal=epair + ke, press=press, overflow=state.overflow,
+                vmax=jnp.sqrt(vmax2), virial=virial,
+            )
+
+        scalar_specs = dict(
+            temp=P(), evdwl=P(), ecoul=P(), elong=P(), emol=P(), epair=P(),
+            ke=P(), etotal=P(), press=P(), overflow=P(), vmax=P(),
+            virial=P(),
+        )
+        return jax.jit(self._shmap(local, scalar_specs))
+
+    # ---------- host API (mirrors CellPairSimulation) ----------
+
+    def thermo(self) -> dict:
+        row = jax.device_get(self._thermo_jit(self.state, self._kc))
+        out = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v))
+               for k, v in row.items()}
+        out["step"] = self.step_count
+        out["overflow"] = bool(row["overflow"])
+        if not np.isfinite(out["etotal"]) or not np.isfinite(out["temp"]):
+            raise RuntimeError(
+                f"non-finite thermodynamics at step {out['step']}: "
+                "simulation diverged")
+        if out["overflow"]:
+            raise RuntimeError(
+                "slab engine overflow: cell capacity exceeded or an atom "
+                "drifted past the adjacent slab between rebins — increase "
+                "cap, shrink the rebuild interval, or add devices")
+        return out
+
+    def get_atoms(self) -> dict:
+        grid = self.grid
+
+        def to_atoms(s):
+            return cs.to_atoms(grid, s)
+
+        out = jax.device_get(jax.jit(to_atoms)(self.state))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def _cadence(self, vmax: Optional[float]) -> int:
+        nb = self.neighbor
+        if not nb.check or vmax is None or vmax <= 0:
+            return max(1, nb.every)
+        safe = int(nb.skin / (2.0 * 1.5 * vmax * self.dt))
+        return max(1, min(max(safe, 1), 100))
+
+    def run(self, nsteps: int, thermo_every: int = 0, log: bool = True):
+        rows = []
+        vmax = None
+
+        def emit():
+            nonlocal vmax
+            row = self.thermo()
+            vmax = row.pop("vmax")
+            rows.append(row)
+            if log:
+                if not getattr(self, "_printed_header", False):
+                    self._printed_header = True
+                    print(f"{'Step':>8} {'Temp':>12} {'E_pair':>14} "
+                          f"{'E_long':>14} {'TotEng':>14} {'Press':>14}")
+                print(f"{row['step']:>8d} {row['temp']:>12.6g} "
+                      f"{row['epair']:>14.8g} {row['elong']:>14.8g} "
+                      f"{row['etotal']:>14.8g} {row['press']:>14.6g}")
+
+        t0 = time.perf_counter()
+        if thermo_every:
+            emit()
+        end = self.step_count + nsteps
+        while self.step_count < end:
+            target = end
+            if thermo_every:
+                target = min(
+                    end,
+                    ((self.step_count // thermo_every) + 1) * thermo_every,
+                )
+            total = target - self.step_count
+            cadence = self._cadence(vmax)
+            n_full, rem = divmod(total, cadence)
+            if n_full:
+                self.state = self._repeat_blocks(cadence)(
+                    self.state, self._kc, n_full)
+            if rem:
+                self.state = self._repeat_blocks(rem)(
+                    self.state, self._kc, 1)
+            self.step_count = target
+            if thermo_every and self.step_count % thermo_every == 0:
+                emit()
+        if thermo_every and (not rows or rows[-1]["step"] != self.step_count):
+            emit()
+        else:
+            float(jax.device_get(self.state.x)[0])  # force completion
+        self.timings["run"] += time.perf_counter() - t0
+        return rows

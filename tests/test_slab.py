@@ -1,0 +1,143 @@
+"""Slab-sharded production engine vs the single-device cell-pair engine.
+
+Runs on the 8-virtual-CPU-device mesh (conftest) — the multi-chip test
+strategy of SURVEY.md §4 item 4, now covering the PRODUCTION path:
+dense cell-pair tiles with ppermute ghost planes, migration rebin, and
+the all_to_all pencil-FFT PPPM.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lammps_buck_intel_tpu.core import make_box, make_system, get_units, \
+    get_precision
+from lammps_buck_intel_tpu.io import lattice, velocity
+from lammps_buck_intel_tpu.models.pair import build_buck
+from lammps_buck_intel_tpu.models.kspace import setup_pppm, CellPPPM, \
+    SlabCellPPPM
+from lammps_buck_intel_tpu.integrate import CellPairSimulation, \
+    NeighborPolicy
+from lammps_buck_intel_tpu.parallel import SlabCellPairSimulation, slab_mesh
+
+
+def _melt_system(nx=16, ny=6, nz=6, charged=False, dtype=jnp.float64):
+    u = get_units("lj")
+    xs, lo, hi = lattice.create_atoms("fcc", 0.8442, nx, ny, nz)
+    n = len(xs)
+    v0 = velocity.create(n, 1.44, 87287, np.ones(n), u)
+    box = make_box(lo, hi, dtype=dtype)
+    q = np.zeros(n)
+    if charged:
+        q[0::2] = 0.5
+        q[1::2] = -0.5
+    system = make_system(xs, box, v=v0, q=q, dtype=dtype)
+    return u, box, system, q
+
+
+def _build_single(system, u, style, kspace_grid=None, q=None, skin=0.3,
+                  every=5):
+    prec = get_precision("double")
+    sim = CellPairSimulation(
+        system, style, units=u, precision=prec,
+        neighbor=NeighborPolicy(skin=skin, every=every, check=False),
+    )
+    if kspace_grid is not None:
+        pm = setup_pppm(system.box, q, cutoff=2.5, accuracy_rel=1e-4,
+                        qqrd2e=1.0, order=5, grid=kspace_grid,
+                        acc_dtype=prec.acc)
+        sim.pair = sim.pair.replace(g_ewald=pm.g_ewald)
+        sim.kspace = CellPPPM(pm, sim.grid)
+        sim.state = sim._init_force_fn()(sim.state)
+    return sim
+
+
+def _build_slab(system, u, style, n_dev, kspace_grid=None, q=None,
+                skin=0.3, every=5):
+    prec = get_precision("double")
+    mesh = slab_mesh(n_dev)
+    ks = None
+    if kspace_grid is not None:
+        def ks(sim):
+            pm = setup_pppm(system.box, q, cutoff=2.5, accuracy_rel=1e-4,
+                            qqrd2e=1.0, order=5, grid=kspace_grid,
+                            acc_dtype=prec.acc)
+            sim.pair = sim.pair.replace(g_ewald=pm.g_ewald)
+            return SlabCellPPPM(pm, sim.grid, n_dev)
+    return SlabCellPairSimulation(
+        system, style, mesh=mesh, units=u, precision=prec,
+        neighbor=NeighborPolicy(skin=skin, every=every, check=False),
+        kspace_setup=ks,
+    )
+
+
+def _style(charged=False):
+    kw = {}
+    if charged:
+        kw = dict(coul="long", qqrd2e=1.0)
+    return build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5, **kw)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_slab_pair_matches_single_device(n_dev):
+    """Pure pair: sharded thermo + trajectory == single device (f64)."""
+    u, box, system, _ = _melt_system()
+    style = _style()
+    simA = _build_single(system, u, style)
+    simB = _build_slab(system, u, style, n_dev)
+    assert simB.grid.nc[0] % n_dev == 0
+
+    rowsA = simA.run(20, thermo_every=10, log=False)
+    rowsB = simB.run(20, thermo_every=10, log=False)
+    for ra, rb in zip(rowsA, rowsB):
+        assert abs(ra["evdwl"] - rb["evdwl"]) < 1e-8 * abs(ra["evdwl"])
+        assert abs(ra["temp"] - rb["temp"]) < 1e-8 * abs(ra["temp"])
+        assert abs(ra["press"] - rb["press"]) < 1e-7 * abs(ra["press"])
+
+    xa = simA.get_atoms()["x"]
+    xb = simB.get_atoms()["x"]
+    np.testing.assert_allclose(xb, xa, rtol=0, atol=1e-9)
+
+
+def test_slab_migration_preserves_atoms():
+    """Atoms crossing slab boundaries over many rebins are never lost."""
+    u, box, system, _ = _melt_system()
+    style = _style()
+    sim = _build_slab(system, u, style, 4, every=3)
+    sim.run(30, log=False)
+    atoms = sim.get_atoms()
+    row = sim.thermo()
+    assert not row["overflow"]
+    # every atom id present exactly once with finite coordinates
+    assert np.isfinite(atoms["x"]).all()
+    n = sim.n_atoms
+    st = jax.device_get(sim.state)
+    aid = np.asarray(st.aid)
+    present = np.sort(aid[aid < n])
+    np.testing.assert_array_equal(present, np.arange(n))
+
+
+def test_slab_pppm_matches_single_device():
+    """buck/coul/long + PPPM through the pencil-FFT slab pipeline."""
+    n_dev = 3  # ncx = 9 divides by 3; pppm ny must divide by 3 too
+    u, box, system, q = _melt_system(charged=True)
+    style = _style(charged=True)
+    kgrid = (54, 18, 18)   # multiple of nc=(9,3,3), ny % 3 == 0, S >= 6
+    simA = _build_single(system, u, style, kspace_grid=kgrid, q=q)
+    assert simA.grid.nc == (9, 3, 3)
+    simB = _build_slab(system, u, style, n_dev, kspace_grid=kgrid, q=q)
+    assert simB.grid.nc == (9, 3, 3)
+
+    rowsA = simA.run(10, thermo_every=5, log=False)
+    rowsB = simB.run(10, thermo_every=5, log=False)
+    for ra, rb in zip(rowsA, rowsB):
+        assert abs(ra["elong"] - rb["elong"]) < 1e-8 * abs(ra["elong"])
+        assert abs(ra["ecoul"] - rb["ecoul"]) < 1e-7 * (abs(ra["ecoul"])
+                                                        + 1e-30)
+        assert abs(ra["etotal"] - rb["etotal"]) < 1e-8 * abs(ra["etotal"])
+        np.testing.assert_allclose(rb["virial"], ra["virial"],
+                                   rtol=1e-6, atol=1e-7)
+
+    xa = simA.get_atoms()["x"]
+    xb = simB.get_atoms()["x"]
+    np.testing.assert_allclose(xb, xa, rtol=0, atol=1e-8)
