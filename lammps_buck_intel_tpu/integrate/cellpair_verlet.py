@@ -254,7 +254,7 @@ class CellPairSimulation:
 
     def _block(self, state: cs.SlotState, nsteps: int,
                t_target: float = 0.0) -> cs.SlotState:
-        state = cs.rebin(self.grid, self.box, state)
+        state = cs.rebin_incremental(self.grid, self.box, state)
         sp = self._slot_specials(state)
         minv = self._minv(state)
         dtf, dtv = self.dtf, self.dtv
@@ -343,7 +343,7 @@ class CellPairSimulation:
     # ---------- thermo ----------
 
     def _thermo_device(self, state: cs.SlotState) -> dict:
-        state = cs.rebin(self.grid, self.box, state)
+        state = cs.rebin_incremental(self.grid, self.box, state)
         sp = self._slot_specials(state)
         _, evdwl, ecoul, elong, virial = self._forces(state, sp, True, True)
         emol = jnp.zeros((), self.precision.acc)

@@ -185,26 +185,139 @@ def bin_to_slots(state: SlotState, cid, ncell: int, cap: int,
     )
 
 
+def _slot_cid(grid: CellGrid, box: Box, state: SlotState):
+    """(M,) current cell id of every entry (== ncell when invalid)."""
+    n = grid.n_atoms
+    ncx, ncy, ncz = grid.nc
+    lo = [float(v) for v in np.asarray(box.lo)]
+    L = [float(v) for v in np.asarray(box.lengths)]
+    valid = state.aid < n
+    cx = cell_index(state.x, lo[0], L[0], ncx)
+    cy = cell_index(state.y, lo[1], L[1], ncy)
+    cz = cell_index(state.z, lo[2], L[2], ncz)
+    cid = (cx * ncy + cy) * ncz + cz
+    return jnp.where(valid, cid, grid.ncell)
+
+
 def rebin(grid: CellGrid, box: Box, state: SlotState) -> SlotState:
     """Re-sort slots by current cell — pure jit-able device function.
 
     Works on any leading length M (N at init, NS afterwards).  Invalid
     entries (aid == n) sort to the end and are dropped.
     """
+    state = wrap_state(box, state)
+    cid = _slot_cid(grid, box, state)
+    return bin_to_slots(state, cid, grid.ncell, grid.cap, grid.n_atoms)
+
+
+_MOVE_FIELDS = ("x", "y", "z", "vx", "vy", "vz", "fx", "fy", "fz",
+                "ix", "iy", "iz", "typ", "q", "aid")
+
+
+def move_capacity(grid: CellGrid) -> int:
+    """Static mover-buffer size for rebin_incremental: few % of atoms
+    change cell per rebin under the skin/cadence bound; 1/8 of all slots
+    is a wide margin (overflow falls back to the full sort)."""
+    return min(grid.nslots, _round_up(max(1024, grid.nslots // 8), 512))
+
+
+def rebin_incremental(grid: CellGrid, box: Box, state: SlotState,
+                      bufcap: Optional[int] = None) -> SlotState:
+    """Counting-sort rebin: move ONLY the entries whose cell changed.
+
+    The full rebin's argsort is a bitonic sort over every slot
+    (~log^2(NS) passes — 180 ms at 475k slots on a v5e); but between
+    rebins only a few % of atoms cross a cell face.  This path extracts
+    the movers through a fixed-capacity buffer (one small sort + a few
+    NS-length elementwise/scatter passes), places them into per-cell free
+    slots, and leaves everything else untouched.  Requires `state` to be
+    slot-shaped (NS,) and already cell-consistent up to the movers — i.e.
+    the invariant every prior rebin (full or incremental) establishes.
+    Falls back to the full sort inside lax.cond when the mover count
+    exceeds the buffer.  Capacity overflow semantics match bin_to_slots
+    (sticky flag, surfaced at thermo).
+    """
+    ns = grid.nslots
+    if state.x.shape[0] != ns:
+        return rebin(grid, box, state)
     n = grid.n_atoms
-    ncx, ncy, ncz = grid.nc
     ncell = grid.ncell
-    lo = [float(v) for v in np.asarray(box.lo)]
-    L = [float(v) for v in np.asarray(box.lengths)]
+    cap = grid.cap
+    B = bufcap or move_capacity(grid)
 
     state = wrap_state(box, state)
+    cid = _slot_cid(grid, box, state)
+    slot_cell = jnp.asarray(
+        np.repeat(np.arange(ncell, dtype=np.int32), cap))
     valid = state.aid < n
-    cx = cell_index(state.x, lo[0], L[0], ncx)
-    cy = cell_index(state.y, lo[1], L[1], ncy)
-    cz = cell_index(state.z, lo[2], L[2], ncz)
-    cid = (cx * ncy + cy) * ncz + cz
-    cid = jnp.where(valid, cid, ncell)  # invalid last
-    return bin_to_slots(state, cid, ncell, grid.cap, n)
+    moved = valid & (cid != slot_cell)
+    n_moved = jnp.sum(moved.astype(jnp.int32))
+
+    def incremental(st: SlotState) -> SlotState:
+        # 1) compact mover slot-indices into the buffer
+        dest = jnp.cumsum(moved.astype(jnp.int32)) - 1
+        dest = jnp.where(moved & (dest < B), dest, B)
+        src = jnp.full((B,), ns, jnp.int32)
+        src = src.at[dest].set(jnp.arange(ns, dtype=jnp.int32),
+                               mode="drop")
+        buf_ok = src < ns
+        src_c = jnp.minimum(src, ns - 1)
+        tgt_cid = jnp.where(buf_ok, cid[src_c], ncell)
+        # mover payloads, gathered BEFORE vacating clobbers aid/q
+        mover_vals = {f: getattr(st, f)[src_c] for f in _MOVE_FIELDS}
+
+        # 2) vacate mover slots (stale q must be zeroed: PPPM deposition
+        #    reads the q plane without an aid mask)
+        st = st._replace(
+            aid=jnp.where(moved, n, st.aid),
+            q=jnp.where(moved, jnp.zeros((), st.q.dtype), st.q),
+        )
+
+        # 3) per-cell free-slot table from the vacated state
+        free = (st.aid >= n).reshape(ncell, cap)
+        frank = jnp.cumsum(free.astype(jnp.int32), axis=1)  # inclusive
+        free_count = frank[:, -1]
+        r_of_slot = (frank - 1).reshape(-1)
+        fp_idx = jnp.where(
+            free.reshape(-1),
+            slot_cell * cap + r_of_slot,
+            ns,
+        )
+        free_pos = jnp.full((ns,), cap, jnp.int32)
+        free_pos = free_pos.at[fp_idx].set(
+            jnp.tile(jnp.arange(cap, dtype=jnp.int32), ncell),
+            mode="drop")
+
+        # 4) order movers by target cell; rank within cell
+        order = jnp.argsort(tgt_cid)  # B log^2 B — small
+        cid_s = tgt_cid[order]
+        ok_s = cid_s < ncell
+        starts = jnp.searchsorted(cid_s,
+                                  jnp.arange(ncell, dtype=cid_s.dtype))
+        rank = jnp.arange(B, dtype=jnp.int32) - starts[
+            jnp.minimum(cid_s, ncell - 1)].astype(jnp.int32)
+
+        # 5) place: r-th arrival in cell c -> c*cap + free_pos[c, r]
+        cs_safe = jnp.minimum(cid_s, ncell - 1)
+        fits = ok_s & (rank < free_count[cs_safe])
+        fslot = free_pos[jnp.where(
+            fits, cs_safe * cap + rank, ns - 1)]
+        target = jnp.where(fits & (fslot < cap),
+                           cs_safe * cap + fslot, ns)
+        overflow = st.overflow | jnp.any(ok_s & ~fits)
+
+        # mover_vals are in buffer order; apply the same sort permutation
+        upd = {
+            f: getattr(st, f).at[target].set(mover_vals[f][order],
+                                             mode="drop")
+            for f in _MOVE_FIELDS
+        }
+        return st._replace(overflow=overflow, **upd)
+
+    def full(st: SlotState) -> SlotState:
+        return bin_to_slots(st, cid, ncell, cap, n)
+
+    return jax.lax.cond(n_moved <= B, incremental, full, state)
 
 
 def from_atoms(grid: CellGrid, box: Box, x, v, image, typ, q,

@@ -78,10 +78,16 @@ def profile_phases(sim, nscan: int = 10, reps: int = 3) -> dict:
         out["kspace"] = _honest_ms(kspace_only, state, nscan, reps)
 
     def rebin_only(st):
-        st2 = cs.rebin(sim.grid, sim.box, st)
+        st2 = cs.rebin_incremental(sim.grid, sim.box, st)
         return st2._replace(x=st2.x + 0.0)
 
     out["rebin"] = _honest_ms(rebin_only, state, nscan, reps)
+
+    def rebin_full_only(st):
+        st2 = cs.rebin(sim.grid, sim.box, st)
+        return st2._replace(x=st2.x + 0.0)
+
+    out["rebin_full"] = _honest_ms(rebin_full_only, state, nscan, reps)
 
     def full_step(st):
         return sim._block(st, 1)

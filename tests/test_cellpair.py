@@ -43,6 +43,76 @@ def test_binning_roundtrip():
     assert len(np.unique(real)) == n
 
 
+def _assert_slot_states_equivalent(grid, a: "cs.SlotState",
+                                   b: "cs.SlotState", n):
+    """Same atom set, same per-atom data (slot permutation may differ),
+    and every valid slot sits in its own cell."""
+    for st in (a, b):
+        aid = np.asarray(st.aid)
+        real = np.sort(aid[aid < n])
+        np.testing.assert_array_equal(real, np.arange(n))
+        cid = np.asarray(jax.jit(
+            lambda s: cs._slot_cid(grid, _box_of(grid), s))(st))
+    ta = {k: np.asarray(v) for k, v in cs.to_atoms(grid, a).items()}
+    tb = {k: np.asarray(v) for k, v in cs.to_atoms(grid, b).items()}
+    for k in ("x", "v", "q", "image", "typ"):
+        np.testing.assert_allclose(tb[k], ta[k], rtol=0, atol=0)
+
+
+_BOX = {}
+
+
+def _box_of(grid):
+    return _BOX[grid.nc]
+
+
+def test_incremental_rebin_matches_full():
+    rng = np.random.RandomState(3)
+    xs, v, box, n, u = _melt(8)
+    grid = cs.make_grid(n, box.lengths, 2.8)
+    _BOX[grid.nc] = box
+    q = rng.uniform(-0.5, 0.5, n)
+    st = cs.from_atoms(grid, box, xs, v, np.zeros((n, 3), np.int32),
+                       np.zeros(n, np.int32), q, dtype=jnp.float64)
+    # drift atoms by up to 40% of a cell edge: many cross cell faces
+    cell_edge = float(box.lengths[0]) / grid.nc[0]
+    drift = rng.uniform(-0.4, 0.4, (3, grid.nslots)) * cell_edge
+    st2 = st._replace(x=st.x + drift[0], y=st.y + drift[1],
+                      z=st.z + drift[2])
+    full = jax.jit(lambda s: cs.rebin(grid, box, s))(st2)
+    inc = jax.jit(lambda s: cs.rebin_incremental(grid, box, s))(st2)
+    assert not bool(inc.overflow)
+    _assert_slot_states_equivalent(grid, full, inc, n)
+    # every valid slot must sit in its own cell after the incremental pass
+    cid = np.asarray(jax.jit(lambda s: cs._slot_cid(grid, box, s))(inc))
+    slot_cell = np.repeat(np.arange(grid.ncell), grid.cap)
+    valid = np.asarray(inc.aid) < n
+    np.testing.assert_array_equal(cid[valid], slot_cell[valid])
+    # vacated slots must carry zero charge (PPPM reads q unmasked)
+    assert np.all(np.asarray(inc.q)[~valid] == 0.0)
+
+    # tiny buffer forces the lax.cond full-sort fallback
+    inc_fb = jax.jit(
+        lambda s: cs.rebin_incremental(grid, box, s, bufcap=8))(st2)
+    _assert_slot_states_equivalent(grid, full, inc_fb, n)
+
+
+def test_incremental_rebin_capacity_overflow_flag():
+    xs, v, box, n, u = _melt(6)
+    grid = cs.make_grid(n, box.lengths, 2.8, cap=8)  # too tight on purpose
+    _BOX[grid.nc] = box
+    st = cs.from_atoms(grid, box, xs, v, np.zeros((n, 3), np.int32),
+                       np.zeros(n, np.int32), np.zeros(n),
+                       dtype=jnp.float64)
+    if bool(st.overflow):
+        return  # already overflows at init binning: flag works
+    # cram several cells' atoms into one cell
+    st2 = st._replace(x=jnp.zeros_like(st.x), y=jnp.zeros_like(st.y),
+                      z=jnp.zeros_like(st.z))
+    out = jax.jit(lambda s: cs.rebin_incremental(grid, box, s))(st2)
+    assert bool(out.overflow)
+
+
 def test_cellpair_forces_match_nlist():
     xs, v, box, n, u = _melt(6)
     style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5,
