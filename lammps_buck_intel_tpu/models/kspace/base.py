@@ -114,15 +114,19 @@ class BoundKSpace:
     """Adapts a solver needing per-atom inputs other than charge (e.g.
     dispersion 'charges' B_i) to the runner's kspace.compute(x, q) slot."""
 
-    def __init__(self, solver, per_atom):
+    def __init__(self, solver, per_atom, typed: bool = False):
         import numpy as np
 
         self.solver = solver
         self.per_atom = np.asarray(per_atom)
+        self.typed = typed  # per_atom is type ids; use the channel path
 
     def compute(self, x, q, eflag=True, vflag=True):
         import jax.numpy as jnp
 
+        if self.typed:
+            return self.solver.compute_typed(x, self.per_atom,
+                                             eflag=eflag, vflag=vflag)
         b = jnp.asarray(self.per_atom, x.dtype)
         return self.solver.compute(x, b, eflag=eflag, vflag=vflag)
 

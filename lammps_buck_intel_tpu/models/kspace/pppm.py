@@ -110,6 +110,15 @@ class PPPM:
     h: tuple[float, float, float]
     acc_dtype: object = jnp.float32
     accuracy_abs: float = 0.0
+    # differentiation mode: "ik" (3 inverse FFTs of the spectral E-field)
+    # or "ad" (1 inverse FFT -> potential mesh, derivative-spline gather
+    # + self-force correction).  Ref /root/reference/pppm_intel.cpp:985-1054
+    # (poisson_ad), :678-804 (fieldforce_ad).
+    diff: str = "ik"
+    # per-axis sine series of the ad self-force field (J terms), measured
+    # at setup against THIS grid/Green fn (the sf_coeff analog, measured
+    # instead of the alias-sum closed form)
+    sf_sine: Optional[np.ndarray] = None
 
     @property
     def elong_self(self) -> float:
@@ -119,6 +128,8 @@ class PPPM:
         return e * self.qqrd2e
 
     def compute(self, x, q, eflag: bool = True, vflag: bool = True):
+        if self.diff == "ad":
+            return _pppm_compute_ad(self, x, q, eflag, vflag)
         return _pppm_compute(self, x, q, eflag, vflag)
 
 
@@ -133,6 +144,7 @@ def setup_pppm(
     grid: Optional[tuple[int, int, int]] = None,
     acc_dtype=jnp.float32,
     multiple_of: Optional[tuple[int, int, int]] = None,
+    diff: str = "ik",
 ) -> PPPM:
     q = np.asarray(q, np.float64)
     natoms = len(q)
@@ -178,12 +190,17 @@ def setup_pppm(
 
     greensfn = _greens_function(grid, L, g_ewald, order)
 
+    sf_sine = None
+    if diff == "ad":
+        sf_sine = _sf_sine_fit(grid, L, greensfn, order)
+
     return PPPM(
         g_ewald=float(g_ewald), grid=grid, order=order, greensfn=greensfn,
         kx=kxv, ky=kyv, kz=kzv, qsum=qsum, qsqsum=qsqsum, qqrd2e=qqrd2e,
         volume=volume, box_lo=tuple(float(v) for v in np.asarray(box.lo)),
         h=tuple(float(L[i] / grid[i]) for i in range(3)),
         acc_dtype=acc_dtype, accuracy_abs=float(accuracy),
+        diff=diff, sf_sine=sf_sine,
     )
 
 
@@ -252,6 +269,79 @@ def _greens_function(grid, L, g_ewald, order, nalias: int = 2,
     G = num / (ksq_safe * den * den)
     G[0, 0, 0] = 0.0
     return G
+
+
+def _np_axis_A(n_grid: int, s: np.ndarray, order: int):
+    """Numpy: per-axis DFT factors of a B-spline point deposit.
+
+    A(k, s) = sum_g w_g(s) exp(-2 pi i k g / n); also dA/ds (grid units).
+    s: (S,) absolute positions in grid units."""
+    offs = stencil_offsets(order).astype(np.float64)
+    base = np.round(s) if order % 2 else np.floor(s)
+    g = base[:, None] + offs[None, :]                   # (S, p)
+    arg = (s[:, None] - g) + order / 2.0
+    w = mspline(order, arg)
+    dw = dmspline(order, arg)
+    k = np.arange(n_grid)
+    phase = np.exp(-2j * np.pi * k[None, None, :] * g[:, :, None] / n_grid)
+    A = np.einsum("sp,spk->sk", w, phase)
+    dA = np.einsum("sp,spk->sk", dw, phase)
+    return A, dA
+
+
+def _sf_sine_fit(grid, L, greensfn, order, nterms: int = 4,
+                 nsamp: int = 32) -> np.ndarray:
+    """Measured ad self-force correction (the sf_coeff analog,
+    /root/reference/pppm_intel.cpp:783-798 uses a 2-term sine series from
+    host-LAMMPS alias sums; here the series is FIT to the actual
+    self-field of THIS grid + influence function).
+
+    The ad force differentiates only the interpolation weights, so a
+    charge exerts a spurious force on itself that is periodic in its
+    fractional grid offset.  Per axis (others averaged):
+      Eself_ax(s) = -(1/(V h_ax)) sum_k G(k) Re(A_ax conj(dA_ax))(k_ax, s)
+                    * <|A_b|^2>(k_b) * <|A_c|^2>(k_c)
+    Returns (3, nterms) sine coefficients of Eself per unit q^2
+    (energy-units field; caller multiplies qqrd2e * q_i^2)."""
+    V = float(np.prod(L))
+    s = np.arange(nsamp) / nsamp + 1e3  # offset irrelevant (periodic)
+    A = []
+    dA = []
+    m = []
+    for ax in range(3):
+        a, da = _np_axis_A(grid[ax], s, order)
+        A.append(a)
+        dA.append(da)
+        m.append(np.mean(np.abs(a) ** 2, axis=0))
+    out = np.zeros((3, nterms))
+    js = np.arange(1, nterms + 1)
+    sin_basis = np.sin(2.0 * np.pi * js[None, :] * (s % 1.0)[:, None])
+    for ax in range(3):
+        h_ax = L[ax] / grid[ax]
+        self_term = np.real(A[ax] * np.conj(dA[ax]))      # (S, k_ax)
+        axes = "xyz"
+        sub = f"s{axes[ax]},{axes[(ax+1)%3]},{axes[(ax+2)%3]},xyz->s"
+        e_s = -np.einsum(
+            sub, self_term, m[(ax + 1) % 3], m[(ax + 2) % 3], greensfn
+        ) / (V * h_ax)
+        out[ax] = 2.0 / nsamp * (sin_basis * e_s[:, None]).sum(axis=0)
+    return out
+
+
+def sf_correction(pm: PPPM, x, q):
+    """(N, 3) ad self-force (energy units; includes qqrd2e)."""
+    sf = np.asarray(pm.sf_sine)
+    nterms = sf.shape[1]
+    cols = []
+    for ax in range(3):
+        u = (x[:, ax] - pm.box_lo[ax]) * (1.0 / pm.h[ax])
+        acc = 0.0
+        for j in range(nterms):
+            acc = acc + float(sf[ax, j]) * jnp.sin(
+                2.0 * jnp.pi * (j + 1) * u)
+        cols.append(acc)
+    e_self = jnp.stack(cols, axis=-1)
+    return (pm.qqrd2e * q * q)[:, None] * e_self
 
 
 def _particle_weights(pm: PPPM, x, deriv: bool = False):
@@ -368,4 +458,143 @@ def _pppm_compute(pm: PPPM, x, q, eflag: bool, vflag: bool) -> KSpaceResult:
     fvec = jnp.stack(f, axis=-1).astype(acc)
     fvec = fvec * (qqrd2e * q[:, None]).astype(acc)
 
+    return KSpaceResult(f=fvec, elong=elong, virial=virial)
+
+
+def compute_peratom(pm: PPPM, x, q):
+    """Per-atom k-space energy and virial (the eflag_atom/vflag_atom
+    contract of /root/reference/pppm_intel.cpp:224-252 poisson_peratom +
+    host fieldforce_peratom).
+
+    eatom_i = q_i phi(x_i)/2 + per-atom self/background corrections;
+    vatom_i interpolates six virial meshes v_c = F^-1[pref_c G rho_hat].
+    Both pin EXACTLY to the global sums (Parseval + the deposit identity
+    sum_i q_i w_g(x_i) = mesh_g): sum eatom == elong, sum vatom == virial.
+    Returns (eatom (N,), vatom (N, 6)) in energy units (qqrd2e applied)."""
+    acc = pm.acc_dtype
+    nx, ny, nz = pm.grid
+    ngrid = nx * ny * nz
+    nzh = nz // 2 + 1
+    qqrd2e = float(pm.qqrd2e)
+    V = float(pm.volume)
+
+    mesh = deposit_rho(pm, x, q)
+    rhat = jnp.fft.rfftn(mesh.astype(acc))
+    G = jnp.asarray(pm.greensfn[..., :nzh], acc)
+    phi_hat = G * rhat
+
+    # interpolation weights (shared by all seven meshes)
+    wx_ = _particle_weights(pm, x)
+    bases = [w[0] for w in wx_]
+    ws = [w[1] for w in wx_]
+    ix, iy, iz = _stencil_indices(pm, bases)
+    w3 = (ws[0][:, :, None, None] * ws[1][:, None, :, None]
+          * ws[2][:, None, None, :]).reshape(x.shape[0], -1)
+    flat = (
+        (ix[:, :, None, None] * ny + iy[:, None, :, None]) * nz
+        + iz[:, None, None, :]
+    ).reshape(x.shape[0], -1)
+
+    def interp(m):
+        return jnp.sum(w3 * m.reshape(-1)[flat], axis=1)
+
+    scale = ngrid / V
+    u = jnp.real(jnp.fft.irfftn(phi_hat, s=pm.grid)) * scale
+    g = pm.g_ewald
+    eatom = 0.5 * q * interp(u)
+    eatom = eatom - g / math.sqrt(math.pi) * q * q \
+        - math.pi / (2.0 * g * g * V) * q * pm.qsum
+    eatom = (qqrd2e * eatom).astype(acc)
+
+    kx = jnp.asarray(pm.kx, acc)[:, None, None]
+    ky = jnp.asarray(pm.ky, acc)[None, :, None]
+    kz = jnp.asarray(pm.kz[:nzh], acc)[None, None, :]
+    ksq = kx * kx + ky * ky + kz * kz
+    ksq_safe = jnp.where(ksq == 0.0, 1.0, ksq)
+    pref = 2.0 * (1.0 / ksq_safe + 0.25 / (g * g))
+    comps = (
+        1.0 - pref * kx * kx,
+        1.0 - pref * ky * ky,
+        1.0 - pref * kz * kz,
+        -pref * kx * ky,
+        -pref * kx * kz,
+        -pref * ky * kz,
+    )
+    vcols = []
+    for c in comps:
+        vm = jnp.real(jnp.fft.irfftn(c * phi_hat, s=pm.grid)) * scale
+        vcols.append((0.5 * qqrd2e * q * interp(vm)).astype(acc))
+    return eatom, jnp.stack(vcols, axis=-1)
+
+
+def _pppm_compute_ad(pm: PPPM, x, q, eflag: bool, vflag: bool
+                     ) -> KSpaceResult:
+    """ad differentiation: ONE inverse FFT -> potential mesh, forces from
+    derivative-spline interpolation minus the measured self-force
+    (poisson_ad /root/reference/pppm_intel.cpp:985-1054, fieldforce_ad :678-804)."""
+    acc = pm.acc_dtype
+    nx, ny, nz = pm.grid
+    ngrid = nx * ny * nz
+    qqrd2e = float(pm.qqrd2e)
+    V = float(pm.volume)
+
+    mesh = deposit_rho(pm, x, q)
+    rhat = jnp.fft.fftn(mesh.astype(acc))
+    G = jnp.asarray(pm.greensfn, acc)
+    phi_hat = G * rhat
+
+    if eflag or vflag:
+        s2 = jnp.real(rhat * jnp.conj(rhat))
+        ek = G * s2
+    if eflag:
+        elong = (0.5 / V) * jnp.sum(ek.astype(acc)) * qqrd2e
+        elong = elong + pm.elong_self
+    else:
+        elong = jnp.zeros((), acc)
+    if vflag:
+        kx = jnp.asarray(pm.kx, acc)[:, None, None]
+        ky = jnp.asarray(pm.ky, acc)[None, :, None]
+        kz = jnp.asarray(pm.kz, acc)[None, None, :]
+        ksq = kx * kx + ky * ky + kz * kz
+        ksq_safe = jnp.where(ksq == 0.0, 1.0, ksq)
+        pref = 2.0 * (1.0 / ksq_safe + 0.25 / pm.g_ewald**2)
+        c = (0.5 / V) * qqrd2e
+        virial = jnp.stack([
+            jnp.sum((ek * (1.0 - pref * kx * kx)).astype(acc)),
+            jnp.sum((ek * (1.0 - pref * ky * ky)).astype(acc)),
+            jnp.sum((ek * (1.0 - pref * kz * kz)).astype(acc)),
+            jnp.sum((ek * (-pref * kx * ky)).astype(acc)),
+            jnp.sum((ek * (-pref * kx * kz)).astype(acc)),
+            jnp.sum((ek * (-pref * ky * kz)).astype(acc)),
+        ]) * c
+    else:
+        virial = jnp.zeros((6,), acc)
+
+    # potential mesh (u_brick): phi(r_g) = (1/V) sum_k G rho_hat e^{ikr}
+    u = jnp.real(jnp.fft.ifftn(phi_hat)) * (ngrid / V)
+
+    wx_ = _particle_weights(pm, x, deriv=True)
+    bases = [w[0] for w in wx_]
+    ws = [w[1] for w in wx_]
+    dws = [w[2] for w in wx_]
+    ix, iy, iz = _stencil_indices(pm, bases)
+    flat = (
+        (ix[:, :, None, None] * ny + iy[:, None, :, None]) * nz
+        + iz[:, None, None, :]
+    ).reshape(x.shape[0], -1)
+    uv = u.reshape(-1)[flat]                          # (N, p^3)
+    combos = (
+        (dws[0], ws[1], ws[2]),
+        (ws[0], dws[1], ws[2]),
+        (ws[0], ws[1], dws[2]),
+    )
+    f = []
+    for ax, (ax_w, ay_w, az_w) in enumerate(combos):
+        w3 = (ax_w[:, :, None, None] * ay_w[:, None, :, None]
+              * az_w[:, None, None, :]).reshape(x.shape[0], -1)
+        e_ax = -jnp.sum(w3 * uv, axis=1) * (1.0 / pm.h[ax])
+        f.append(e_ax)
+    fvec = jnp.stack(f, axis=-1).astype(acc)
+    fvec = fvec * (qqrd2e * q[:, None]).astype(acc)
+    fvec = fvec - sf_correction(pm, x, q).astype(acc)
     return KSpaceResult(f=fvec, elong=elong, virial=virial)

@@ -94,8 +94,12 @@ def make_patch_spec(pm: PPPM, grid: CellGrid, margin: int = 2,
                      order=p, margin=margin, cell_tile=int(cell_tile))
 
 
-def _axis_weights(pm: PPPM, ps: PatchSpec, grid: CellGrid, xplane, ax: int):
-    """(NS, P_ax) dense B-spline weights of every slot on its cell patch."""
+def _axis_weights(pm: PPPM, ps: PatchSpec, grid: CellGrid, xplane, ax: int,
+                  deriv: bool = False):
+    """(NS, P_ax) dense B-spline weights of every slot on its cell patch.
+
+    With deriv=True also returns d w / d u (grid units; divide by h for
+    real-space derivatives) — the drho_coeff analog for the ad path."""
     ncell, cap = grid.ncell, grid.cap
     ns = grid.nslots
     # static per-slot cell coordinate along this axis
@@ -112,7 +116,12 @@ def _axis_weights(pm: PPPM, ps: PatchSpec, grid: CellGrid, xplane, ax: int):
     px = np.arange(ps.P[ax], dtype=np.float64)
     arg = (u - jnp.asarray(patch_lo, xplane.dtype))[:, None] \
         - px[None, :] + ps.order / 2.0
-    return mspline(ps.order, arg)                           # (NS, P_ax)
+    w = mspline(ps.order, arg)                              # (NS, P_ax)
+    if deriv:
+        from .pppm import dmspline
+
+        return w, dmspline(ps.order, arg)
+    return w
 
 
 _OFF3 = [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)]
@@ -147,20 +156,47 @@ def patches_to_grid(patches, ps: PatchSpec, grid: CellGrid, nxyz):
     return G.reshape(ncx * Sx, ncy * Sy, ncz * Sz)
 
 
+def _pad_periodic(a, axis: int, lo: int, hi: int):
+    idx_lo = [slice(None)] * a.ndim
+    idx_hi = [slice(None)] * a.ndim
+    idx_lo[axis] = slice(a.shape[axis] - lo, None)
+    idx_hi[axis] = slice(0, hi)
+    parts = []
+    if lo:
+        parts.append(a[tuple(idx_lo)])
+    parts.append(a)
+    if hi:
+        parts.append(a[tuple(idx_hi)])
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else a
+
+
+def _expand_axis(a, axis: int, n_c: int, S: int, P: int, lo: int,
+                 periodic: bool = True, start: int = 0):
+    """(… n …) -> (… n_c, P …): per-cell sliding windows along `axis` via
+    P static strided slices (each a cheap lax.slice) + one stack.
+
+    Replaces the 27-offset moveaxis/roll assembly that cost ~42 ms per
+    mesh at north-star scale on a v5e — windows over a strided grid are
+    slices, not gathers."""
+    if periodic:
+        a = _pad_periodic(a, axis, lo, max(P - lo - S, 0))
+        start = 0
+    parts = []
+    for p in range(P):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(start + p, start + p + n_c * S, S)
+        parts.append(a[tuple(idx)])
+    return jnp.stack(parts, axis=axis + 1)
+
+
 def grid_to_patches(mesh, ps: PatchSpec, grid: CellGrid):
     """(nx, ny, nz) -> (ncell, Px, Py, Pz): transpose of patches_to_grid."""
     ncx, ncy, ncz = grid.nc
-    Sx, Sy, Sz = ps.S
-    G = mesh.reshape(ncx, Sx, ncy, Sy, ncz, Sz)
-    pat = jnp.zeros((ncx, ncy, ncz, *ps.P), mesh.dtype)
-    for (ox, oy, oz) in _OFF3:
-        psx, gsx = _ranges(ps, 0, ox)
-        psy, gsy = _ranges(ps, 1, oy)
-        psz, gsz = _ranges(ps, 2, oz)
-        part = jnp.moveaxis(G[:, gsx, :, gsy, :, gsz], (1, 3, 5), (3, 4, 5))
-        part = jnp.roll(part, (-ox, -oy, -oz), axis=(0, 1, 2))
-        pat = pat.at[:, :, :, psx, psy, psz].add(part)
-    return pat.reshape(grid.ncell, *ps.P)
+    a = _expand_axis(mesh, 0, ncx, ps.S[0], ps.P[0], ps.lo_off[0])
+    a = _expand_axis(a, 2, ncy, ps.S[1], ps.P[1], ps.lo_off[1])
+    a = _expand_axis(a, 4, ncz, ps.S[2], ps.P[2], ps.lo_off[2])
+    a = jnp.transpose(a, (0, 2, 4, 1, 3, 5))
+    return a.reshape(grid.ncell, *ps.P)
 
 
 def deposit_rho_cells(pm: PPPM, ps: PatchSpec, grid: CellGrid,
@@ -234,11 +270,25 @@ def gather_force_cells(pm: PPPM, ps: PatchSpec, grid: CellGrid,
     return out
 
 
+def _half_weights(nz: int):
+    """rfft spectrum weights along z: interior k planes count twice."""
+    nzh = nz // 2 + 1
+    wz = np.full(nzh, 2.0)
+    wz[0] = 1.0
+    if nz % 2 == 0:
+        wz[-1] = 1.0
+    return wz
+
+
 class CellPPPM:
     """PPPM bound to a cell grid — plugs into CellPairSimulation.
 
     Exposes compute_slots(state) -> (fx, fy, fz, elong, virial) with all
-    per-atom stages running through the patch pipeline.
+    per-atom stages running through the patch pipeline.  Spectral work
+    runs on the rfft half-spectrum (the density is real); differentiation
+    follows pm.diff — "ik" (3 inverse FFTs of the E-field) or "ad" (one
+    potential mesh, derivative-spline gather + measured self-force,
+    /root/reference/pppm_intel.cpp:985-1054, :678-804).
     """
 
     def __init__(self, pm: PPPM, grid: CellGrid, margin: int = 2,
@@ -250,31 +300,24 @@ class CellPPPM:
         # via typ; caller passes a per-TYPE table instead)
         self.b_per_type = per_slot_charge
 
-    def compute_slots(self, state: SlotState, eflag: bool, vflag: bool):
+    def _spectral(self, state: SlotState, qqrd2e: float, eflag: bool,
+                  vflag: bool):
+        """Deposit + half-spectrum solve.  Returns (phi_hat, elong,
+        virial) with energy/virial psums done."""
         pm = self.pm
         acc = pm.acc_dtype
         V = float(pm.volume)
-        if self.b_per_type is not None:
-            from ..pair.driver import _select_small
-
-            b = _select_small(self.b_per_type, state.typ, state.typ.shape,
-                              state.x.dtype)
-            if isinstance(b, float):
-                b = jnp.full(state.typ.shape, b, state.x.dtype)
-            b = jnp.where(state.aid < self.grid.n_atoms, b, 0.0)
-            state = state._replace(q=b)
-            qqrd2e = 1.0
-        else:
-            qqrd2e = float(pm.qqrd2e)
+        nz = pm.grid[2]
+        nzh = nz // 2 + 1
 
         mesh = deposit_rho_cells(pm, self.ps, self.grid, state)
-        rhat = jnp.fft.fftn(mesh.astype(acc))
-        G = jnp.asarray(pm.greensfn, acc)
+        rhat = jnp.fft.rfftn(mesh.astype(acc))
+        G = jnp.asarray(pm.greensfn[..., :nzh], acc)
         phi_hat = G * rhat
 
+        wz = jnp.asarray(_half_weights(nz), acc)[None, None, :]
         if eflag or vflag:
-            s2 = jnp.real(rhat * jnp.conj(rhat))
-            ek = G * s2
+            ek = G * jnp.real(rhat * jnp.conj(rhat)) * wz
         if eflag:
             elong = (0.5 / V) * jnp.sum(ek.astype(acc)) * qqrd2e
             if self.b_per_type is not None:
@@ -288,10 +331,10 @@ class CellPPPM:
         else:
             elong = jnp.zeros((), acc)
 
-        kx = jnp.asarray(pm.kx, acc)[:, None, None]
-        ky = jnp.asarray(pm.ky, acc)[None, :, None]
-        kz = jnp.asarray(pm.kz, acc)[None, None, :]
         if vflag and self.b_per_type is None:
+            kx = jnp.asarray(pm.kx, acc)[:, None, None]
+            ky = jnp.asarray(pm.ky, acc)[None, :, None]
+            kz = jnp.asarray(pm.kz[:nzh], acc)[None, None, :]
             ksq = kx * kx + ky * ky + kz * kz
             ksq_safe = jnp.where(ksq == 0.0, 1.0, ksq)
             pref = 2.0 * (1.0 / ksq_safe + 0.25 / pm.g_ewald**2)
@@ -312,18 +355,180 @@ class CellPPPM:
                                 jnp.zeros((), acc)])
         else:
             virial = jnp.zeros((6,), acc)
+        return phi_hat, elong, virial
 
+    def _contract(self, triples, meshes):
+        """Batched patch contractions: one (wx, wy, wz, mesh) -> (NS,)."""
+        ps, grid = self.ps, self.grid
+        cap = grid.cap
+        ncell = grid.ncell
+        tile = ps.cell_tile
+        nt = -(-ncell // tile)
+        pad = nt * tile - ncell
+
+        def padc(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a
+
+        out = []
+        for (wx, wy, wz), em in zip(triples, meshes):
+            ep = grid_to_patches(em, ps, grid)
+            ep_t = padc(ep).reshape(nt, tile, *ps.P)
+            wx_t = padc(wx).reshape(nt, tile, cap, ps.P[0])
+            wy_t = padc(wy).reshape(nt, tile, cap, ps.P[1])
+            wz_t = padc(wz).reshape(nt, tile, cap, ps.P[2])
+
+            def one_tile(args):
+                wxb, wyb, wzb, eb = args
+                t1 = jnp.einsum("tax,txyz->tayz", wxb, eb)
+                t2 = jnp.einsum("tay,tayz->taz", wyb, t1)
+                return jnp.einsum("taz,taz->ta", wzb, t2)
+
+            f = jax.lax.map(one_tile, (wx_t, wy_t, wz_t, ep_t))
+            out.append(f.reshape(nt * tile, cap)[:ncell].reshape(-1))
+        return out
+
+    def compute_slots(self, state: SlotState, eflag: bool, vflag: bool):
+        pm = self.pm
+        acc = pm.acc_dtype
+        flt = state.x.dtype
+        V = float(pm.volume)
+        grid = self.grid
+        ps = self.ps
+        if self.b_per_type is not None:
+            from ..pair.driver import _select_small
+
+            b = _select_small(self.b_per_type, state.typ, state.typ.shape,
+                              state.x.dtype)
+            if isinstance(b, float):
+                b = jnp.full(state.typ.shape, b, state.x.dtype)
+            b = jnp.where(state.aid < self.grid.n_atoms, b, 0.0)
+            state = state._replace(q=b)
+            qqrd2e = 1.0
+        else:
+            qqrd2e = float(pm.qqrd2e)
+
+        phi_hat, elong, virial = self._spectral(state, qqrd2e, eflag,
+                                                vflag)
         ngrid = pm.grid[0] * pm.grid[1] * pm.grid[2]
         scale = 1.0 / V
-        e_meshes = []
-        for kax in (kx, ky, kz):
-            ehat = (-1j) * kax * phi_hat
-            e_meshes.append(
-                (jnp.real(jnp.fft.ifftn(ehat)) * (scale * ngrid)
-                 ).astype(state.x.dtype)
-            )
-        fx, fy, fz = gather_force_cells(pm, self.ps, self.grid, state,
-                                        e_meshes)
+        cap = grid.cap
+        ncell = grid.ncell
+
+        if pm.diff == "ad":
+            # ONE inverse FFT -> potential mesh; derivative-spline gather
+            u = (jnp.real(jnp.fft.irfftn(phi_hat, s=pm.grid))
+                 * (scale * ngrid)).astype(flt)
+            w = []
+            dw = []
+            for ax, p in enumerate((state.x, state.y, state.z)):
+                wa, dwa = _axis_weights(pm, ps, grid, p, ax, deriv=True)
+                w.append(wa.reshape(ncell, cap, -1))
+                dw.append((dwa * (-1.0 / pm.h[ax])).reshape(ncell, cap, -1))
+            triples = [(dw[0], w[1], w[2]), (w[0], dw[1], w[2]),
+                       (w[0], w[1], dw[2])]
+            fx, fy, fz = self._contract(triples, [u, u, u])
+            qf = (qqrd2e * state.q).astype(acc)
+            fx = fx.astype(acc) * qf
+            fy = fy.astype(acc) * qf
+            fz = fz.astype(acc) * qf
+            if pm.sf_sine is not None:
+                sf = np.asarray(pm.sf_sine)
+                q2 = (qqrd2e * state.q * state.q).astype(acc)
+                outs = []
+                for ax, p in enumerate((state.x, state.y, state.z)):
+                    uu = (p - pm.box_lo[ax]) * (1.0 / pm.h[ax])
+                    e_self = 0.0
+                    for j in range(sf.shape[1]):
+                        e_self = e_self + float(sf[ax, j]) * jnp.sin(
+                            2.0 * jnp.pi * (j + 1) * uu)
+                    outs.append(e_self.astype(acc) * q2)
+                fx = fx - outs[0]
+                fy = fy - outs[1]
+                fz = fz - outs[2]
+            return fx, fy, fz, elong, virial
+
+        # ik: 3 spectral derivatives, one batched inverse real FFT
+        return self._ik_forces(state, phi_hat, qqrd2e, elong, virial)
+
+    def _weight_triple(self, state: SlotState):
+        pm, ps, grid = self.pm, self.ps, self.grid
+        cap, ncell = grid.cap, grid.ncell
+        wx = _axis_weights(pm, ps, grid, state.x, 0).reshape(ncell, cap, -1)
+        wy = _axis_weights(pm, ps, grid, state.y, 1).reshape(ncell, cap, -1)
+        wz = _axis_weights(pm, ps, grid, state.z, 2).reshape(ncell, cap, -1)
+        return wx, wy, wz
+
+    def compute_peratom_slots(self, state: SlotState):
+        """Per-slot k-space energy/virial (pppm_intel.cpp:224-252 analog)
+        through the patch pipeline; pins exactly to the global sums.
+        Returns (eatom (NS,), vatom (NS, 6)); zero at empty slots."""
+        pm = self.pm
+        if self.b_per_type is not None:
+            raise NotImplementedError(
+                "per-atom kspace terms are implemented for the Coulomb "
+                "solver (dispersion per-atom corrections: pppm_disp_intel."
+                "cpp:512-537 — not yet)")
+        acc = pm.acc_dtype
+        V = float(pm.volume)
+        g = pm.g_ewald
+        qqrd2e = float(pm.qqrd2e)
+        nz = pm.grid[2]
+        nzh = nz // 2 + 1
+        ngrid = pm.grid[0] * pm.grid[1] * pm.grid[2]
+        flt = state.x.dtype
+
+        mesh = deposit_rho_cells(pm, self.ps, self.grid, state)
+        rhat = jnp.fft.rfftn(mesh.astype(acc))
+        G = jnp.asarray(pm.greensfn[..., :nzh], acc)
+        phi_hat = G * rhat
+        scale = ngrid / V
+
+        kx = jnp.asarray(pm.kx, acc)[:, None, None]
+        ky = jnp.asarray(pm.ky, acc)[None, :, None]
+        kz = jnp.asarray(pm.kz[:nzh], acc)[None, None, :]
+        ksq = kx * kx + ky * ky + kz * kz
+        ksq_safe = jnp.where(ksq == 0.0, 1.0, ksq)
+        pref = 2.0 * (1.0 / ksq_safe + 0.25 / (g * g))
+        comps = (
+            1.0 - pref * kx * kx, 1.0 - pref * ky * ky,
+            1.0 - pref * kz * kz, -pref * kx * ky,
+            -pref * kx * kz, -pref * ky * kz,
+        )
+        specs = [phi_hat] + [c * phi_hat for c in comps]
+        meshes = [
+            (jnp.real(jnp.fft.irfftn(s, s=pm.grid)) * scale).astype(flt)
+            for s in specs
+        ]
+        tri = self._weight_triple(state)
+        vals = self._contract([tri] * 7, meshes)
+        q = state.q
+        eatom = 0.5 * q * vals[0] \
+            - g / math.sqrt(math.pi) * q * q \
+            - math.pi / (2.0 * g * g * V) * q * pm.qsum
+        eatom = (qqrd2e * eatom).astype(acc)
+        vatom = jnp.stack(
+            [(0.5 * qqrd2e * q * v).astype(acc) for v in vals[1:]],
+            axis=-1)
+        return eatom, vatom
+
+    def _ik_forces(self, state: SlotState, phi_hat, qqrd2e, elong, virial):
+        pm = self.pm
+        acc = pm.acc_dtype
+        flt = state.x.dtype
+        V = float(pm.volume)
+        ngrid = pm.grid[0] * pm.grid[1] * pm.grid[2]
+        scale = 1.0 / V
+        nzh = pm.grid[2] // 2 + 1
+        kx = jnp.asarray(pm.kx, acc)[:, None, None]
+        ky = jnp.asarray(pm.ky, acc)[None, :, None]
+        kz = jnp.asarray(pm.kz[:nzh], acc)[None, None, :]
+        ehat = jnp.stack([(-1j) * kax * phi_hat for kax in (kx, ky, kz)])
+        e_stack = (jnp.fft.irfftn(ehat, s=pm.grid, axes=(1, 2, 3))
+                   * (scale * ngrid)).astype(flt)
+        tri = self._weight_triple(state)
+        fx, fy, fz = self._contract(
+            [tri] * 3, [e_stack[0], e_stack[1], e_stack[2]])
         qf = (qqrd2e * state.q).astype(acc)
         return (fx.astype(acc) * qf, fy.astype(acc) * qf,
                 fz.astype(acc) * qf, elong, virial)

@@ -1,10 +1,24 @@
 """Dispersion PPPM (``pppm/disp``) — long-range r^-6 mesh solver.
 
 TPU-native re-design of /root/reference/pppm_disp_intel.{h,cpp} (C8 in
-SURVEY.md §2), geometric-mixing pipeline (``function[1]``,
-pppm_disp_intel.cpp:245-313) — the path examples/in.hexane exercises
-(lj/long/coul/long long off 9.8 + pppm/disp).  The arithmetic 7-channel
-(:315-407) and no-mix (:409-467) pipelines are not yet implemented.
+SURVEY.md §2).  All three mixing pipelines are implemented through ONE
+channel formulation:
+
+* geometric (``function[1]``, pppm_disp_intel.cpp:245-313): one density
+  channel, C6_ij = B_i B_j;
+* arithmetic (``function[2]``, :315-407): the Lorentz-Berthelot
+  C6_ij = 4 sqrt(eps_i eps_j) ((sig_i+sig_j)/2)^6 expands binomially into
+  SEVEN channels a_i^(m) = sqrt(C(6,m)) sqrt(eps_i) sig_i^m / 4 with the
+  cross-pairing C6_ij = sum_m a_i^(m) a_j^(6-m) — the reference's 7
+  density meshes and paired 2-in-1 poisson solves;
+* none (``function[3]``, :409-467): an arbitrary per-type-pair C6 matrix
+  eigendecomposes into nsplit signed channels C6 = sum_s lambda_s v^s v^sT.
+
+Unified: channels A (nch, ntypes) + a tiny pairing matrix P (nch, nch):
+    C6_ij = sum_{cc'} P_cc' A[c, t_i] A[c', t_j]
+    E     = 1/(2V) sum_k G6(k) sum_{cc'} P_cc' Re[S_c conj(S_c')]
+            + w(0) (Qc P Qc') / 2V + g6^6/12 sum_i C6_ii
+    f_i   = sum_c A[c, t_i] * Efield[G6 * (P rho_hat)_c](x_i)
 
 Physics (Karasawa-Goddard dispersion Ewald): the smooth long-range part of
 -C6/r^6 after the (1 + u^2 + u^4/2) e^{-u^2} real-space damping (the same
@@ -13,16 +27,13 @@ splitting the ORDER6 pair kernels use) has the Fourier kernel
     w(k) = -(pi^{3/2} b^3 / 3) * [ (1 - 2 t^2) e^{-t^2}
                                    + 2 sqrt(pi) t^3 erfc(t) ],  t = k/(2 b)
 
-finite at k = 0.  With geometric mixing C6_ij = B_i B_j the mesh carries
-the per-atom B_i "dispersion charge":
-
-    E = 1/(2V) sum_k G6(k) |S6(k)|^2 + E_{k=0} + E_self
-    E_{k=0} = w(0) (sum B)^2 / (2V)
-    E_self  = + b^6 / 12 * sum B_i^2     (removes the i==j mesh term)
-
-G6 is the Hockney-Eastwood optimal influence function built on w(k).
-Validated against an absolutely-convergent direct lattice sum of -C6/r^6
-(tests/test_pppm_disp.py) — a stronger oracle than the reference ever had.
+finite at k = 0.  The virial is the full anisotropic tensor
+    vir_ab = 1/(2V) sum_k ek (delta_ab + k_a k_b [d ln w/dk]/k)
+           + delta_ab E_{k=0}
+(d ln w/dk from f'(t) = -6 t e^{-t^2} + 6 sqrt(pi) t^2 erfc(t)), validated
+against f64 box-rescale finite differences (tests/test_pppm_disp.py).
+Everything is validated against an absolutely-convergent direct lattice
+sum of -C6/r^6 — a stronger oracle than the reference ever had.
 """
 from __future__ import annotations
 
@@ -53,6 +64,29 @@ def dispersion_kernel(beta):
     return kern
 
 
+def dispersion_vfac(beta, grid, L) -> np.ndarray:
+    """(nx, ny, nz) static [d ln w/dk]/k for the anisotropic virial."""
+    def axis_k(n, prd):
+        m = np.arange(n)
+        m = np.where(m > n // 2, m - n, m)
+        return 2.0 * np.pi * m / prd
+
+    kx = axis_k(grid[0], L[0])[:, None, None]
+    ky = axis_k(grid[1], L[1])[None, :, None]
+    kz = axis_k(grid[2], L[2])[None, None, :]
+    k = np.sqrt(kx**2 + ky**2 + kz**2)
+    t = k / (2.0 * beta)
+    f = (1.0 - 2.0 * t * t) * np.exp(-t * t) \
+        + 2.0 * math.sqrt(math.pi) * t**3 * sp_erfc(t)
+    fp = -6.0 * t * np.exp(-t * t) \
+        + 6.0 * math.sqrt(math.pi) * t * t * sp_erfc(t)
+    # d ln w / dk = f'(t) / (2 beta f(t)); f < ~1 and > 0 everywhere
+    k_safe = np.where(k == 0.0, 1.0, k)
+    out = fp / (2.0 * beta * f * k_safe)
+    out[k == 0.0] = 0.0  # k=0 term handled separately (E0 diag)
+    return out
+
+
 def solve_g6(cutoff: float, tol_rel: float = 1e-4) -> float:
     """Pick beta so the damped real-space tail retained at the cutoff is a
     tol_rel fraction of the bare 1/rc^6 (bisection on
@@ -68,12 +102,44 @@ def solve_g6(cutoff: float, tol_rel: float = 1e-4) -> float:
     return lo_u / cutoff
 
 
+def mixing_channels(mix: str, *, B=None, epsilon=None, sigma=None,
+                    C6=None):
+    """(A (nch, ntypes), P (nch, nch)) for a mixing rule (see module doc).
+
+    geometric: B (ntypes,); arithmetic: epsilon+sigma (ntypes,);
+    none: C6 (ntypes, ntypes) symmetric — eigen-split into nsplit channels
+    (the reference's function[3] nsplit, pppm_disp_intel.cpp:409-467)."""
+    if mix == "geometric":
+        A = np.asarray(B, np.float64)[None, :]
+        P = np.ones((1, 1))
+    elif mix == "arithmetic":
+        eps = np.asarray(epsilon, np.float64)
+        sig = np.asarray(sigma, np.float64)
+        A = np.stack([
+            0.25 * math.sqrt(math.comb(6, m)) * np.sqrt(eps) * sig**m
+            for m in range(7)
+        ])
+        P = np.zeros((7, 7))
+        for m in range(7):
+            P[m, 6 - m] = 1.0
+    elif mix == "none":
+        C6 = np.asarray(C6, np.float64)
+        lam, vec = np.linalg.eigh(0.5 * (C6 + C6.T))
+        keep = np.abs(lam) > 1e-12 * max(np.abs(lam).max(), 1e-300)
+        lam, vec = lam[keep], vec[:, keep]
+        A = (vec * np.sqrt(np.abs(lam))[None, :]).T   # (nsplit, ntypes)
+        P = np.diag(np.sign(lam))
+    else:
+        raise ValueError(f"unknown dispersion mixing {mix!r}")
+    return A, P
+
+
 @dataclasses.dataclass
 class PPPMDisp:
-    """Configured dispersion-PPPM solver (geometric mixing).
+    """Configured dispersion-PPPM solver (any mixing rule).
 
-    B: (ntypes,) per-type dispersion 'charge' sqrt(C6_ii); per-atom B_i is
-    gathered by type inside compute.
+    A/P: the channel decomposition; B kept for the geometric fast path
+    (B == A[0] there).
     """
 
     g_ewald_6: float
@@ -88,6 +154,10 @@ class PPPMDisp:
     box_lo: tuple[float, float, float]
     h: tuple[float, float, float]
     acc_dtype: object = jnp.float32
+    mix: str = "geometric"
+    A: Optional[np.ndarray] = None       # (nch, ntypes)
+    P: Optional[np.ndarray] = None       # (nch, nch)
+    vfac: Optional[np.ndarray] = None    # (nx, ny, nz) virial factor
 
     @property
     def w0(self) -> float:
@@ -100,8 +170,16 @@ class PPPMDisp:
 
     def compute(self, x, b_per_atom, eflag: bool = True,
                 vflag: bool = True) -> KSpaceResult:
-        """b_per_atom: (N,) dispersion charges (B[type] or zeros padding)."""
-        return _disp_compute(self, x, b_per_atom, eflag, vflag)
+        """Geometric fast path; b_per_atom: (N,) dispersion charges."""
+        return _disp_compute_multi(
+            self, x, b_per_atom[None, :], np.ones((1, 1)),
+            eflag, vflag)
+
+    def compute_typed(self, x, typ, eflag: bool = True,
+                      vflag: bool = True) -> KSpaceResult:
+        """General mixing path: per-atom channel charges from types."""
+        a_atoms = jnp.asarray(self.A, x.dtype)[:, typ]   # (nch, N)
+        return _disp_compute_multi(self, x, a_atoms, self.P, eflag, vflag)
 
 
 def setup_pppm_disp(
@@ -115,6 +193,10 @@ def setup_pppm_disp(
     grid: Optional[tuple[int, int, int]] = None,
     order: int = 5,
     acc_dtype=jnp.float32,
+    mix: str = "geometric",
+    epsilon=None,
+    sigma=None,
+    C6=None,
 ) -> PPPMDisp:
     L = np.asarray(box.lengths, np.float64)
     volume = float(np.prod(L))
@@ -136,6 +218,11 @@ def setup_pppm_disp(
     greensfn = _pppm._greens_function(
         grid, L, g_ewald_6, order, kernel=dispersion_kernel(g_ewald_6)
     )
+    if mix == "geometric":
+        A, P = mixing_channels("geometric", B=B_per_type)
+    else:
+        A, P = mixing_channels(mix, B=B_per_type, epsilon=epsilon,
+                               sigma=sigma, C6=C6)
     return PPPMDisp(
         g_ewald_6=float(g_ewald_6), grid=grid, order=order,
         greensfn=greensfn,
@@ -143,77 +230,105 @@ def setup_pppm_disp(
         B=np.asarray(B_per_type, np.float64), volume=volume,
         box_lo=tuple(float(v) for v in np.asarray(box.lo)),
         h=tuple(float(L[i] / grid[i]) for i in range(3)),
-        acc_dtype=acc_dtype,
+        acc_dtype=acc_dtype, mix=mix, A=A, P=P,
+        vfac=dispersion_vfac(g_ewald_6, grid, L),
     )
 
 
-def _disp_compute(pm: PPPMDisp, x, b, eflag: bool, vflag: bool):
+def _disp_compute_multi(pm: PPPMDisp, x, a_atoms, P, eflag: bool,
+                        vflag: bool) -> KSpaceResult:
+    """Channel pipeline: a_atoms (nch, N) per-atom channel charges,
+    P (nch, nch) pairing.  The reference's make_rho_a 7-mesh deposit +
+    poisson_2s paired solves (pppm_disp_intel.cpp:315-407) in batched
+    spectral form."""
     acc = pm.acc_dtype
     nx, ny, nz = pm.grid
+    nzh = nz // 2 + 1
     ngrid = nx * ny * nz
     V = float(pm.volume)
+    nch = a_atoms.shape[0]
+    Pm = np.asarray(P, np.float64)
 
-    # reuse the charge-PPPM deposition/gather machinery with B as "charge"
     shim = _pppm.PPPM(
         g_ewald=pm.g_ewald_6, grid=pm.grid, order=pm.order,
         greensfn=pm.greensfn, kx=pm.kx, ky=pm.ky, kz=pm.kz,
         qsum=0.0, qsqsum=0.0, qqrd2e=1.0, volume=V,
         box_lo=pm.box_lo, h=pm.h, acc_dtype=acc,
     )
-    mesh = _pppm.deposit_rho(shim, x, b)
-    rhat = jnp.fft.fftn(mesh.astype(acc))
-    G = jnp.asarray(pm.greensfn, acc)
-    phi_hat = G * rhat
+    meshes = jnp.stack([
+        _pppm.deposit_rho(shim, x, a_atoms[c]) for c in range(nch)
+    ])
+    S = jnp.fft.rfftn(meshes.astype(acc), axes=(1, 2, 3))  # (nch, ...)
+    G = jnp.asarray(pm.greensfn[..., :nzh], acc)
+    chi = jnp.einsum("cd,dxyz->cxyz", jnp.asarray(Pm, acc), S)
 
-    bsum = jnp.sum(b.astype(acc))
-    b2sum = jnp.sum((b * b).astype(acc))
+    asum = jnp.sum(a_atoms.astype(acc), axis=1)            # (nch,)
+    e0 = (0.5 / V) * pm.w0 * (asum @ jnp.asarray(Pm, acc) @ asum)
+    c6_self = jnp.einsum(
+        "cn,cd,dn->n", a_atoms.astype(acc), jnp.asarray(Pm, acc),
+        a_atoms.astype(acc))
+    e_self = pm.g_ewald_6**6 / 12.0 * jnp.sum(c6_self)
 
+    from .pppm_cells import _half_weights
+
+    wz = jnp.asarray(_half_weights(nz), acc)[None, None, :]
     if eflag or vflag:
-        s2 = jnp.real(rhat * jnp.conj(rhat))
-        ek = G * s2
+        # sum_cc' P Re[S_c conj(S_c')] = Re sum_c S_c conj(chi_c)
+        s2 = jnp.sum(jnp.real(S * jnp.conj(chi)), axis=0)
+        ek = G * s2 * wz
     if eflag:
-        elong = (0.5 / V) * jnp.sum(ek.astype(acc))
-        elong = elong + (0.5 / V) * pm.w0 * bsum * bsum \
-            + pm.g_ewald_6**6 / 12.0 * b2sum
+        elong = (0.5 / V) * jnp.sum(ek.astype(acc)) + e0 + e_self
     else:
         elong = jnp.zeros((), acc)
 
-    kx = jnp.asarray(pm.kx, acc)[:, None, None]
-    ky = jnp.asarray(pm.ky, acc)[None, :, None]
-    kz = jnp.asarray(pm.kz, acc)[None, None, :]
-
     if vflag:
-        # virial_ab = sum_k ek/(2V) [ delta_ab - k_a k_b / w * dw/dk / k ]
-        # For round 1 report the isotropic part exactly (trace = 3E - dE/dlnV
-        # contributions); off-diagonal dispersion virial deferred.
-        c = (0.5 / V)
-        third = (c * jnp.sum(ek.astype(acc))) / 3.0
-        virial = jnp.stack([third, third, third,
-                            jnp.zeros((), acc), jnp.zeros((), acc),
-                            jnp.zeros((), acc)])
+        kx = jnp.asarray(pm.kx, acc)[:, None, None]
+        ky = jnp.asarray(pm.ky, acc)[None, :, None]
+        kz = jnp.asarray(pm.kz[:nzh], acc)[None, None, :]
+        vf = jnp.asarray(pm.vfac[..., :nzh], acc)
+        c = 0.5 / V
+        virial = jnp.stack([
+            jnp.sum((ek * (1.0 + vf * kx * kx)).astype(acc)),
+            jnp.sum((ek * (1.0 + vf * ky * ky)).astype(acc)),
+            jnp.sum((ek * (1.0 + vf * kz * kz)).astype(acc)),
+            jnp.sum((ek * (vf * kx * ky)).astype(acc)),
+            jnp.sum((ek * (vf * kx * kz)).astype(acc)),
+            jnp.sum((ek * (vf * ky * kz)).astype(acc)),
+        ]) * c
+        virial = virial + e0 * jnp.asarray(
+            [1.0, 1.0, 1.0, 0.0, 0.0, 0.0], acc)
     else:
         virial = jnp.zeros((6,), acc)
 
+    # fields: one batched inverse real FFT over (nch, 3) spectral slabs
+    kxv = jnp.asarray(pm.kx, acc)[:, None, None]
+    kyv = jnp.asarray(pm.ky, acc)[None, :, None]
+    kzv = jnp.asarray(pm.kz[:nzh], acc)[None, None, :]
+    phi = G[None] * chi                                   # (nch, ...)
+    ehat = jnp.stack([(-1j) * kax * phi for kax in (kxv, kyv, kzv)],
+                     axis=1)                              # (nch, 3, ...)
     scale = 1.0 / V
-    e_mesh = []
-    for kax in (kx, ky, kz):
-        ehat = (-1j) * kax * phi_hat
-        e_mesh.append(jnp.real(jnp.fft.ifftn(ehat)) * (scale * ngrid))
+    e_fields = jnp.real(
+        jnp.fft.irfftn(ehat, s=pm.grid, axes=(2, 3, 4))
+    ) * (scale * ngrid)                                   # (nch, 3, grid)
 
     wx_ = _pppm._particle_weights(shim, x)
     bases = [w[0] for w in wx_]
     ws = [w[1] for w in wx_]
     ix, iy, iz = _pppm._stencil_indices(shim, bases)
     w3 = (ws[0][:, :, None, None] * ws[1][:, None, :, None]
-          * ws[2][:, None, None, :])
+          * ws[2][:, None, None, :]).reshape(x.shape[0], -1)
     flat = (
         (ix[:, :, None, None] * ny + iy[:, None, :, None]) * nz
         + iz[:, None, None, :]
     ).reshape(x.shape[0], -1)
-    f = []
-    for em in e_mesh:
-        ev = em.reshape(-1)[flat]
-        f.append(jnp.sum(w3.reshape(x.shape[0], -1) * ev, axis=1))
-    fvec = jnp.stack(f, axis=-1).astype(acc) * b[:, None].astype(acc)
 
+    fvec = jnp.zeros((x.shape[0], 3), acc)
+    for ci in range(nch):
+        cols = []
+        for ax in range(3):
+            ev = e_fields[ci, ax].reshape(-1)[flat]
+            cols.append(jnp.sum(w3 * ev, axis=1))
+        fvec = fvec + (jnp.stack(cols, axis=-1).astype(acc)
+                       * a_atoms[ci][:, None].astype(acc))
     return KSpaceResult(f=fvec, elong=elong, virial=virial)

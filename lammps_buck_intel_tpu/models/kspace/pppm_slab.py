@@ -70,21 +70,21 @@ def patches_to_grid_slab(patches, ps: PatchSpec, nc_loc, dtype=None):
 
 
 def grid_to_patches_slab(mesh_ext, ps: PatchSpec, nc_loc):
-    """((ncx_loc+2)*Sx, ny, nz) extended slab -> (ncell_loc, Px, Py, Pz)."""
+    """((ncx_loc+2)*Sx, ny, nz) extended slab -> (ncell_loc, Px, Py, Pz).
+
+    Same strided-window extraction as pppm_cells.grid_to_patches; the x
+    axis reads the halo-extended slab instead of wrapping (window of cell
+    lx starts at ext index Sx + lx*Sx - lo_off)."""
+    from .pppm_cells import _expand_axis
+
     ncx, ncy, ncz = nc_loc
-    Sx, Sy, Sz = ps.S
-    G = mesh_ext.reshape(ncx + 2, Sx, ncy, Sy, ncz, Sz)
-    pat = jnp.zeros((ncx, ncy, ncz, *ps.P), mesh_ext.dtype)
-    for (ox, oy, oz) in _OFF3:
-        psx, gsx = _ranges(ps, 0, ox)
-        psy, gsy = _ranges(ps, 1, oy)
-        psz, gsz = _ranges(ps, 2, oz)
-        part = jnp.moveaxis(
-            G[1 + ox:1 + ox + ncx, gsx, :, gsy, :, gsz], (1, 3, 5), (3, 4, 5)
-        )
-        part = jnp.roll(part, (-oy, -oz), axis=(1, 2))
-        pat = pat.at[:, :, :, psx, psy, psz].add(part)
-    return pat.reshape(ncx * ncy * ncz, *ps.P)
+    Sx = ps.S[0]
+    a = _expand_axis(mesh_ext, 0, ncx, Sx, ps.P[0], ps.lo_off[0],
+                     periodic=False, start=Sx - ps.lo_off[0])
+    a = _expand_axis(a, 2, ncy, ps.S[1], ps.P[1], ps.lo_off[1])
+    a = _expand_axis(a, 4, ncz, ps.S[2], ps.P[2], ps.lo_off[2])
+    a = jnp.transpose(a, (0, 2, 4, 1, 3, 5))
+    return a.reshape(ncx * ncy * ncz, *ps.P)
 
 
 def fft3_slab(mesh_loc, axis: str, D: int):

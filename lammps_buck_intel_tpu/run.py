@@ -155,6 +155,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 pm = setup_pppm(box, q, cutoff=cutc, accuracy_rel=acc,
                                 qqrd2e=u.qqrd2e,
                                 order=ks.get("order", 5),
+                                diff=ks.get("diff", "ik"),
                                 acc_dtype=prec.acc)
                 style = style.replace(g_ewald=pm.g_ewald)
                 solvers.append(pm)
@@ -162,18 +163,32 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 tol = ks.get("force_disp_real", 1e-4)
                 g6 = solve_g6(ps["cut"], tol)
                 style = style.replace(g_ewald_6=g6)
-                # geometric-mixing B from diagonal coeffs
+                mix = ks.get("mix", ps.get("mix", "geometric"))
                 if style.cfg.vdw == "lj":
                     eps = np.array([coeffs[(t, t)][0] for t in range(ntypes)])
                     sig = np.array([coeffs[(t, t)][1] for t in range(ntypes)])
                     B = np.sqrt(4.0 * eps) * sig**3
                 else:
+                    eps = sig = None
                     B = np.sqrt(np.array(
                         [coeffs[(t, t)][2] for t in range(ntypes)]
                     ))
+                kw_mix = {}
+                if mix == "arithmetic":
+                    kw_mix = dict(epsilon=eps, sigma=sig)
+                elif mix == "none":
+                    # full per-pair C6 from the style's own mixed tables
+                    # (buck: the C coefficient; lj: 4 eps_ij sig_ij^6)
+                    # column 3 ("e1") is the r^-6 energy coefficient for
+                    # both families: lj4 = 4 eps sig^6, buck c
+                    kw_mix = dict(C6=np.asarray(style.tables)[:, :, 3])
                 pmd = setup_pppm_disp(box, B, typ, cutoff=ps["cut"],
-                                      g_ewald_6=g6, acc_dtype=prec.acc)
-                solvers.append(BoundKSpace(pmd, B[typ]))
+                                      g_ewald_6=g6, acc_dtype=prec.acc,
+                                      mix=mix, **kw_mix)
+                if mix == "geometric":
+                    solvers.append(BoundKSpace(pmd, B[typ]))
+                else:
+                    solvers.append(BoundKSpace(pmd, typ, typed=True))
         else:
             raise ValueError(f"unknown kspace style {kname!r}")
     if len(solvers) == 1:
@@ -273,6 +288,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                              accuracy_rel=ks.get("accuracy", 1e-4),
                              qqrd2e=u.qqrd2e, order=ks.get("order", 5),
                              g_ewald=style.g_ewald,
+                             diff=ks.get("diff", "ik"),
                              multiple_of=sim.grid.nc, acc_dtype=prec.acc)
                 sim.kspace = CellPPPM(pm2, sim.grid, skin=policy.skin)
                 sim.state = sim._init_force_fn()(sim.state)

@@ -52,6 +52,15 @@ def profile_phases(sim, nscan: int = 10, reps: int = 3) -> dict:
     state = sim.state
     out = {}
 
+    def _chain(st, fx, fy, fz):
+        # chain ALL coordinate planes through the scan: chaining only x
+        # lets XLA hoist every y/z-dependent stage (spline weights, tile
+        # diffs) out of the loop and under-report the phase by ~2x
+        flt = st.x.dtype
+        return st._replace(x=st.x + 0.0 * fx.astype(flt),
+                           y=st.y + 0.0 * fy.astype(flt),
+                           z=st.z + 0.0 * fz.astype(flt))
+
     def pair_only(st):
         spp = sim._slot_specials(st)
         from ..models.pair.cellpair import compute_cellpair
@@ -61,7 +70,7 @@ def profile_phases(sim, nscan: int = 10, reps: int = 3) -> dict:
             acc_dtype=sim.precision.acc,
             slot_special_idx=spp[0], slot_special_code=spp[1],
         )
-        return st._replace(x=st.x + 0.0 * rr.fx.astype(st.x.dtype))
+        return _chain(st, rr.fx, rr.fy, rr.fz)
 
     out["pair"] = _honest_ms(pair_only, state, nscan, reps)
 
@@ -72,8 +81,8 @@ def profile_phases(sim, nscan: int = 10, reps: int = 3) -> dict:
             else:
                 xs = jnp.stack([st.x, st.y, st.z], -1)
                 kr = sim.kspace.compute(xs, st.q, eflag=False, vflag=False)
-                fx = kr.f[:, 0]
-            return st._replace(x=st.x + 0.0 * fx.astype(st.x.dtype))
+                fx, fy, fz = kr.f[:, 0], kr.f[:, 1], kr.f[:, 2]
+            return _chain(st, fx, fy, fz)
 
         out["kspace"] = _honest_ms(kspace_only, state, nscan, reps)
 

@@ -194,3 +194,37 @@ def dispersion_direct(x, B, L, images=3):
                 # contribute -3 c6 r^-8 d to F_i, so -6 per ordered term here
                 F[i] += -6.0 * c6 * r6 / rsq * d
     return E, F
+
+
+def dispersion_direct_c6(x, typ, C6, L, images=3):
+    """Direct lattice sum of E = -sum_{i<j} C6[ti,tj]/r^6 with an
+    arbitrary symmetric per-type C6 matrix.  Returns (E, F, virial(6,))
+    with the repo's half-per-ordered-pair virial convention."""
+    n = len(x)
+    L = np.asarray(L, float)
+    E = 0.0
+    F = np.zeros((n, 3))
+    vir = np.zeros(6)
+    shifts = []
+    for nx in range(-images, images + 1):
+        for ny in range(-images, images + 1):
+            for nz in range(-images, images + 1):
+                shifts.append(np.array([nx, ny, nz]) * L)
+    comps = [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]
+    for i in range(n):
+        for j in range(n):
+            for s in shifts:
+                if i == j and not s.any():
+                    continue
+                d = x[i] - x[j] + s
+                rsq = float(d @ d)
+                c6 = C6[typ[i], typ[j]]
+                r6 = rsq**-3
+                E += -0.5 * c6 * r6
+                fscalar = -6.0 * c6 * r6 / rsq
+                F[i] += fscalar * d
+                for ci, (a, b) in enumerate(comps):
+                    vir[ci] += 0.5 * fscalar * d[a] * d[b]
+    # ordered double-count gives each unordered pair twice; the 0.5 above
+    # restores the single count (trace identity: vir_trace == 6 E)
+    return E, F, vir

@@ -119,3 +119,92 @@ def test_pppm_grid_selection_accuracy_scaling():
     g1 = setup_pppm(box, q, cutoff=3.5, accuracy_rel=1e-3, qqrd2e=1.0).grid
     g2 = setup_pppm(box, q, cutoff=3.5, accuracy_rel=1e-5, qqrd2e=1.0).grid
     assert all(b >= a for a, b in zip(g1, g2))
+
+
+# ---------- ad (analytic differentiation) path ----------
+
+def _ad_setup(seed=7, n=36, L=8.0, order=5, grid=(32, 32, 32)):
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(0, L, (n, 3))
+    q = rng.uniform(-1, 1, n)
+    q -= q.mean()
+    box = make_box([0, 0, 0], [L] * 3)
+    pm_ik = setup_pppm(box, q, cutoff=2.5, accuracy_rel=1e-6, qqrd2e=1.0,
+                       g_ewald=1.0, order=order, grid=grid,
+                       acc_dtype=jnp.float64)
+    pm_ad = setup_pppm(box, q, cutoff=2.5, accuracy_rel=1e-6, qqrd2e=1.0,
+                       g_ewald=1.0, order=order, grid=grid,
+                       acc_dtype=jnp.float64, diff="ad")
+    return x, q, pm_ik, pm_ad
+
+
+def test_pppm_ad_raw_force_is_exact_energy_gradient():
+    """Before the self-force correction, the ad force must equal
+    -dE_discrete/dx of the deposited spectral energy EXACTLY (autodiff):
+    the waiver in the ik tests does not apply to ad."""
+    import dataclasses
+
+    from lammps_buck_intel_tpu.models.kspace.pppm import deposit_rho
+
+    x, q, _, pm_ad = _ad_setup()
+    pm_raw = dataclasses.replace(
+        pm_ad, sf_sine=np.zeros_like(pm_ad.sf_sine))
+    f_raw = np.asarray(pm_raw.compute(jnp.asarray(x), jnp.asarray(q)).f)
+
+    def energy(xx):
+        mesh = deposit_rho(pm_raw, xx, jnp.asarray(q))
+        rhat = jnp.fft.fftn(mesh.astype(jnp.complex128))
+        ek = jnp.asarray(pm_raw.greensfn) * jnp.real(
+            rhat * jnp.conj(rhat))
+        return (0.5 / pm_raw.volume) * jnp.sum(ek)
+
+    g = np.asarray(jax.grad(energy)(jnp.asarray(x)))
+    fscale = np.abs(f_raw).max()
+    np.testing.assert_allclose(f_raw, -g, rtol=0, atol=1e-9 * fscale)
+
+
+def test_pppm_ad_matches_ik():
+    x, q, pm_ik, pm_ad = _ad_setup()
+    f_ik = np.asarray(pm_ik.compute(jnp.asarray(x), jnp.asarray(q)).f)
+    r_ad = pm_ad.compute(jnp.asarray(x), jnp.asarray(q))
+    f_ad = np.asarray(r_ad.f)
+    scale = np.abs(f_ik).max()
+    err = np.abs(f_ad - f_ik).max() / scale
+    # energies identical (same spectral solve)
+    e_ik = float(pm_ik.compute(jnp.asarray(x), jnp.asarray(q)).elong)
+    np.testing.assert_allclose(float(r_ad.elong), e_ik, rtol=1e-12)
+    # ad within the two schemes' shared discretization accuracy
+    assert err < 2e-3, err
+
+
+def test_pppm_ad_self_force_correction():
+    """The measured sine-series sf (the sf_coeff analog) must cancel the
+    spurious single-charge self-force by orders of magnitude."""
+    import dataclasses
+
+    L = 8.0
+    box = make_box([0, 0, 0], [L] * 3)
+    q1 = np.array([1.0])
+    pm = setup_pppm(box, q1, cutoff=2.5, accuracy_rel=1e-6, qqrd2e=1.0,
+                    g_ewald=1.0, order=5, grid=(32, 32, 32),
+                    acc_dtype=jnp.float64, diff="ad")
+    pm_raw = dataclasses.replace(pm, sf_sine=np.zeros_like(pm.sf_sine))
+    h = np.asarray(pm.h)
+    raws, cors = [], []
+    for s in (0.137, 0.3, 0.444, 0.71, 0.9):
+        x = np.array([[1.0 + s * h[0], 2.0 + 0.37 * h[1],
+                       3.0 + 0.81 * h[2]]])
+        raws.append(np.abs(np.asarray(
+            pm_raw.compute(jnp.asarray(x), jnp.asarray(q1)).f)).max())
+        cors.append(np.abs(np.asarray(
+            pm.compute(jnp.asarray(x), jnp.asarray(q1)).f)).max())
+    assert max(cors) < max(raws) / 50.0, (max(cors), max(raws))
+
+
+def test_pppm_ad_vs_golden_ewald():
+    x, q, _, pm_ad = _ad_setup(grid=(40, 40, 40), order=7)
+    f_ad = np.asarray(pm_ad.compute(jnp.asarray(x), jnp.asarray(q)).f)
+    _, _, _, _, ref_f = golden.ewald_sum(x, q, np.asarray([8.0] * 3),
+                                         g_ewald=1.0, kmax=16)
+    scale = np.abs(ref_f).max()
+    np.testing.assert_allclose(f_ad, ref_f, rtol=0, atol=2e-4 * scale)

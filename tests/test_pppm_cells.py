@@ -119,3 +119,45 @@ def test_cellpair_simulation_with_pppm(reference_dir):
     e0 = rows[0]["etotal"]
     drift = max(abs(r["etotal"] - e0) for r in rows) / abs(e0)
     assert drift < 5e-4, f"drift {drift}"
+
+
+def test_cellpppm_ad_matches_generic_ad():
+    """ad through the patch pipeline == ad through the generic pipeline."""
+    x, q, L = _system()
+    box, grid, st = _slots(x, q, L)
+    pm = setup_pppm(box, q, cutoff=4.0, accuracy_rel=1e-5, qqrd2e=1.0,
+                    multiple_of=grid.nc, acc_dtype=jnp.float64, diff="ad")
+    cp = CellPPPM(pm, grid)
+    fx, fy, fz, elong, vir = cp.compute_slots(st, True, True)
+    back = cs.to_atoms(grid, st._replace(
+        fx=fx.astype(jnp.float64), fy=fy.astype(jnp.float64),
+        fz=fz.astype(jnp.float64)))
+    ref = pm.compute(jnp.asarray(x), jnp.asarray(q))
+    scale = float(jnp.abs(ref.f).max())
+    np.testing.assert_allclose(np.asarray(back["f"]), np.asarray(ref.f),
+                               rtol=0, atol=1e-10 * scale)
+    np.testing.assert_allclose(float(elong), float(ref.elong), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(vir), np.asarray(ref.virial),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_cellpppm_peratom_pins_to_totals():
+    """Per-atom kspace energy/virial sum exactly to elong/virial."""
+    x, q, L = _system()
+    box, grid, st = _slots(x, q, L)
+    pm = setup_pppm(box, q, cutoff=4.0, accuracy_rel=1e-5, qqrd2e=1.0,
+                    multiple_of=grid.nc, acc_dtype=jnp.float64)
+    cp = CellPPPM(pm, grid)
+    _, _, _, elong, vir = cp.compute_slots(st, True, True)
+    eatom, vatom = cp.compute_peratom_slots(st)
+    np.testing.assert_allclose(float(eatom.sum()), float(elong),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(vatom).sum(axis=0),
+                               np.asarray(vir), rtol=1e-9, atol=1e-12)
+    # generic pipeline agrees per atom
+    ea_g, va_g = pmod.compute_peratom(pm, jnp.asarray(x), jnp.asarray(q))
+    back = cs.to_atoms(grid, st._replace(fx=eatom.astype(jnp.float64),
+                                         fy=eatom.astype(jnp.float64),
+                                         fz=eatom.astype(jnp.float64)))
+    np.testing.assert_allclose(np.asarray(back["f"][:, 0]),
+                               np.asarray(ea_g), rtol=1e-9, atol=1e-12)

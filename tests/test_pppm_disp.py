@@ -90,3 +90,130 @@ def test_disp_forces_sum_zero():
 def test_g6_heuristic_monotonic():
     assert solve_g6(9.8, 1e-4) < solve_g6(9.8, 1e-6)
     assert solve_g6(5.0, 1e-4) > solve_g6(10.0, 1e-4)
+
+
+def test_disp_arithmetic_vs_direct_sum():
+    """7-channel arithmetic mixing (function[2] analog) vs direct sum."""
+    x, typ, L = _disp_system(seed=5)
+    box = make_box([0, 0, 0], [L] * 3)
+    eps = np.array([0.30, 0.18])
+    sig = np.array([1.10, 1.45])   # distinct enough that LB != geometric
+    cut = 3.2
+    g6 = solve_g6(cut, 1e-5)
+    pm = setup_pppm_disp(box, np.sqrt(4 * eps) * sig**3, typ, cutoff=cut,
+                         g_ewald_6=g6, grid=(32, 32, 32),
+                         acc_dtype=jnp.float64, mix="arithmetic",
+                         epsilon=eps, sigma=sig)
+    kr = pm.compute_typed(jnp.asarray(x), np.asarray(typ))
+
+    # real-space damped part with arithmetic-mixed C6
+    style = build_lj(
+        2, {0: (eps[0], sig[0]), 1: (eps[1], sig[1])},
+        cut_global=cut, disp="long", mix="arithmetic", dtype=jnp.float64,
+    ).replace(g_ewald_6=g6)
+    t = np.array(style.tables)
+    t[..., 0] = 0.0
+    t[..., 2] = 0.0
+    style = style.replace(tables=t)
+    n = len(x)
+    spec = make_spec(n, [L] * 3, cut + 0.3, dense=True)
+    nl = build(jnp.asarray(x), box, spec)
+    pr = compute_pair(style, jnp.asarray(x), jnp.asarray(typ),
+                      jnp.zeros(n), box, nl, eflag=True, vflag=True,
+                      acc_dtype=jnp.float64)
+
+    sij = 0.5 * (sig[:, None] + sig[None, :])
+    C6 = 4.0 * np.sqrt(eps[:, None] * eps[None, :]) * sij**6
+    e_direct, f_direct, v_direct = golden.dispersion_direct_c6(
+        x, typ, C6, [L] * 3, images=3)
+    e_total = float(pr.evdwl) + float(kr.elong)
+    np.testing.assert_allclose(e_total, e_direct, rtol=3e-4)
+    f_total = np.asarray(pr.f) + np.asarray(kr.f)
+    scale = np.abs(f_direct).max()
+    np.testing.assert_allclose(f_total / scale, f_direct / scale,
+                               atol=2e-3)
+
+
+def test_disp_nomix_vs_direct_sum():
+    """nsplit eigen-channel pipeline (function[3] analog) with a C6 matrix
+    that is NOT low-rank-1 (geometric) — includes a negative eigenvalue."""
+    x, typ, L = _disp_system(seed=8)
+    box = make_box([0, 0, 0], [L] * 3)
+    C6 = np.array([[1.3, 0.25], [0.25, 0.9]])  # far from geometric
+    cut = 3.2
+    g6 = solve_g6(cut, 1e-5)
+    pm = setup_pppm_disp(box, np.sqrt(np.diag(C6)), typ, cutoff=cut,
+                         g_ewald_6=g6, grid=(32, 32, 32),
+                         acc_dtype=jnp.float64, mix="none", C6=C6)
+    assert pm.A.shape[0] >= 2  # really split into multiple channels
+    kr = pm.compute_typed(jnp.asarray(x), np.asarray(typ))
+
+    # real-space damped part with EXPLICIT per-pair coeffs matching C6
+    coeffs = {}
+    for i in range(2):
+        for j in range(i, 2):
+            sig_ij = 1.0
+            eps_ij = C6[i, j] / 4.0
+            coeffs[(i, j)] = (eps_ij, sig_ij)
+    style = build_lj(2, coeffs, cut_global=cut, disp="long",
+                     dtype=jnp.float64).replace(g_ewald_6=g6)
+    t = np.array(style.tables)
+    t[..., 0] = 0.0
+    t[..., 2] = 0.0
+    style = style.replace(tables=t)
+    n = len(x)
+    spec = make_spec(n, [L] * 3, cut + 0.3, dense=True)
+    nl = build(jnp.asarray(x), box, spec)
+    pr = compute_pair(style, jnp.asarray(x), jnp.asarray(typ),
+                      jnp.zeros(n), box, nl, eflag=True, vflag=False,
+                      acc_dtype=jnp.float64)
+    e_direct, f_direct, _ = golden.dispersion_direct_c6(
+        x, typ, C6, [L] * 3, images=3)
+    np.testing.assert_allclose(float(pr.evdwl) + float(kr.elong),
+                               e_direct, rtol=3e-4)
+    f_total = np.asarray(pr.f) + np.asarray(kr.f)
+    scale = np.abs(f_direct).max()
+    np.testing.assert_allclose(f_total / scale, f_direct / scale,
+                               atol=2e-3)
+
+
+def test_disp_anisotropic_virial_vs_direct_sum():
+    """Full dispersion virial tensor (replaces the r1 isotropic stub):
+    damped-real pair virial + kspace virial == direct-sum virial,
+    including off-diagonals, in an anisotropy-revealing configuration."""
+    x, typ, L = _disp_system(seed=11, n=16)
+    # squash the configuration so the tensor is strongly anisotropic
+    x = np.asarray(x)
+    x[:, 2] *= 0.5
+    box = make_box([0, 0, 0], [L] * 3)
+    B = np.array([0.9, 0.55])
+    cut = 3.2
+    g6 = solve_g6(cut, 1e-5)
+    pm = setup_pppm_disp(box, B, typ, cutoff=cut, g_ewald_6=g6,
+                         grid=(32, 32, 32), acc_dtype=jnp.float64)
+    kr = pm.compute(jnp.asarray(x), jnp.asarray(B[typ]))
+
+    eps_sig = {}
+    for t_ in range(2):
+        eps_sig[t_] = (B[t_] ** 2 / 4.0, 1.0)
+    style = build_lj(2, eps_sig, cut_global=cut, disp="long",
+                     dtype=jnp.float64).replace(g_ewald_6=g6)
+    t = np.array(style.tables)
+    t[..., 0] = 0.0
+    t[..., 2] = 0.0
+    style = style.replace(tables=t)
+    n = len(x)
+    spec = make_spec(n, [L] * 3, cut + 0.3, dense=True)
+    nl = build(jnp.asarray(x), box, spec)
+    pr = compute_pair(style, jnp.asarray(x), jnp.asarray(typ),
+                      jnp.zeros(n), box, nl, eflag=True, vflag=True,
+                      acc_dtype=jnp.float64)
+    C6 = B[:, None] * B[None, :]
+    _, _, v_direct = golden.dispersion_direct_c6(x, typ, C6, [L] * 3,
+                                                 images=3)
+    v_total = np.asarray(pr.virial) + np.asarray(kr.virial)
+    scale = np.abs(v_direct).max()
+    # off-diagonals must be nontrivial for this to mean anything
+    assert np.abs(v_direct[3:]).max() > 1e-3 * scale
+    np.testing.assert_allclose(v_total / scale, v_direct / scale,
+                               atol=3e-3)

@@ -135,8 +135,12 @@ def test_slab_pppm_matches_single_device():
         assert abs(ra["ecoul"] - rb["ecoul"]) < 1e-7 * (abs(ra["ecoul"])
                                                         + 1e-30)
         assert abs(ra["etotal"] - rb["etotal"]) < 1e-8 * abs(ra["etotal"])
-        np.testing.assert_allclose(rb["virial"], ra["virial"],
-                                   rtol=1e-6, atol=1e-7)
+        # off-diagonals are ~1e-5 of the diagonal here; the two pipelines
+        # (half- vs full-spectrum sums) agree to roundoff of the SCALE
+        vscale = np.abs(ra["virial"]).max()
+        np.testing.assert_allclose(rb["virial"] / vscale,
+                                   ra["virial"] / vscale,
+                                   rtol=0, atol=1e-7)
 
     xa = simA.get_atoms()["x"]
     xb = simB.get_atoms()["x"]
