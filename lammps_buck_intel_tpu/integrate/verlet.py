@@ -102,6 +102,7 @@ class Simulation:
         self.neighbor = neighbor or NeighborPolicy(skin=units.skin)
 
         n = system.n_atoms
+        self.n_atoms = n
         flt = self.precision.flt
         # Per-atom constants are HOST numpy: they are closed over by jitted
         # step functions, and closed-over device arrays poison XLA codegen

@@ -75,6 +75,16 @@ def replicate(
     nx, ny, nz = nrep
     n = x.shape[0]
     L = hi - lo
+    # Unwrap by image flags BEFORE tiling: a molecule straddling an
+    # original periodic boundary is only bonded through that boundary —
+    # in the enlarged box the wrapped copies would sit a full original
+    # box-length apart (35 A "bonds" in replicated SPC/E).  The engines
+    # re-wrap (and recompute images) at init.
+    per_atom = dict(per_atom) if per_atom else {}
+    img = per_atom.get("image")
+    if img is not None:
+        x = x + np.asarray(img, np.float64) * L
+        per_atom["image"] = np.zeros_like(np.asarray(img))
     shifts = []
     for iz in range(nz):
         for iy in range(ny):

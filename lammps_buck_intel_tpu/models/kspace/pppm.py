@@ -119,6 +119,12 @@ class PPPM:
     # at setup against THIS grid/Green fn (the sf_coeff analog, measured
     # instead of the alias-sum closed form)
     sf_sine: Optional[np.ndarray] = None
+    # 2d-slab mode (kspace_modify slab <factor>; the slabflag==1 slabcorr
+    # of /root/reference/pppm_intel.cpp:305): the k-space box is extended
+    # by `slab` along z (vacuum padding) and the Yeh-Berkowitz EW3DC
+    # dipole term removes the inter-slab coupling.  grid/h/volume/kz in
+    # this object are all EXTENDED-box quantities when slab is set.
+    slab: Optional[float] = None
 
     @property
     def elong_self(self) -> float:
@@ -145,12 +151,18 @@ def setup_pppm(
     acc_dtype=jnp.float32,
     multiple_of: Optional[tuple[int, int, int]] = None,
     diff: str = "ik",
+    slab: Optional[float] = None,
 ) -> PPPM:
     q = np.asarray(q, np.float64)
     natoms = len(q)
     qsum = float(q.sum())
     qsqsum = float((q * q).sum())
     L = np.asarray(box.lengths, np.float64)
+    if slab is not None:
+        if slab < 2.0:
+            raise ValueError("slab factor must be >= 2 (vacuum padding)")
+        L = L.copy()
+        L[2] *= slab  # all k-space geometry below uses the extended box
     volume = float(np.prod(L))
     q2 = qsqsum * qqrd2e
     accuracy = accuracy_rel * two_charge_force(qqrd2e)
@@ -200,8 +212,33 @@ def setup_pppm(
         volume=volume, box_lo=tuple(float(v) for v in np.asarray(box.lo)),
         h=tuple(float(L[i] / grid[i]) for i in range(3)),
         acc_dtype=acc_dtype, accuracy_abs=float(accuracy),
-        diff=diff, sf_sine=sf_sine,
+        diff=diff, sf_sine=sf_sine, slab=slab,
     )
+
+
+def slab_correction(pm: PPPM, x, q, eflag: bool):
+    """Yeh-Berkowitz EW3DC dipole term (host-LAMMPS slabcorr(), called at
+    /root/reference/pppm_intel.cpp:305): energy + z-forces removing the
+    spurious inter-slab coupling of the extended-box periodic solve.
+    Returns (e_slab, fz (N,))."""
+    acc = pm.acc_dtype
+    V = float(pm.volume)                    # extended volume
+    zprd = pm.h[2] * pm.grid[2]             # extended z length
+    qqrd2e = float(pm.qqrd2e)
+    z = x[:, 2].astype(acc)
+    qa = q.astype(acc)
+    dipole = jnp.sum(qa * z)
+    dipole_r2 = jnp.sum(qa * z * z)
+    qsum = pm.qsum
+    two_pi = 2.0 * math.pi
+    if eflag:
+        e = (two_pi / V) * (dipole * dipole - qsum * dipole_r2
+                            - qsum * qsum * zprd * zprd / 12.0) * qqrd2e
+    else:
+        e = jnp.zeros((), acc)
+    ffact = -(2.0 * two_pi / V) * qqrd2e
+    fz = ffact * qa * (dipole - qsum * z)
+    return e, fz
 
 
 def coulomb_kernel(g_ewald):
@@ -458,6 +495,11 @@ def _pppm_compute(pm: PPPM, x, q, eflag: bool, vflag: bool) -> KSpaceResult:
     fvec = jnp.stack(f, axis=-1).astype(acc)
     fvec = fvec * (qqrd2e * q[:, None]).astype(acc)
 
+    if pm.slab is not None:
+        e_slab, fz = slab_correction(pm, x, q, eflag)
+        elong = elong + e_slab
+        fvec = fvec.at[:, 2].add(fz)
+
     return KSpaceResult(f=fvec, elong=elong, virial=virial)
 
 
@@ -597,4 +639,8 @@ def _pppm_compute_ad(pm: PPPM, x, q, eflag: bool, vflag: bool
     fvec = jnp.stack(f, axis=-1).astype(acc)
     fvec = fvec * (qqrd2e * q[:, None]).astype(acc)
     fvec = fvec - sf_correction(pm, x, q).astype(acc)
+    if pm.slab is not None:
+        e_slab, fz = slab_correction(pm, x, q, eflag)
+        elong = elong + e_slab
+        fvec = fvec.at[:, 2].add(fz)
     return KSpaceResult(f=fvec, elong=elong, virial=virial)

@@ -80,6 +80,44 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     else:
         raise ValueError("deck needs read_data or lattice")
 
+    # ---- region delete (the in.spce_if / in.hexane_if interface recipe:
+    # `region block ...` + `delete_atoms region <r> mol yes`) ----
+    for dl in cfg.get("delete_atoms", []):
+        reg = cfg["regions"][dl["region"]]
+        if reg.get("style", "block") != "block":
+            raise ValueError("only block regions are supported")
+        b = np.asarray(reg["bounds"], np.float64)  # [xlo,xhi,ylo,...]
+        # region tests run on WRAPPED coordinates (replicate returns
+        # unwrapped straddler molecules)
+        xw = np.asarray(lo) + np.mod(x - np.asarray(lo),
+                                     np.asarray(hi) - np.asarray(lo))
+        inside = np.ones(len(x), bool)
+        for ax in range(3):
+            inside &= (xw[:, ax] >= b[2 * ax]) & (xw[:, ax] <= b[2 * ax + 1])
+        if dl.get("mol") and mol is not None:
+            inside = np.isin(mol, np.unique(np.asarray(mol)[inside]))
+        keep = ~inside
+        remap = -np.ones(len(x), np.int64)
+        remap[keep] = np.arange(int(keep.sum()))
+        x = x[keep]
+        typ = typ[keep] if typ is not None else None
+        q = q[keep] if q is not None else None
+        image = image[keep] if image is not None else None
+        mol = np.asarray(mol)[keep] if mol is not None else None
+        v0 = v0[keep] if v0 is not None else None
+        if bonds is not None and len(bonds):
+            ok = keep[bonds[:, 1]] & keep[bonds[:, 2]]
+            bonds = bonds[ok]
+            bonds = np.column_stack([bonds[:, 0], remap[bonds[:, 1]],
+                                     remap[bonds[:, 2]]]).astype(bonds.dtype)
+        if angles is not None and len(angles):
+            ok = (keep[angles[:, 1]] & keep[angles[:, 2]]
+                  & keep[angles[:, 3]])
+            angles = angles[ok]
+            angles = np.column_stack(
+                [angles[:, 0], remap[angles[:, 1]], remap[angles[:, 2]],
+                 remap[angles[:, 3]]]).astype(angles.dtype)
+
     n = len(x)
     if typ is None:
         typ = np.zeros(n, np.int32)
@@ -156,6 +194,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                                 qqrd2e=u.qqrd2e,
                                 order=ks.get("order", 5),
                                 diff=ks.get("diff", "ik"),
+                                slab=ks.get("slab"),
                                 acc_dtype=prec.acc)
                 style = style.replace(g_ewald=pm.g_ewald)
                 solvers.append(pm)
@@ -270,7 +309,10 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     if engine == "cellpair":
         try:
             use_cellpppm = (
-                ks and ks.get("name") == "pppm" and style.cfg.coul == "long"
+                ks and ks.get("name") == "pppm"
+                and style.cfg.coul == "long"
+                and not ks.get("slab")  # slab grids are z-extended past
+                # the cell grid; the generic pipeline handles them
             )
             kw2 = dict(common)
             if use_cellpppm:

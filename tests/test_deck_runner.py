@@ -200,3 +200,38 @@ def test_nan_guard_fires():
     sim.state = sim.state._replace(v=sim.state.v.at[0, 0].set(jnp.nan))
     with pytest.raises(RuntimeError, match="diverged"):
         sim.thermo()
+
+
+def test_spce_interface_deck(reference_dir):
+    """in.spce_if analog: region-delete carves a vacuum slab; the run
+    stays stable (inhomogeneous PPPM)."""
+    cfg = _load("spce_if.yaml")
+    cfg["replicate"] = [1, 2, 1]
+    # scale the delete region to this replicate (upper half in y)
+    cfg["regions"]["bigZ"]["bounds"] = [0.0, 36.0, 36.0, 72.0, 0.0, 36.0]
+    cfg["run"] = 6
+    cfg["thermo"] = 3
+    cfg["precision"] = "double"
+    sim, rows = run_deck(cfg, log=False)
+    n_full = 4500 * 2
+    assert sim.n_atoms < n_full  # molecules really deleted
+    assert sim.n_atoms % 3 == 0  # whole molecules only
+    assert rows[0]["elong"] != 0.0
+    assert np.isfinite(rows[-1]["etotal"])
+    e0 = rows[0]["etotal"]
+    assert abs(rows[-1]["etotal"] - e0) / abs(e0) < 1e-3
+
+
+def test_hexane_interface_deck(reference_dir):
+    """in.hexane_if analog: dispersion-PPPM over a liquid/vacuum slab."""
+    cfg = _load("hexane_if.yaml")
+    cfg["replicate"] = [1, 1, 1]
+    cfg["regions"]["bigZ"]["bounds"] = [0.0, 105.0, 25.0, 51.0, 0.0, 42.0]
+    cfg["run"] = 4
+    cfg["thermo"] = 2
+    cfg["precision"] = "double"
+    sim, rows = run_deck(cfg, log=False)
+    assert sim.n_atoms < 6000  # molecules really deleted (data has 6000)
+    assert sim.n_atoms % 6 == 0  # hexane united-atom molecules
+    assert rows[0]["elong"] != 0.0
+    assert np.isfinite(rows[-1]["etotal"])

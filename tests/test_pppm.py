@@ -208,3 +208,85 @@ def test_pppm_ad_vs_golden_ewald():
                                          g_ewald=1.0, kmax=16)
     scale = np.abs(ref_f).max()
     np.testing.assert_allclose(f_ad, ref_f, rtol=0, atol=2e-4 * scale)
+
+
+def test_pppm_slab_correction_vs_xy_periodic_direct():
+    """kspace_modify slab analog (EW3DC): total electrostatics of a thin
+    charge slab (real erfc pairs + z-extended PPPM + Yeh-Berkowitz
+    dipole term) must match a direct sum that is periodic in x,y ONLY."""
+    from lammps_buck_intel_tpu.models.kspace.pppm import slab_correction
+
+    L = 8.0
+    Lz = 12.0  # real box holds the vacuum gap; atoms live in z [3, 5]
+    rng = np.random.RandomState(4)
+    # four +/- dipole pairs with alternating orientation: the unit cell
+    # carries NO net dipole, so the xy-image golden converges ~K^-3
+    base = np.column_stack([
+        rng.uniform(0, L, 4), rng.uniform(0, L, 4),
+        rng.uniform(3.2, 4.0, 4),
+    ])
+    d = np.array([0.9, 0.7, 0.5])
+    x = []
+    q = []
+    for p_i, pos in enumerate(base):
+        s = 1.0 if p_i < 2 else -1.0
+        x += [pos, pos + s * d]
+        q += [s, -s]
+    x = np.asarray(x)
+    q = np.asarray(q)
+    n = len(x)
+    box = make_box([0, 0, 0], [L, L, Lz])
+    pm = setup_pppm(box, q, cutoff=3.0, accuracy_rel=1e-6, qqrd2e=1.0,
+                    order=7, acc_dtype=jnp.float64, slab=3.0)
+    assert abs(pm.h[2] * pm.grid[2] - 3.0 * Lz) < 1e-9  # extended z
+    kr = pm.compute(jnp.asarray(x), jnp.asarray(q))
+
+    # real-space part: erfc-screened pairs, xy minimum image (no z wrap
+    # matters: the gap exceeds any real-space range here)
+    from scipy.special import erfc as sp_erfc
+
+    g = pm.g_ewald
+    e_real = 0.0
+    f_real = np.zeros((n, 3))
+    # generous real-space range: sum xy images explicitly
+    for i in range(n):
+        for j in range(n):
+            for mx in (-1, 0, 1):
+                for my in (-1, 0, 1):
+                    if i == j and mx == 0 and my == 0:
+                        continue
+                    d = x[i] - x[j] + np.array([mx * L, my * L, 0.0])
+                    r = np.linalg.norm(d)
+                    pre = q[i] * q[j] / r
+                    e_real += 0.5 * pre * sp_erfc(g * r)
+                    fc = pre * (sp_erfc(g * r) + 2 / np.sqrt(np.pi)
+                                * g * r * np.exp(-(g * r) ** 2))
+                    f_real[i] += fc / r**2 * d
+
+    # golden: bare Coulomb, periodic in x,y only
+    K = 40
+    e_dir = 0.0
+    f_dir = np.zeros((n, 3))
+    for i in range(n):
+        for j in range(n):
+            for mx in range(-K, K + 1):
+                for my in range(-K, K + 1):
+                    if i == j and mx == 0 and my == 0:
+                        continue
+                    d = x[i] - x[j] + np.array([mx * L, my * L, 0.0])
+                    r = np.linalg.norm(d)
+                    e_dir += 0.5 * q[i] * q[j] / r
+                    f_dir[i] += q[i] * q[j] / r**3 * d
+
+    e_total = e_real + float(kr.elong)
+    f_total = f_real + np.asarray(kr.f)
+    np.testing.assert_allclose(e_total, e_dir, rtol=5e-4)
+    scale = np.abs(f_dir).max()
+    np.testing.assert_allclose(f_total / scale, f_dir / scale, atol=1e-3)
+
+    # and WITHOUT the slab machinery the same comparison must fail badly
+    pm3d = setup_pppm(box, q, cutoff=3.0, accuracy_rel=1e-6, qqrd2e=1.0,
+                      order=7, acc_dtype=jnp.float64)
+    kr3d = pm3d.compute(jnp.asarray(x), jnp.asarray(q))
+    assert abs(e_real + float(kr3d.elong) - e_dir) > \
+        50 * abs(e_total - e_dir)
