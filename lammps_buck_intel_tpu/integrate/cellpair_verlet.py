@@ -67,14 +67,16 @@ class CellPairSimulation:
                 "per axis); use Simulation (neighbor-list engine) instead"
             )
         if cap is None:
-            # size capacity from OBSERVED max occupancy (+20% margin), not
+            # size capacity from OBSERVED max occupancy (+8% margin), not
             # the mean-density guess — padding enters the pair cost
-            # quadratically ((cap/mean)^2 overcompute)
+            # quadratically ((cap/mean)^2 overcompute).  Overflow during a
+            # run is detected by the sticky flag and raised at thermo; the
+            # 8-quantized margin plus the skin-bounded drift makes it rare.
             self.grid = grid
             occ = self._occupancy(system, None)
             grid = cs.make_grid(
                 n, L, cutneigh,
-                cap=max(8, ((int(occ * 1.2) + 4 + 7) // 8) * 8),
+                cap=max(8, ((max(int(occ * 1.08), occ + 4) + 7) // 8) * 8),
             )
         self.grid = grid
 
@@ -229,11 +231,8 @@ class CellPairSimulation:
             (fx, fy, fz), *_ = self._forces(state, sp, False, False)
             if self.bonded is not None:
                 inv = self._inv_map(state)
-                bidx = (inv[jnp.asarray(self.bonded.bonds[:, 1:])]
-                        if len(self.bonded.bonds) else None)
-                aidx = (inv[jnp.asarray(self.bonded.angles[:, 1:])]
-                        if len(self.bonded.angles) else None)
-                br = self._bonded_forces(state, bidx, aidx, False)
+                br = self._bonded_forces(state, self._bonded_idx(inv),
+                                         False)
                 fx = fx + br.f[:, 0]
                 fy = fy + br.f[:, 1]
                 fz = fz + br.f[:, 2]
@@ -244,13 +243,26 @@ class CellPairSimulation:
             )
         return f
 
-    def _bonded_forces(self, st: cs.SlotState, bidx, aidx, eflag):
+    def _bonded_idx(self, inv):
+        """Traced slot-index overrides for every bonded term class."""
+        b = self.bonded
+        out = {}
+        if len(b.bonds):
+            out["bonds_idx"] = inv[jnp.asarray(b.bonds[:, 1:])]
+        if len(b.angles):
+            out["angles_idx"] = inv[jnp.asarray(b.angles[:, 1:])]
+        if len(b.dihedrals):
+            out["dihedrals_idx"] = inv[jnp.asarray(b.dihedrals[:, 1:])]
+        if len(b.impropers):
+            out["impropers_idx"] = inv[jnp.asarray(b.impropers[:, 1:])]
+        return out
+
+    def _bonded_forces(self, st: cs.SlotState, idx_kw, eflag):
         from ..models.bonded import compute_bonded
 
         xs = jnp.stack([st.x, st.y, st.z], -1)
         return compute_bonded(self.bonded, xs, self.box, eflag=eflag,
-                              acc_dtype=self.precision.acc,
-                              bonds_idx=bidx, angles_idx=aidx)
+                              acc_dtype=self.precision.acc, **idx_kw)
 
     def _block(self, state: cs.SlotState, nsteps: int,
                t_target: float = 0.0) -> cs.SlotState:
@@ -266,12 +278,8 @@ class CellPairSimulation:
         inv = self._inv_map(state) if need_inv else None
         shake_pairs = (inv[jnp.asarray(sc.pairs)] if sc is not None
                        else None)
-        bidx = aidx = None
-        if self.bonded is not None:
-            if len(self.bonded.bonds):
-                bidx = inv[jnp.asarray(self.bonded.bonds[:, 1:])]
-            if len(self.bonded.angles):
-                aidx = inv[jnp.asarray(self.bonded.angles[:, 1:])]
+        bonded_kw = (self._bonded_idx(inv) if self.bonded is not None
+                     else None)
         if cfg is not None:
             mass_col = jnp.where(minv > 0, 1.0 / jnp.maximum(minv, 1e-30),
                                  0.0)[:, None]
@@ -302,7 +310,7 @@ class CellPairSimulation:
             st = st._replace(x=x, y=y, z=z)
             (fx, fy, fz), *_ = self._forces(st, sp, False, False)
             if self.bonded is not None:
-                br = self._bonded_forces(st, bidx, aidx, False)
+                br = self._bonded_forces(st, bonded_kw, False)
                 fx = fx + br.f[:, 0]
                 fy = fy + br.f[:, 1]
                 fz = fz + br.f[:, 2]
@@ -349,12 +357,12 @@ class CellPairSimulation:
         emol = jnp.zeros((), self.precision.acc)
         if self.bonded is not None:
             inv = self._inv_map(state)
-            bidx = (inv[jnp.asarray(self.bonded.bonds[:, 1:])]
-                    if len(self.bonded.bonds) else None)
-            aidx = (inv[jnp.asarray(self.bonded.angles[:, 1:])]
-                    if len(self.bonded.angles) else None)
-            br = self._bonded_forces(state, bidx, aidx, True)
-            emol = br.ebond + br.eangle
+            br = self._bonded_forces(state, self._bonded_idx(inv), True)
+            emol = br.emol
+            # CHARMM 1-4 pair terms are tallied into the PAIR energies
+            # (dihedral_charmm.cpp ev_tally convention)
+            evdwl = evdwl + br.e14_lj
+            ecoul = ecoul + br.e14_coul
             virial = virial + br.virial
         u = self.units
         acc = self.precision.acc

@@ -270,6 +270,251 @@ def gather_force_cells(pm: PPPM, ps: PatchSpec, grid: CellGrid,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Column-block transfer: the fast deposit/gather path.
+#
+# The patch pipeline above materializes per-cell (Px, Py, Pz) bricks; the
+# 6-D window/transpose that builds them leaves Pz (~18) as the minor dim,
+# which pads to the 128-lane tile — measured ~20-30 ms per mesh at north-star
+# scale, the dominant k-space cost.  The column scheme removes every
+# small-minor tensor:
+#
+# * Work is grouped by (cx, cy) cell COLUMN (cells of a column are
+#   contiguous in cell-id order, z-minor).  Per column the z-transfer is a
+#   dense matmul against the RAW mesh z-axis: each slot's order-P_z spline
+#   window is placed at its cell's static z offset inside an (A, nz) row
+#   (block structure by construction), so  t1 = wz_rows @ E_col^T  contracts
+#   nz on the MXU with no expansion of z at all.
+# * x/y windows are produced by static one-hot expansion MATMULS
+#   (nx -> ncx*Px), a sublane-only transpose (minor dim nz untouched), and
+#   the remaining x/y contraction is one elementwise dot against the
+#   (Px*Py)-flattened weight outer product (minor dim ~361).
+#
+# Deposition is the exact transpose: rho_col = (wxy*q)^T @ wz_rows, folded
+# back through the transposed one-hot matmuls (which sum window overlaps
+# automatically).  Same make_rho/fieldforce role as the patch pipeline
+# (pppm_intel.cpp:403-527, :540-640), same results to f32 summation order.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ColumnSpec:
+    """Static geometry for the column-block transfer."""
+
+    ncol: int                  # ncx * ncy
+    A: int                     # ncz * cap (slots per column)
+    PXY: int                   # Px * Py
+    col_tile: int              # columns per lax.map tile
+
+
+def make_column_spec(ps: PatchSpec, grid: CellGrid, nz: int,
+                     col_tile: Optional[int] = None) -> ColumnSpec:
+    ncx, ncy, ncz = grid.nc
+    if ps.P[2] > nz:
+        raise ValueError("pppm z-grid smaller than one patch extent")
+    A = ncz * grid.cap
+    PXY = ps.P[0] * ps.P[1]
+    if col_tile is None:
+        # bound the (tile, A, PXY) t1 intermediate to ~96 MB
+        per_col = A * PXY * 4
+        col_tile = max(4, min(ncx * ncy, int(9.6e7 / max(per_col, 1))))
+    return ColumnSpec(ncol=ncx * ncy, A=A, PXY=PXY, col_tile=int(col_tile))
+
+
+def _onehot_expand(n: int, n_c: int, S: int, P: int, lo: int) -> np.ndarray:
+    """(n, n_c*P) one-hot window matrix with periodic wrap."""
+    m = np.zeros((n, n_c * P), np.float32)
+    for c in range(n_c):
+        for p in range(P):
+            m[(c * S - lo + p) % n, c * P + p] = 1.0
+    return m
+
+
+
+def _spread_mats(Px: int, Py: int):
+    """(Px, Px*Py) / (Py, Px*Py) one-hots: w_big = w @ K broadcasts a
+    per-axis weight row onto the flattened (px, py) axis, keeping the
+    minor dim at Px*Py (never a bare P_axis)."""
+    PXY = Px * Py
+    kx = np.zeros((Px, PXY), np.float32)
+    ky = np.zeros((Py, PXY), np.float32)
+    for a in range(Px):
+        for b in range(Py):
+            kx[a, a * Py + b] = 1.0
+            ky[b, a * Py + b] = 1.0
+    return kx, ky
+
+def _expand_xy_cols(mesh, ps: PatchSpec, grid: CellGrid, ax_mats):
+    """(..., nx, ny, nz) -> (..., ncol, Px*Py, nz); leading batch dims ok."""
+    Ax, Ay = ax_mats
+    ncx, ncy, _ = grid.nc
+    Px, Py = ps.P[0], ps.P[1]
+    nz = mesh.shape[-1]
+    e = jnp.einsum("...xyz,yu->...xuz", mesh, jnp.asarray(Ay))
+    e = jnp.einsum("...xuz,xv->...vuz", e, jnp.asarray(Ax))
+    lead = e.shape[:-3]
+    e = e.reshape(*lead, ncx, Px, ncy, Py, nz)
+    perm = tuple(range(len(lead))) + tuple(
+        len(lead) + i for i in (0, 2, 1, 3, 4))
+    e = jnp.transpose(e, perm)  # minor dim nz untouched
+    return e.reshape(*lead, ncx * ncy, Px * Py, nz)
+
+
+def _fold_xy_cols(cols, ps: PatchSpec, grid: CellGrid, ax_mats, nxyz):
+    """Transpose of _expand_xy_cols: (ncol, Px*Py, nz) -> (nx, ny, nz),
+    summing window overlaps."""
+    Ax, Ay = ax_mats
+    ncx, ncy, _ = grid.nc
+    Px, Py = ps.P[0], ps.P[1]
+    nz = cols.shape[-1]
+    e = cols.reshape(ncx, ncy, Px, Py, nz)
+    e = jnp.transpose(e, (0, 2, 1, 3, 4)).reshape(ncx * Px, ncy * Py, nz)
+    e = jnp.einsum("vuz,xv->xuz", e, jnp.asarray(Ax))
+    return jnp.einsum("xuz,yu->xyz", e, jnp.asarray(Ay))
+
+
+def _wz_rows(pm: PPPM, ps: PatchSpec, grid: CellGrid, zplane,
+             deriv: bool = False):
+    """(ncol, A, nz) z-spline rows: each slot's P_z window placed at its
+    cell's static z offset (periodic wrap via roll of the zero-padded row).
+    """
+    ncx, ncy, ncz = grid.nc
+    cap = grid.cap
+    nz = pm.grid[2]
+    Pz = ps.P[2]
+    if deriv:
+        w, dw = _axis_weights(pm, ps, grid, zplane, 2, deriv=True)
+        dw = dw * (-1.0 / pm.h[2])
+    else:
+        w = _axis_weights(pm, ps, grid, zplane, 2)
+    outs = []
+    for a in ((w, dw) if deriv else (w,)):
+        a4 = a.reshape(ncx * ncy, ncz, cap, Pz)
+        padded = jnp.pad(a4, ((0, 0), (0, 0), (0, 0), (0, nz - Pz)))
+        parts = []
+        for cz in range(ncz):
+            start = (cz * ps.S[2] - ps.lo_off[2]) % nz
+            parts.append(jnp.roll(padded[:, cz], start, axis=-1))
+        outs.append(jnp.stack(parts, axis=1).reshape(ncx * ncy,
+                                                     ncz * cap, nz))
+    return outs if deriv else outs[0]
+
+
+def _col_tiles(a, tile: int, ncol: int, fill=0.0):
+    nt = -(-ncol // tile)
+    pad = nt * tile - ncol
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+    return a.reshape(nt, tile, *a.shape[1:])
+
+
+def deposit_rho_columns(pm: PPPM, ps: PatchSpec, cs: ColumnSpec,
+                        grid: CellGrid, state: SlotState, ax_mats):
+    """Charge deposition -> (nx, ny, nz) mesh via column matmuls."""
+    ncol, A, PXY = cs.ncol, cs.A, cs.PXY
+    cap = grid.cap
+    Px, Py = ps.P[0], ps.P[1]
+    nz = pm.grid[2]
+    wx = _axis_weights(pm, ps, grid, state.x, 0).reshape(ncol, A, Px)
+    wy = _axis_weights(pm, ps, grid, state.y, 1).reshape(ncol, A, Py)
+    wzr = _wz_rows(pm, ps, grid, state.z)
+    q = state.q.reshape(ncol, A)
+
+    tile = cs.col_tile
+    wx_t = _col_tiles(wx, tile, ncol)
+    wy_t = _col_tiles(wy, tile, ncol)
+    wz_t = _col_tiles(wzr, tile, ncol)
+    q_t = _col_tiles(q, tile, ncol)
+
+    Kx, Ky = _spread_mats(Px, Py)
+
+    def one_tile(args):
+        wxb, wyb, wzb, qb = args
+        wxy = jnp.einsum("tax,xp->tap", wxb * qb[:, :, None],
+                         jnp.asarray(Kx)) \
+            * jnp.einsum("tay,yp->tap", wyb, jnp.asarray(Ky))
+        return jnp.einsum("tap,taz->tpz", wxy, wzb)
+
+    cols = jax.lax.map(one_tile, (wx_t, wy_t, wz_t, q_t))
+    cols = cols.reshape(-1, PXY, nz)[:ncol]
+    return _fold_xy_cols(cols, ps, grid, ax_mats, pm.grid)
+
+
+def gather_columns(pm: PPPM, ps: PatchSpec, cs: ColumnSpec, grid: CellGrid,
+                   state: SlotState, meshes, ax_mats, mode: str = "ik"):
+    """Field interpolation via column matmuls.
+
+    mode="ik": meshes = (Ex, Ey, Ez) -> per-slot (fx, fy, fz) (caller
+    multiplies q).  mode="ad": meshes = (U,) potential -> (-dU/dx, ...)
+    via derivative splines (fieldforce_ad analog).  mode="value": meshes =
+    list of scalar meshes -> per-slot interpolated values."""
+    ncol, A, PXY = cs.ncol, cs.A, cs.PXY
+    Px, Py = ps.P[0], ps.P[1]
+    nz = pm.grid[2]
+    flt = state.x.dtype
+
+    if mode == "ad":
+        wx, dwx = _axis_weights(pm, ps, grid, state.x, 0, deriv=True)
+        wy, dwy = _axis_weights(pm, ps, grid, state.y, 1, deriv=True)
+        dwx = dwx * (-1.0 / pm.h[0])
+        dwy = dwy * (-1.0 / pm.h[1])
+        wzr, dwzr = _wz_rows(pm, ps, grid, state.z, deriv=True)
+        wx = wx.reshape(ncol, A, Px)
+        dwx = dwx.reshape(ncol, A, Px)
+        wy = wy.reshape(ncol, A, Py)
+        dwy = dwy.reshape(ncol, A, Py)
+    else:
+        wx = _axis_weights(pm, ps, grid, state.x, 0).reshape(ncol, A, Px)
+        wy = _axis_weights(pm, ps, grid, state.y, 1).reshape(ncol, A, Py)
+        wzr = _wz_rows(pm, ps, grid, state.z)
+
+    em = jnp.stack([m.astype(flt) for m in meshes])       # (C, nx, ny, nz)
+    ecols = _expand_xy_cols(em, ps, grid, ax_mats)        # (C, ncol, PXY, nz)
+    C = em.shape[0]
+
+    tile = cs.col_tile
+    wx_t = _col_tiles(wx, tile, ncol)
+    wy_t = _col_tiles(wy, tile, ncol)
+    wz_t = _col_tiles(wzr, tile, ncol)
+    e_t = _col_tiles(jnp.moveaxis(ecols, 0, 1), tile, ncol)  # (nt,t,C,PXY,nz)
+    if mode == "ad":
+        dwx_t = _col_tiles(dwx, tile, ncol)
+        dwy_t = _col_tiles(dwy, tile, ncol)
+        dwz_t = _col_tiles(dwzr, tile, ncol)
+
+        Kx, Ky = _spread_mats(Px, Py)
+
+        def one_tile(args):
+            wxb, wyb, dwxb, dwyb, wzb, dwzb, eb = args
+            u = eb[:, 0]                                  # (t, PXY, nz)
+            t1 = jnp.einsum("taz,tpz->tap", wzb, u)       # MXU
+            t1d = jnp.einsum("taz,tpz->tap", dwzb, u)
+            kxm, kym = jnp.asarray(Kx), jnp.asarray(Ky)
+            xb = jnp.einsum("tax,xp->tap", wxb, kxm)
+            yb = jnp.einsum("tay,yp->tap", wyb, kym)
+            dxb = jnp.einsum("tax,xp->tap", dwxb, kxm)
+            dyb = jnp.einsum("tay,yp->tap", dwyb, kym)
+            return (jnp.sum(dxb * yb * t1, -1),
+                    jnp.sum(xb * dyb * t1, -1),
+                    jnp.sum(xb * yb * t1d, -1))
+
+        outs = jax.lax.map(
+            one_tile, (wx_t, wy_t, dwx_t, dwy_t, wz_t, dwz_t, e_t))
+    else:
+        Kx, Ky = _spread_mats(Px, Py)
+
+        def one_tile(args):
+            wxb, wyb, wzb, eb = args
+            t1 = jnp.einsum("taz,tcpz->tcap", wzb, eb)    # MXU
+            wxy = jnp.einsum("tax,xp->tap", wxb, jnp.asarray(Kx)) \
+                * jnp.einsum("tay,yp->tap", wyb, jnp.asarray(Ky))
+            return tuple(jnp.sum(wxy * t1[:, c], -1) for c in range(C))
+
+        outs = jax.lax.map(one_tile, (wx_t, wy_t, wz_t, e_t))
+    return [o.reshape(-1, A)[:ncol].reshape(-1) for o in outs]
+
+
 def _half_weights(nz: int):
     """rfft spectrum weights along z: interior k planes count twice."""
     nzh = nz // 2 + 1
@@ -292,13 +537,31 @@ class CellPPPM:
     """
 
     def __init__(self, pm: PPPM, grid: CellGrid, margin: int = 2,
-                 per_slot_charge=None, skin: Optional[float] = None):
+                 per_slot_charge=None, skin: Optional[float] = None,
+                 transfer: str = "columns"):
         self.pm = pm
         self.grid = grid
         self.ps = make_patch_spec(pm, grid, margin=margin, skin=skin)
         # dispersion mode: override 'charge' source (B per slot is dynamic
         # via typ; caller passes a per-TYPE table instead)
         self.b_per_type = per_slot_charge
+        # transfer engine: "columns" (MXU column-block matmuls, fast) or
+        # "patches" (per-cell bricks; reference form, also the per-atom path)
+        self.transfer = transfer
+        if transfer == "columns":
+            self.cspec = make_column_spec(self.ps, grid, pm.grid[2])
+            self.ax_mats = (
+                _onehot_expand(pm.grid[0], grid.nc[0], self.ps.S[0],
+                               self.ps.P[0], self.ps.lo_off[0]),
+                _onehot_expand(pm.grid[1], grid.nc[1], self.ps.S[1],
+                               self.ps.P[1], self.ps.lo_off[1]),
+            )
+
+    def _deposit(self, state: SlotState):
+        if self.transfer == "columns":
+            return deposit_rho_columns(self.pm, self.ps, self.cspec,
+                                       self.grid, state, self.ax_mats)
+        return deposit_rho_cells(self.pm, self.ps, self.grid, state)
 
     def _spectral(self, state: SlotState, qqrd2e: float, eflag: bool,
                   vflag: bool):
@@ -310,7 +573,7 @@ class CellPPPM:
         nz = pm.grid[2]
         nzh = nz // 2 + 1
 
-        mesh = deposit_rho_cells(pm, self.ps, self.grid, state)
+        mesh = self._deposit(state)
         rhat = jnp.fft.rfftn(mesh.astype(acc))
         G = jnp.asarray(pm.greensfn[..., :nzh], acc)
         phi_hat = G * rhat
@@ -419,15 +682,21 @@ class CellPPPM:
             # ONE inverse FFT -> potential mesh; derivative-spline gather
             u = (jnp.real(jnp.fft.irfftn(phi_hat, s=pm.grid))
                  * (scale * ngrid)).astype(flt)
-            w = []
-            dw = []
-            for ax, p in enumerate((state.x, state.y, state.z)):
-                wa, dwa = _axis_weights(pm, ps, grid, p, ax, deriv=True)
-                w.append(wa.reshape(ncell, cap, -1))
-                dw.append((dwa * (-1.0 / pm.h[ax])).reshape(ncell, cap, -1))
-            triples = [(dw[0], w[1], w[2]), (w[0], dw[1], w[2]),
-                       (w[0], w[1], dw[2])]
-            fx, fy, fz = self._contract(triples, [u, u, u])
+            if self.transfer == "columns":
+                fx, fy, fz = gather_columns(
+                    pm, ps, self.cspec, grid, state, [u], self.ax_mats,
+                    mode="ad")
+            else:
+                w = []
+                dw = []
+                for ax, p in enumerate((state.x, state.y, state.z)):
+                    wa, dwa = _axis_weights(pm, ps, grid, p, ax, deriv=True)
+                    w.append(wa.reshape(ncell, cap, -1))
+                    dw.append(
+                        (dwa * (-1.0 / pm.h[ax])).reshape(ncell, cap, -1))
+                triples = [(dw[0], w[1], w[2]), (w[0], dw[1], w[2]),
+                           (w[0], w[1], dw[2])]
+                fx, fy, fz = self._contract(triples, [u, u, u])
             qf = (qqrd2e * state.q).astype(acc)
             fx = fx.astype(acc) * qf
             fy = fy.astype(acc) * qf
@@ -478,7 +747,7 @@ class CellPPPM:
         ngrid = pm.grid[0] * pm.grid[1] * pm.grid[2]
         flt = state.x.dtype
 
-        mesh = deposit_rho_cells(pm, self.ps, self.grid, state)
+        mesh = self._deposit(state)
         rhat = jnp.fft.rfftn(mesh.astype(acc))
         G = jnp.asarray(pm.greensfn[..., :nzh], acc)
         phi_hat = G * rhat
@@ -526,9 +795,14 @@ class CellPPPM:
         ehat = jnp.stack([(-1j) * kax * phi_hat for kax in (kx, ky, kz)])
         e_stack = (jnp.fft.irfftn(ehat, s=pm.grid, axes=(1, 2, 3))
                    * (scale * ngrid)).astype(flt)
-        tri = self._weight_triple(state)
-        fx, fy, fz = self._contract(
-            [tri] * 3, [e_stack[0], e_stack[1], e_stack[2]])
+        if self.transfer == "columns":
+            fx, fy, fz = gather_columns(
+                pm, self.ps, self.cspec, self.grid, state,
+                [e_stack[0], e_stack[1], e_stack[2]], self.ax_mats)
+        else:
+            tri = self._weight_triple(state)
+            fx, fy, fz = self._contract(
+                [tri] * 3, [e_stack[0], e_stack[1], e_stack[2]])
         qf = (qqrd2e * state.q).astype(acc)
         return (fx.astype(acc) * qf, fy.astype(acc) * qf,
                 fz.astype(acc) * qf, elong, virial)

@@ -200,6 +200,226 @@ def compute_cell_tiles(
                           virial=virial)
 
 
+def _half_shift_tables(nc: tuple) -> np.ndarray:
+    """Per-(cell, half-offset) periodic shift indicators.
+
+    Column k of the 27-table (k = 13..26 is the self + 13-offset half
+    stencil) reaches offset o_k; a j-cell gathered through a periodic wrap
+    sits one box length away from its true image.  Returns s (ncell, 14, 3)
+    in {-1, 0, +1}: true j position = gathered position + s * L.  Static,
+    host-side — replaces the per-pair minimum-image rounding (exact for
+    nc >= 3: any pair whose direct path exceeds the cutoff is masked, and
+    the wrapped image is provably outside the cutoff too).
+    """
+    ncx, ncy, ncz = nc
+    ci, cj, ck = np.meshgrid(
+        np.arange(ncx), np.arange(ncy), np.arange(ncz), indexing="ij")
+    cells = np.stack([ci.reshape(-1), cj.reshape(-1), ck.reshape(-1)], -1)
+    # float64: the shift*L product must round at the TARGET precision, not
+    # f32 (an f32-rounded box length costs ~1e-6 force error in f64 runs)
+    out = np.zeros((cells.shape[0], 14, 3), np.float64)
+    ncv = np.asarray(nc)
+    for k in range(14):
+        col = 13 + k
+        off = np.asarray([col // 9 - 1, (col // 3) % 3 - 1, col % 3 - 1])
+        tgt = cells + off
+        out[:, k, :] = (tgt >= ncv).astype(np.float64) - (tgt < 0)
+    return out
+
+
+def compute_cell_tiles_newton(
+    style: PairStyle,
+    L,
+    grid: CellGrid,
+    planes: dict,
+    *,
+    eflag: bool = False,
+    vflag: bool = False,
+    acc_dtype=jnp.float32,
+    slot_special_idx: Optional[jnp.ndarray] = None,
+    slot_special_code: Optional[jnp.ndarray] = None,
+) -> CellPairResult:
+    """Half-stencil form of the dense kernel (Newton's 3rd law).
+
+    Instead of evaluating all 27 neighbor tiles per cell and keeping only
+    the i-side force sum, evaluate 14 (self + the 13 lexicographically
+    positive offsets) and accumulate BOTH sides: f_i from the j-axis
+    reduction, and the reaction forces -sum_i fs*d routed back to the
+    j-cells through the static inverse offset permutation (column 13-k is
+    the negation of column 13+k).  This is the reference's half neighbor
+    list + Newton flag (pair_buck_intel.cpp:236-275 runs full lists; host
+    LAMMPS defaults to `newton on` half lists) in dense-tile form — ~1.9x
+    less pair physics for two cheap extra reductions and 13 static row
+    gathers.  j coordinates are pre-shifted by the per-(cell, offset)
+    periodic wrap (see _half_shift_tables), removing the per-pair
+    minimum-image rounding entirely.
+    """
+    nbr_np = grid.nbr_array()
+    ncell = grid.ncell
+    cap = grid.cap
+    n = grid.n_atoms
+    flt = planes["x"].dtype
+    L = [float(v) for v in np.asarray(L)]
+    ntypes = style.tables.shape[0]
+    has_special = (slot_special_idx is not None
+                   and slot_special_idx.shape[1] > 0)
+
+    half = np.ascontiguousarray(nbr_np[:, 13:27])          # (ncell, 14)
+    shifts = _half_shift_tables(grid.nc)                   # (ncell, 14, 3)
+
+    # temporaries are (tile, cap, 14*cap): half the full-stencil footprint
+    tile = _cell_tile_size(cap, ncell, budget_bytes=1.8e8)
+    nt = -(-ncell // tile)
+    pad = nt * tile - ncell
+
+    def cellv(p):
+        return p.reshape(ncell, cap)
+
+    half_j = jnp.asarray(half)
+
+    def jv(p, shift_ax=None):
+        a = p.reshape(ncell, cap)[half_j]                  # (ncell, 14, cap)
+        if shift_ax is not None:
+            s = shifts[:, :, shift_ax] * L[shift_ax]
+            a = a + jnp.asarray(s, flt)[:, :, None]
+        return a.reshape(ncell, 14 * cap)
+
+    def tiled(a, fill=0):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+        return a.reshape(nt, tile, *a.shape[1:])
+
+    xi_t = [tiled(cellv(planes["x"])), tiled(cellv(planes["y"])),
+            tiled(cellv(planes["z"]))]
+    xj_t = [tiled(jv(planes["x"], 0)), tiled(jv(planes["y"], 1)),
+            tiled(jv(planes["z"], 2))]
+    aid_i_t = tiled(cellv(planes["aid"]), fill=n)
+    aid_j_t = tiled(jv(planes["aid"]), fill=n)
+    if ntypes > 1:
+        ti_t = tiled(cellv(planes["typ"]))
+        tj_t = tiled(jv(planes["typ"]))
+    else:
+        z = jnp.zeros((nt, tile, 0), jnp.int32)
+        ti_t = tj_t = z
+    if style.cfg.has_coul:
+        qi_t = tiled(cellv(planes["q"]))
+        qj_t = tiled(jv(planes["q"]))
+    else:
+        qi_t = qj_t = jnp.zeros((nt, tile, 0), flt)
+    if has_special:
+        sp_i_t = tiled(slot_special_idx.reshape(ncell, cap, -1), fill=-1)
+        sp_c_t = tiled(
+            slot_special_code.reshape(ncell, cap, -1).astype(jnp.int32))
+    else:
+        sp_i_t = sp_c_t = jnp.zeros((nt, tile, 0), jnp.int32)
+
+    flat_tables = np.asarray(style.tables).reshape(ntypes * ntypes, -1)
+    # static: which of the 14*cap j-columns form the self block
+    self_block = np.zeros((14 * cap,), bool)
+    self_block[:cap] = True
+    self_block_j = jnp.asarray(self_block)
+
+    def one_tile(args):
+        (xi, yi, zi, xj, yj, zj, aid_i, aid_j, ti, tj, qi, qj,
+         sp_i, sp_c) = args
+        valid = (aid_i[:, :, None] < n) & (aid_j[:, None, :] < n)
+        # self tile: count each pair once (i < j); cross tiles: all pairs
+        dedup = jnp.where(self_block_j[None, None, :],
+                          aid_i[:, :, None] < aid_j[:, None, :], True)
+        mask = valid & dedup
+        d = []
+        rsq = None
+        for ci, cj in ((xi, xj), (yi, yj), (zi, zj)):
+            dd = ci[:, :, None] - cj[:, None, :]   # pre-shifted: no round
+            d.append(dd)
+            rsq = dd * dd if rsq is None else rsq + dd * dd
+        rsq = jnp.where(mask, rsq, jnp.asarray(1e30, flt))
+
+        if ntypes == 1:
+            coef = {name: float(flat_tables[0, ci])
+                    for ci, name in enumerate(COEF_NAMES)}
+        else:
+            tt = ti[:, :, None] * ntypes + tj[:, None, :]
+            coef = {name: _select_small(flat_tables[:, ci], tt, rsq.shape,
+                                        flt)
+                    for ci, name in enumerate(COEF_NAMES)}
+
+        qip = qi[:, :, None] if style.cfg.has_coul else 0.0
+        qjp = qj[:, None, :] if style.cfg.has_coul else 0.0
+
+        if has_special:
+            match = sp_i[:, :, None, :] == aid_j[:, None, :, None]
+            sb = jnp.sum(jnp.where(match, sp_c[:, :, None, :], 0), axis=-1)
+            f_lj = _select_small(style.special_lj, sb, rsq.shape, flt)
+            f_coul = _select_small(style.special_coul, sb, rsq.shape, flt)
+        else:
+            f_lj = f_coul = 1.0
+
+        fscalar, evdwl, ecoul = pair_terms(
+            style, rsq, coef, qip, qjp, f_lj, f_coul, eflag=eflag
+        )
+        fscalar = jnp.where(mask, fscalar, 0.0)
+
+        fd = [(fscalar * dd).astype(acc_dtype) for dd in d]
+        fx = jnp.sum(fd[0], axis=2)
+        fy = jnp.sum(fd[1], axis=2)
+        fz = jnp.sum(fd[2], axis=2)
+        # reaction forces for the j-cells (Newton): -sum over i
+        gx = -jnp.sum(fd[0], axis=1)
+        gy = -jnp.sum(fd[1], axis=1)
+        gz = -jnp.sum(fd[2], axis=1)
+        if eflag:
+            ev = jnp.sum(jnp.where(mask, evdwl, 0.0).astype(acc_dtype))
+            ec = jnp.sum(jnp.where(mask, ecoul, 0.0).astype(acc_dtype))
+        else:
+            ev = ec = jnp.zeros((), acc_dtype)
+        if vflag:
+            vir = jnp.stack([
+                jnp.sum((fscalar * d[0] * d[0]).astype(acc_dtype)),
+                jnp.sum((fscalar * d[1] * d[1]).astype(acc_dtype)),
+                jnp.sum((fscalar * d[2] * d[2]).astype(acc_dtype)),
+                jnp.sum((fscalar * d[0] * d[1]).astype(acc_dtype)),
+                jnp.sum((fscalar * d[0] * d[2]).astype(acc_dtype)),
+                jnp.sum((fscalar * d[1] * d[2]).astype(acc_dtype)),
+            ])
+        else:
+            vir = jnp.zeros((6,), acc_dtype)
+        return fx, fy, fz, gx, gy, gz, ev, ec, vir
+
+    fx_t, fy_t, fz_t, gx_t, gy_t, gz_t, ev_t, ec_t, vir_t = jax.lax.map(
+        one_tile,
+        (xi_t[0], xi_t[1], xi_t[2], xj_t[0], xj_t[1], xj_t[2],
+         aid_i_t, aid_j_t, ti_t, tj_t, qi_t, qj_t, sp_i_t, sp_c_t),
+    )
+
+    def uncell(a):   # (nt, tile, cap) -> (ncell, cap)
+        return a.reshape(nt * tile, cap)[:ncell]
+
+    fx = uncell(fx_t)
+    fy = uncell(fy_t)
+    fz = uncell(fz_t)
+    g = [gx_t.reshape(nt * tile, 14, cap)[:ncell],
+         gy_t.reshape(nt * tile, 14, cap)[:ncell],
+         gz_t.reshape(nt * tile, 14, cap)[:ncell]]
+    # route reaction forces back: contribution computed at i-cell
+    # nbr[c, 13-k] lands on j-cell c (column 13-k holds the negated offset)
+    fx = fx + g[0][:, 0]
+    fy = fy + g[1][:, 0]
+    fz = fz + g[2][:, 0]
+    for k in range(1, 14):
+        inv = jnp.asarray(nbr_np[:, 13 - k])
+        fx = fx + g[0][:, k][inv]
+        fy = fy + g[1][:, k][inv]
+        fz = fz + g[2][:, k][inv]
+
+    return CellPairResult(
+        fx=fx.reshape(-1), fy=fy.reshape(-1), fz=fz.reshape(-1),
+        evdwl=jnp.sum(ev_t), ecoul=jnp.sum(ec_t),
+        virial=jnp.sum(vir_t, axis=0),
+    )
+
+
 def _state_planes(state: SlotState) -> dict:
     return dict(x=state.x, y=state.y, z=state.z, typ=state.typ,
                 q=state.q, aid=state.aid)
@@ -216,9 +436,21 @@ def compute_cellpair(
     acc_dtype=jnp.float32,
     slot_special_idx: Optional[jnp.ndarray] = None,   # (NS, S) atom ids
     slot_special_code: Optional[jnp.ndarray] = None,  # (NS, S) int8
+    newton: bool = True,
 ) -> CellPairResult:
-    """Single-device form: i == j == the full grid, periodic 27-table."""
+    """Single-device form: i == j == the full grid, periodic 27-table.
+
+    newton=True uses the half-stencil kernel (~1.9x less pair physics);
+    newton=False keeps the full 27-tile form (reference comparison and
+    the slab engine's halo semantics)."""
     planes = _state_planes(state)
+    if newton:
+        return compute_cell_tiles_newton(
+            style, box.lengths, grid, planes,
+            eflag=eflag, vflag=vflag, acc_dtype=acc_dtype,
+            slot_special_idx=slot_special_idx,
+            slot_special_code=slot_special_code,
+        )
     return compute_cell_tiles(
         style, box.lengths, grid.n_atoms, grid.cap, grid.nbr_array(),
         planes, planes,
