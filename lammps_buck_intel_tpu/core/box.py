@@ -98,3 +98,14 @@ def to_lamda(x: jnp.ndarray, box: Box) -> jnp.ndarray:
 
 def from_lamda(s: jnp.ndarray, box: Box) -> jnp.ndarray:
     return box.lo + s * box.lengths.astype(s.dtype)
+
+
+def axis_lengths(box: Box):
+    """Per-axis lengths as 3 scalars: python floats for a host box (baked
+    into the compiled program — the measured-fast contract above) or traced
+    0-d arrays for a traced box (the NPT/variable-cell path, where lo/hi
+    are jnp arrays threaded through jit as arguments, NOT closures)."""
+    L = box.lengths
+    if isinstance(L, np.ndarray):
+        return [float(v) for v in L]
+    return [L[0], L[1], L[2]]

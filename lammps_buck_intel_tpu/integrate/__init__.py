@@ -3,3 +3,4 @@ from .verlet import Simulation, MDState, NeighborPolicy, Forces
 from .cellpair_verlet import CellPairSimulation
 from .nvt import NVTConfig
 from .shake import ShakeConstraints, make_shake, make_rigid_from_molecules
+from .npt import NPTConfig, NPTSimulation

@@ -1,0 +1,387 @@
+"""Nose-Hoover NPT barostat with a TRACED simulation box.
+
+Host-LAMMPS contract (SURVEY.md H7): ``fix npt temp T T Tdamp iso P P
+Pdamp`` and the in.rhodo form ``fix npt temp 300 300 100 z 0 0 1000 mtk no
+pchain 0 tchain 1`` (/root/reference/examples/in.rhodo:18-19).  The
+integration follows fix_nh.cpp's operator splitting: thermostat chain ->
+barostat omega update -> barostat velocity scale -> half kick -> drift +
+box dilation -> forces -> half kick -> barostat scale -> omega -> chain.
+
+TPU design: everywhere else in this framework the box is BAKED into the
+compiled program (core/box.py's measured contract).  NPT needs a variable
+cell, so this runner threads the box lengths through jit as a traced (3,)
+ARGUMENT (not a closure — closures are what poison XLA codegen).  Pair,
+bonded, and Ewald paths consume the traced lengths through
+``core.box.axis_lengths`` / ``Ewald.compute_traced``; the neighbor-list
+bin GEOMETRY stays static (sized at setup with headroom) while bin
+assignment uses the traced box, matching LAMMPS' static neigh grid between
+re-neighborings.  Pressure is evaluated every step from the per-axis
+virial, so force passes always run with vflag.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.box import Box, make_box
+from ..core.state import System
+from ..core.units import Units, LJ
+from ..core.precision import Precision, single
+from ..neighbor.neighbor_list import make_spec, build
+from ..models.pair import compute_pair
+from ..models.pair.styles import PairStyle
+from .verlet import NeighborPolicy
+from .nvt import NVTConfig, NHChain, nhc_half
+
+
+@dataclasses.dataclass(frozen=True)
+class NPTConfig:
+    """fix npt parameters (temp handled by an embedded NVTConfig)."""
+
+    p_start: tuple          # (3,) per-axis target at run start
+    p_stop: tuple
+    p_damp: float
+    flags: tuple = (True, True, True)   # barostatted axes
+    couple: str = "xyz"     # "xyz" (iso) | "none" (aniso / z-only)
+    mtk: bool = True
+    pchain: int = 0         # barostat thermostat chain (only 0 supported)
+
+    def __post_init__(self):
+        if self.pchain != 0:
+            raise NotImplementedError(
+                "pchain > 0 barostat thermostats are not implemented "
+                "(in.rhodo uses pchain 0)")
+
+
+class NPTState(NamedTuple):
+    x: jnp.ndarray        # (N, 3) wrapped
+    v: jnp.ndarray
+    f: jnp.ndarray
+    image: jnp.ndarray
+    boxL: jnp.ndarray     # (3,) traced box lengths
+    omega_dot: jnp.ndarray  # (3,) barostat strain rates
+    therm: jnp.ndarray    # (2, M) NH chain
+    virial: jnp.ndarray   # (6,) from the last force evaluation
+
+
+class NPTSimulation:
+    """Variable-cell MD driver (neighbor-list engine, capability tier).
+
+    The box stays CENTERED on its initial center; lengths dilate per axis.
+    SHAKE under NPT is not yet supported (the constraint virial is not
+    tallied into the pressure)."""
+
+    def __init__(
+        self,
+        system: System,
+        pair: PairStyle,
+        npt: NPTConfig,
+        thermostat: NVTConfig,
+        kspace=None,              # Ewald with mvecs (compute_traced)
+        bonded=None,
+        units: Units = LJ,
+        precision: Precision = None,
+        dt: Optional[float] = None,
+        neighbor: Optional[NeighborPolicy] = None,
+        box_headroom: float = 1.10,
+    ):
+        self.units = units
+        self.precision = precision or single()
+        self.dt = units.dt if dt is None else dt
+        self.pair = pair
+        self.kspace = kspace
+        self.bonded = bonded if (bonded is not None
+                                 and bonded.has_terms) else None
+        self.neighbor = neighbor or NeighborPolicy(skin=units.skin)
+        self.npt = npt
+        n = system.n_atoms
+        self.n_atoms = n
+        flt = self.precision.flt
+
+        box0 = system.box
+        L0 = np.asarray(box0.lengths, np.float64)
+        self._center = np.asarray(box0.lo) + 0.5 * L0
+        # static bin geometry sized for a box GROWN by `box_headroom`:
+        # bins only get larger if the box shrinks; cell size >= cutneigh
+        # must hold for the smallest box reached, so size the count from
+        # the initial box and validate at rebuilds (overflow flag).
+        cutneigh = float(np.sqrt(pair.cutsq_max)) + self.neighbor.skin
+        self.spec = make_spec(n, L0, cutneigh * box_headroom)
+
+        self.typ = np.asarray(jax.device_get(system.type), np.int32)
+        self.q = np.asarray(jax.device_get(system.q), np.float64)
+        mass = np.asarray(jax.device_get(system.mass), np.float64)
+        self._mass_col = mass[self.typ][:, None].astype(np.dtype(flt))
+        self.dtf = float(0.5 * self.dt * units.ftm2v)
+        self.dtv = float(self.dt)
+
+        t_dof = max(3 * n - 3, 1)
+        self.thermostat = dataclasses.replace(
+            thermostat, dof=t_dof, boltz=units.boltz, mvv2e=units.mvv2e,
+            dt=self.dt)
+        self._tchain = self.thermostat.tchain
+
+        x0 = jnp.asarray(jax.device_get(system.x), flt)
+        v0 = jnp.asarray(jax.device_get(system.v), flt)
+        im0 = jnp.asarray(jax.device_get(system.image), jnp.int32)
+        boxL = jnp.asarray(L0, flt)
+        st = NPTState(
+            x=x0, v=v0, f=jnp.zeros_like(x0), image=im0, boxL=boxL,
+            omega_dot=jnp.zeros((3,), flt),
+            therm=jnp.zeros((2, self._tchain), flt),
+            virial=jnp.zeros((6,), self.precision.acc),
+        )
+        self._nl = None
+        self.state = jax.jit(self._init_forces)(st)
+        self.step_count = 0
+        self._block_fns: dict = {}
+        self.timings = {"run": 0.0}
+        self._thermo_jit = jax.jit(self._thermo_device)
+
+    # ---------- box helpers ----------
+
+    def _traced_box(self, boxL) -> Box:
+        c = jnp.asarray(self._center, boxL.dtype)
+        return Box(lo=c - 0.5 * boxL, hi=c + 0.5 * boxL,
+                   periodic=np.array([True, True, True]))
+
+    # ---------- forces ----------
+
+    def _build_nl(self, x, boxL):
+        box = self._traced_box(boxL)
+        return build(x, box, self.spec)
+
+    def _forces(self, x, boxL, nl):
+        box = self._traced_box(boxL)
+        pr = compute_pair(
+            self.pair, x, self.typ, self.q, box, nl._replace(
+                nnei=None, x0=None, overflow=None),
+            eflag=False, vflag=True, acc_dtype=self.precision.acc,
+            use_special=nl.sb.shape[1] > 0,
+        )
+        f, virial = pr.f, pr.virial
+        if self.kspace is not None:
+            kr = self.kspace.compute_traced(
+                x, jnp.asarray(self.q, x.dtype), boxL,
+                eflag=False, vflag=True)
+            f = f + kr.f
+            virial = virial + kr.virial
+        if self.bonded is not None:
+            from ..models.bonded import compute_bonded
+
+            br = compute_bonded(self.bonded, x, box, eflag=False,
+                                acc_dtype=self.precision.acc)
+            f = f + br.f
+            virial = virial + br.virial
+        return f.astype(x.dtype), virial
+
+    def _init_forces(self, st: NPTState) -> NPTState:
+        nl = self._build_nl(st.x, st.boxL)
+        f, virial = self._forces(st.x, st.boxL, nl)
+        return st._replace(f=f, virial=virial)
+
+    # ---------- NPT step ----------
+
+    def _press_current(self, st: NPTState):
+        """Per-axis pressure (sum m v_a^2 + W_aa) / V * nktv2p."""
+        u = self.units
+        acc = self.precision.acc
+        mv2 = jnp.stack([
+            jnp.sum((self._mass_col[:, 0] * st.v[:, a] * st.v[:, a])
+                    .astype(acc)) for a in range(3)
+        ]) * u.mvv2e
+        V = (st.boxL[0] * st.boxL[1] * st.boxL[2]).astype(acc)
+        p = (mv2 + st.virial[:3]) / V * u.nktv2p
+        return p, mv2, V
+
+    def _omega_masses(self, t_target: float):
+        nkt = (self.n_atoms + 1) * self.units.boltz * max(t_target, 1e-30)
+        return nkt * self.npt.p_damp**2   # omega_mass (all axes equal)
+
+    def _omega_dot_half(self, st, p_target, t_target):
+        cfgp = self.npt
+        u = self.units
+        p_cur, mv2, V = self._press_current(st)
+        if cfgp.couple == "xyz":
+            pavg = jnp.mean(jnp.asarray(
+                [p_cur[a] for a in range(3) if cfgp.flags[a]]))
+            p_cur = jnp.stack([pavg, pavg, pavg])
+        W = self._omega_masses(t_target)
+        flags = np.asarray(cfgp.flags, bool)
+        f_omega = (p_cur - jnp.asarray(p_target, p_cur.dtype)) * V \
+            / (W * u.nktv2p)
+        if cfgp.mtk:
+            # MTK kinetic term (fix_nh.cpp nh_omega_dot mtk_term1):
+            # sum of flagged-axis mv^2, / (pdim * natoms), / omega_mass —
+            # energy units, so no nktv2p here
+            pdim = max(int(flags.sum()), 1)
+            mtk1 = jnp.sum(jnp.where(jnp.asarray(flags), mv2, 0.0)) \
+                / (self.n_atoms * pdim)
+            f_omega = f_omega + mtk1 / W
+        f_omega = jnp.where(jnp.asarray(flags), f_omega, 0.0)
+        od = st.omega_dot + (0.5 * self.dt) * f_omega.astype(
+            st.omega_dot.dtype)
+        return st._replace(omega_dot=od)
+
+    def _press_vscale(self, st):
+        """nh_v_press: v *= exp(-dt/2 (omega_dot + mtk_term2)) per axis."""
+        cfgp = self.npt
+        flags = np.asarray(cfgp.flags, bool)
+        od = st.omega_dot
+        if cfgp.mtk:
+            # fix_nh.cpp nh_v_press mtk_term2
+            pdim = max(int(flags.sum()), 1)
+            mtk2 = jnp.sum(jnp.where(jnp.asarray(flags), od, 0.0)) \
+                / (pdim * self.n_atoms)
+        else:
+            mtk2 = 0.0
+        fac = jnp.exp((-0.5 * self.dt) * jnp.where(
+            jnp.asarray(flags), od + mtk2, 0.0))
+        return st._replace(v=st.v * fac[None, :])
+
+    def _one_step(self, st: NPTState, t_target, p_target):
+        cfg = self.thermostat
+        dtf, dtv = self.dtf, self.dtv
+        # thermostat half
+        chain = NHChain(eta=st.therm[0], eta_dot=st.therm[1])
+        scale, chain = nhc_half(cfg, chain, st.v, self._mass_col, t_target)
+        st = st._replace(v=st.v * scale,
+                         therm=jnp.stack([chain.eta, chain.eta_dot]))
+        # barostat half
+        st = self._omega_dot_half(st, p_target, t_target)
+        st = self._press_vscale(st)
+        # kick half
+        minv = 1.0 / self._mass_col
+        st = st._replace(v=st.v + (dtf * minv) * st.f)
+        # drift + dilation about the fixed center
+        x = st.x + dtv * st.v
+        flags = jnp.asarray(np.asarray(self.npt.flags, bool))
+        s = jnp.exp(dtv * jnp.where(flags, st.omega_dot, 0.0))
+        c = jnp.asarray(self._center, x.dtype)
+        x = c + (x - c) * s[None, :]
+        boxL = st.boxL * s
+        st = st._replace(x=x, boxL=boxL)
+        # forces at the new configuration
+        nl = self._nl_carried
+        f, virial = self._forces(st.x, st.boxL, nl)
+        st = st._replace(f=f, virial=virial)
+        # kick half + barostat + thermostat
+        st = st._replace(v=st.v + (dtf * minv) * st.f)
+        st = self._press_vscale(st)
+        st = self._omega_dot_half(st, p_target, t_target)
+        chain = NHChain(eta=st.therm[0], eta_dot=st.therm[1])
+        scale, chain = nhc_half(cfg, chain, st.v, self._mass_col, t_target)
+        return st._replace(v=st.v * scale,
+                           therm=jnp.stack([chain.eta, chain.eta_dot]))
+
+    def _block(self, st: NPTState, nsteps: int, t_target: float,
+               p_target: tuple) -> NPTState:
+        """Rebuild + nsteps with the stale list (skin bound)."""
+        from ..core.box import wrap
+
+        box = self._traced_box(st.boxL)
+        xw, im = wrap(st.x, st.image, box)
+        st = st._replace(x=xw, image=im)
+        self._nl_carried = self._build_nl(st.x, st.boxL)
+
+        def body(s, _):
+            return self._one_step(s, t_target, p_target), None
+
+        st, _ = jax.lax.scan(body, st, None, length=nsteps)
+        return st
+
+    def _block_fn(self, size: int, t_target: float, p_target: tuple):
+        key = (size, round(t_target, 6), tuple(np.round(p_target, 6)))
+        fn = self._block_fns.get(key)
+        if fn is None:
+            fn = jax.jit(lambda s: self._block(s, size, t_target,
+                                               p_target))
+            self._block_fns[key] = fn
+        return fn
+
+    # ---------- thermo ----------
+
+    def _thermo_device(self, st: NPTState) -> dict:
+        u = self.units
+        acc = self.precision.acc
+        p_cur, mv2, V = self._press_current(st)
+        sum_mv2 = jnp.sum(mv2)
+        dof = max(3 * self.n_atoms - 3, 1)
+        temp = sum_mv2 / (dof * u.boltz)
+        ke = 0.5 * sum_mv2
+        press = (sum_mv2 + st.virial[0] + st.virial[1] + st.virial[2]) \
+            / (3.0 * V) * u.nktv2p
+        return dict(temp=temp, ke=ke, press=press, p_axis=p_cur,
+                    boxL=st.boxL, vol=V, omega_dot=st.omega_dot)
+
+    def thermo(self) -> dict:
+        row = jax.device_get(self._thermo_jit(self.state))
+        out = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v))
+               for k, v in row.items()}
+        out["step"] = self.step_count
+        if not np.isfinite(out["temp"]) or not np.isfinite(out["press"]):
+            raise RuntimeError(f"non-finite thermo at step {out['step']}")
+        return out
+
+    # ---------- IO ----------
+
+    def get_atoms(self) -> dict:
+        """Atom-ordered snapshot (host numpy), incl. the current box."""
+        st = self.state
+        out = jax.device_get(dict(x=st.x, v=st.v, f=st.f, image=st.image,
+                                  boxL=st.boxL))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        out["typ"] = self.typ
+        out["q"] = self.q
+        return out
+
+    @property
+    def current_box(self) -> Box:
+        L = np.asarray(jax.device_get(self.state.boxL), np.float64)
+        return make_box(self._center - 0.5 * L, self._center + 0.5 * L)
+
+    # ---------- main loop ----------
+
+    def run(self, nsteps: int, thermo_every: int = 0, log: bool = True):
+        rows = []
+
+        def emit():
+            row = self.thermo()
+            rows.append(row)
+            if log:
+                L = row["boxL"]
+                print(f"{row['step']:>8d} T={row['temp']:.4g} "
+                      f"P={row['press']:.6g} V={row['vol']:.6g} "
+                      f"L=({L[0]:.4f},{L[1]:.4f},{L[2]:.4f})")
+
+        t0 = time.perf_counter()
+        if thermo_every:
+            emit()
+        cfg = self.thermostat
+        npt = self.npt
+        done = 0
+        cadence = max(1, self.neighbor.every)
+        while done < nsteps:
+            target = min(nsteps, done + (thermo_every or nsteps))
+            while done < target:
+                size = min(cadence, target - done)
+                frac = done / max(nsteps, 1)
+                tt = cfg.t_start + (cfg.t_stop - cfg.t_start) * frac
+                pt = tuple(
+                    np.asarray(npt.p_start)
+                    + (np.asarray(npt.p_stop)
+                       - np.asarray(npt.p_start)) * frac)
+                self.state = self._block_fn(size, tt, pt)(self.state)
+                done += size
+                self.step_count += size
+            if thermo_every:
+                emit()
+        if not thermo_every:
+            float(self.state.x[0, 0])  # force completion
+        self.timings["run"] += time.perf_counter() - t0
+        return rows

@@ -99,6 +99,10 @@ def make_shake(
             dd = ri * ri + rk * rk - 2.0 * ri * rk * math.cos(th0)
             pairs.append((i, k))
             d2.append(dd)
+    if not pairs:
+        raise ValueError(
+            "fix shake selected no constraints: check the b/a type lists "
+            "or the m mass list against the topology")
     return ShakeConstraints(
         pairs=np.asarray(pairs, np.int32),
         d2=np.asarray(d2, np.float64),

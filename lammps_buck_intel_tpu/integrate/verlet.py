@@ -59,6 +59,7 @@ class Forces(NamedTuple):
     ebond: jnp.ndarray
     eangle: jnp.ndarray
     virial: jnp.ndarray
+    emol_extra: jnp.ndarray = None   # dihedral + improper energies
 
 
 @dataclasses.dataclass
@@ -205,6 +206,8 @@ class Simulation:
             f = f + kr.f
             elong = kr.elong
             virial = virial + kr.virial
+        evdwl, ecoul = pr.evdwl, pr.ecoul
+        emol_extra = jnp.zeros((), acc)
         if self.bonded is not None and self.bonded.has_terms:
             from ..models.bonded import compute_bonded
 
@@ -213,9 +216,14 @@ class Simulation:
             f = f + br.f
             ebond = br.ebond
             eangle = br.eangle
+            emol_extra = br.edihed + br.eimp
+            # CHARMM 1-4 terms tally into the pair energies
+            evdwl = evdwl + br.e14_lj
+            ecoul = ecoul + br.e14_coul
             virial = virial + br.virial
-        return Forces(f=f, evdwl=pr.evdwl, ecoul=pr.ecoul, elong=elong,
-                      ebond=ebond, eangle=eangle, virial=virial)
+        return Forces(f=f, evdwl=evdwl, ecoul=ecoul, elong=elong,
+                      ebond=ebond, eangle=eangle, virial=virial,
+                      emol_extra=emol_extra)
 
     def _init_force(self, state: MDState) -> MDState:
         x, image = wrap(state.x, state.image, self.box)
@@ -309,6 +317,8 @@ class Simulation:
         press = (sum_mv2 + vir_trace) / (3.0 * vol) * u.nktv2p
         epair = fr.evdwl + fr.ecoul + fr.elong
         emol = fr.ebond + fr.eangle
+        if fr.emol_extra is not None:
+            emol = emol + fr.emol_extra
         vmax = jnp.sqrt(jnp.max(jnp.sum(v * v, axis=-1)))
         return dict(
             temp=temp, evdwl=fr.evdwl, ecoul=fr.ecoul, elong=fr.elong,

@@ -64,6 +64,8 @@ class DataFile:
     impropers: np.ndarray = None  # (Ni,5)
     bond_coeffs: dict = dataclasses.field(default_factory=dict)
     angle_coeffs: dict = dataclasses.field(default_factory=dict)
+    dihedral_coeffs: dict = dataclasses.field(default_factory=dict)
+    improper_coeffs: dict = dataclasses.field(default_factory=dict)
     pair_coeffs: dict = dataclasses.field(default_factory=dict)
 
 
@@ -185,8 +187,9 @@ def read_data(path: str, atom_style: str = "auto",
                 rows.append(line.split())
             i += 1
         if native_done and name in ("Masses", "Atoms", "Velocities",
-                                    "Bonds", "Angles", "Dihedrals",
-                                    "Impropers"):
+                                    "Bonds", "Angles"):
+            # (Dihedrals/Impropers fall through: the native parser only
+            # fills the sections it is given output buffers for)
             continue
         if name == "Masses":
             for r in rows:
@@ -213,6 +216,12 @@ def read_data(path: str, atom_style: str = "auto",
         elif name == "Angle Coeffs":
             for r in rows:
                 d.angle_coeffs[int(r[0]) - 1] = [float(t) for t in r[1:]]
+        elif name == "Dihedral Coeffs":
+            for r in rows:
+                d.dihedral_coeffs[int(r[0]) - 1] = [float(t) for t in r[1:]]
+        elif name == "Improper Coeffs":
+            for r in rows:
+                d.improper_coeffs[int(r[0]) - 1] = [float(t) for t in r[1:]]
         elif name == "Pair Coeffs":
             for r in rows:
                 d.pair_coeffs[int(r[0]) - 1] = [float(t) for t in r[1:]]
@@ -270,8 +279,15 @@ def write_data(path: str, d_or_system, topology=None, atom_style: str = "full",
     lo = np.asarray(jax.device_get(s.box.lo), np.float64)
     hi = np.asarray(jax.device_get(s.box.hi), np.float64)
     n = x.shape[0]
-    bonds = topology.bonds if topology is not None else np.zeros((0, 3), np.int32)
-    angles = topology.angles if topology is not None else np.zeros((0, 4), np.int32)
+    def _topo(name, cols):
+        a = getattr(topology, name, None) if topology is not None else None
+        return (np.asarray(a, np.int32) if a is not None and len(a)
+                else np.zeros((0, cols), np.int32))
+
+    bonds = _topo("bonds", 3)
+    angles = _topo("angles", 4)
+    dihedrals = _topo("dihedrals", 5)
+    impropers = _topo("impropers", 5)
 
     with open(path, "w") as f:
         f.write(f"{comment}\n\n")
@@ -280,11 +296,19 @@ def write_data(path: str, d_or_system, topology=None, atom_style: str = "full",
             f.write(f"{len(bonds)} bonds\n")
         if len(angles):
             f.write(f"{len(angles)} angles\n")
+        if len(dihedrals):
+            f.write(f"{len(dihedrals)} dihedrals\n")
+        if len(impropers):
+            f.write(f"{len(impropers)} impropers\n")
         f.write(f"{len(mass)} atom types\n")
         if len(bonds):
             f.write(f"{bonds[:, 0].max() + 1} bond types\n")
         if len(angles):
             f.write(f"{angles[:, 0].max() + 1} angle types\n")
+        if len(dihedrals):
+            f.write(f"{dihedrals[:, 0].max() + 1} dihedral types\n")
+        if len(impropers):
+            f.write(f"{impropers[:, 0].max() + 1} improper types\n")
         f.write(f"\n{lo[0]:.16e} {hi[0]:.16e} xlo xhi\n")
         f.write(f"{lo[1]:.16e} {hi[1]:.16e} ylo yhi\n")
         f.write(f"{lo[2]:.16e} {hi[2]:.16e} zlo zhi\n")
@@ -314,3 +338,9 @@ def write_data(path: str, d_or_system, topology=None, atom_style: str = "full",
             f.write("\nAngles\n\n")
             for b, (at, ai, aj, ak) in enumerate(angles):
                 f.write(f"{b + 1} {at + 1} {ai + 1} {aj + 1} {ak + 1}\n")
+        for name, arr in (("Dihedrals", dihedrals), ("Impropers", impropers)):
+            if len(arr):
+                f.write(f"\n{name}\n\n")
+                for b, (t, ai, aj, ak, al) in enumerate(arr):
+                    f.write(f"{b + 1} {t + 1} {ai + 1} {aj + 1} "
+                            f"{ak + 1} {al + 1}\n")

@@ -30,30 +30,54 @@ class BondedStyle:
     bonds:  (Nb, 3) int32 [type, i, j]
     angles: (Na, 4) int32 [type, i, j, k]  (j = central atom)
     bond_coeffs:  (Tb, 2) [K, r0]
-    angle_coeffs: (Ta, 2) [K, theta0_degrees]
+    angle_coeffs: (Ta, 2) [K, theta0_degrees] — or (Ta, 4)
+                  [K, theta0, K_ub, r_ub] when angle_style == "charmm"
+    dihedrals/impropers: (Nd, 5) int32 [type, i, j, k, l]
+    dihedral_coeffs: (Td, 4) [K, n, d_degrees, weight] (charmm)
+    improper_coeffs: (Ti, 2) [K, chi0_degrees] (harmonic)
+    d14: (Nd, 3) [a12, a6, qq] baked per-dihedral 1-4 pair coefficients
+         (see charmm.bake_charmm_14); zero-length => no 1-4 terms
     """
 
     bonds: np.ndarray
     angles: np.ndarray
     bond_coeffs: np.ndarray
     angle_coeffs: np.ndarray
+    angle_style: str = "harmonic"
+    dihedrals: np.ndarray = None
+    impropers: np.ndarray = None
+    dihedral_coeffs: np.ndarray = None
+    improper_coeffs: np.ndarray = None
+    d14: np.ndarray = None
 
     @property
     def has_terms(self) -> bool:
-        return len(self.bonds) > 0 or len(self.angles) > 0
+        return (len(self.bonds) > 0 or len(self.angles) > 0
+                or len(self.dihedrals) > 0 or len(self.impropers) > 0)
 
 
-def make_bonded(bonds=None, angles=None, bond_coeffs=None, angle_coeffs=None):
-    bonds = np.zeros((0, 3), np.int32) if bonds is None else np.asarray(
-        bonds, np.int32)
-    angles = np.zeros((0, 4), np.int32) if angles is None else np.asarray(
-        angles, np.int32)
-    bond_coeffs = (np.zeros((0, 2)) if bond_coeffs is None
-                   else np.asarray(bond_coeffs, np.float64))
-    angle_coeffs = (np.zeros((0, 2)) if angle_coeffs is None
-                    else np.asarray(angle_coeffs, np.float64))
+def make_bonded(bonds=None, angles=None, bond_coeffs=None, angle_coeffs=None,
+                angle_style="harmonic", dihedrals=None, impropers=None,
+                dihedral_coeffs=None, improper_coeffs=None, d14=None):
+    def arr(a, cols, dt=np.int32):
+        return (np.zeros((0, cols), dt) if a is None
+                else np.asarray(a, dt))
+
+    bonds = arr(bonds, 3)
+    angles = arr(angles, 4)
+    dihedrals = arr(dihedrals, 5)
+    impropers = arr(impropers, 5)
+    bond_coeffs = arr(bond_coeffs, 2, np.float64)
+    angle_coeffs = arr(angle_coeffs, 4 if angle_style == "charmm" else 2,
+                       np.float64)
+    dihedral_coeffs = arr(dihedral_coeffs, 4, np.float64)
+    improper_coeffs = arr(improper_coeffs, 2, np.float64)
+    d14 = arr(d14, 3, np.float64)
     return BondedStyle(bonds=bonds, angles=angles, bond_coeffs=bond_coeffs,
-                       angle_coeffs=angle_coeffs)
+                       angle_coeffs=angle_coeffs, angle_style=angle_style,
+                       dihedrals=dihedrals, impropers=impropers,
+                       dihedral_coeffs=dihedral_coeffs,
+                       improper_coeffs=improper_coeffs, d14=d14)
 
 
 class BondedResult(NamedTuple):
@@ -61,24 +85,43 @@ class BondedResult(NamedTuple):
     ebond: jnp.ndarray
     eangle: jnp.ndarray
     virial: jnp.ndarray  # (6,)
+    edihed: jnp.ndarray = None
+    eimp: jnp.ndarray = None
+    e14_lj: jnp.ndarray = None    # dihedral 1-4 LJ  (tallied to evdwl)
+    e14_coul: jnp.ndarray = None  # dihedral 1-4 Coulomb (-> ecoul)
+
+    @property
+    def emol(self):
+        """Total bonded (molecular) energy: bond+angle+dihedral+improper.
+        The 1-4 pair terms are PAIR energies (LAMMPS tallies them into
+        E_vdwl/E_coul) and are excluded here."""
+        e = self.ebond + self.eangle
+        if self.edihed is not None:
+            e = e + self.edihed
+        if self.eimp is not None:
+            e = e + self.eimp
+        return e
 
 
 def _minimg(d, L):
     out = []
     for ax in range(3):
         dd = d[:, ax]
-        La = float(L[ax])
+        La = L[ax] if not isinstance(L, np.ndarray) else float(L[ax])
         out.append(dd - jnp.round(dd * (1.0 / La)) * La)
     return jnp.stack(out, axis=-1)
 
 
 def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
                    acc_dtype=jnp.float32, bonds_idx=None,
-                   angles_idx=None) -> BondedResult:
-    """bonds_idx/angles_idx: optional traced (Nb,2)/(Na,3) index overrides
-    (slot-layout engines remap atom ids to slots per rebin)."""
+                   angles_idx=None, dihedrals_idx=None,
+                   impropers_idx=None) -> BondedResult:
+    """*_idx: optional traced index overrides (slot-layout engines remap
+    atom ids to slots per rebin)."""
+    from ...core.box import axis_lengths
+
     n = x.shape[0]
-    L = np.asarray(box.lengths, np.float64)
+    L = axis_lengths(box)
     f = jnp.zeros((n, 3), acc_dtype)
     ebond = jnp.zeros((), acc_dtype)
     eangle = jnp.zeros((), acc_dtype)
@@ -155,4 +198,59 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
             jnp.sum((d1[:, 1] * f1[:, 2] + d2[:, 1] * f3[:, 2]).astype(acc_dtype)),
         ])
 
-    return BondedResult(f=f, ebond=ebond, eangle=eangle, virial=virial)
+    if (len(style.angles) and style.angle_style == "charmm"
+            and style.angle_coeffs.shape[1] >= 4):
+        # Urey-Bradley 1-3 harmonic term of angle charmm
+        at = style.angles[:, 0]
+        kub = style.angle_coeffs[at, 2]
+        if np.any(kub != 0.0):
+            if angles_idx is None:
+                ai = jnp.asarray(style.angles[:, 1])
+                ak = jnp.asarray(style.angles[:, 3])
+            else:
+                ai, ak = angles_idx[:, 0], angles_idx[:, 2]
+            K = jnp.asarray(kub, x.dtype)
+            r0 = jnp.asarray(style.angle_coeffs[at, 3], x.dtype)
+            d = _minimg(x[ai] - x[ak], L)
+            r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=1), 1e-12))
+            dr = r - r0
+            rk = K * dr
+            fbond = -2.0 * rk / r
+            fv = fbond[:, None] * d
+            f = f.at[ai].add(fv.astype(acc_dtype))
+            f = f.at[ak].add(-fv.astype(acc_dtype))
+            if eflag:
+                eangle = eangle + jnp.sum((rk * dr).astype(acc_dtype))
+            virial = virial + jnp.stack([
+                jnp.sum((fbond * d[:, 0] * d[:, 0]).astype(acc_dtype)),
+                jnp.sum((fbond * d[:, 1] * d[:, 1]).astype(acc_dtype)),
+                jnp.sum((fbond * d[:, 2] * d[:, 2]).astype(acc_dtype)),
+                jnp.sum((fbond * d[:, 0] * d[:, 1]).astype(acc_dtype)),
+                jnp.sum((fbond * d[:, 0] * d[:, 2]).astype(acc_dtype)),
+                jnp.sum((fbond * d[:, 1] * d[:, 2]).astype(acc_dtype)),
+            ])
+
+    z = jnp.zeros((), acc_dtype)
+    edihed = eimp = e14_lj = e14_coul = z
+    if len(style.dihedrals):
+        from .charmm import dihedral_charmm_forces
+
+        upd, edihed, e14_lj, e14_coul, dvir = dihedral_charmm_forces(
+            x, L, style.dihedrals, style.dihedral_coeffs, style.d14,
+            idx=dihedrals_idx, acc_dtype=acc_dtype)
+        for (ii, fi) in upd.values():
+            f = f.at[ii].add(fi.astype(acc_dtype))
+        virial = virial + dvir
+    if len(style.impropers):
+        from .charmm import improper_harmonic_forces
+
+        upd, eimp, ivir = improper_harmonic_forces(
+            x, L, style.impropers, style.improper_coeffs,
+            idx=impropers_idx, acc_dtype=acc_dtype)
+        for (ii, fi) in upd.values():
+            f = f.at[ii].add(fi.astype(acc_dtype))
+        virial = virial + ivir
+
+    return BondedResult(f=f, ebond=ebond, eangle=eangle, virial=virial,
+                        edihed=edihed, eimp=eimp, e14_lj=e14_lj,
+                        e14_coul=e14_coul)

@@ -42,9 +42,19 @@ class Ewald:
     volume: float
     kmax: tuple[int, int, int]
     acc_dtype: object = jnp.float32
+    mvecs: np.ndarray = None   # (K, 3) integer k triples (traced-box path)
 
     def compute(self, x, q, eflag: bool = True, vflag: bool = True):
         return _ewald_compute(self, x, q, eflag, vflag)
+
+    def compute_traced(self, x, q, L, eflag: bool = True,
+                       vflag: bool = True):
+        """Variable-cell form (NPT): k = 2 pi m / L with L a traced (3,)
+        array; prefactors recomputed from the traced volume.  The integer
+        k-set is fixed at setup (resized only on re-setup, matching
+        LAMMPS' kspace setup-on-box-change cadence for modest dilations).
+        """
+        return _ewald_compute_traced(self, x, q, L, eflag, vflag)
 
     @property
     def elong_self(self) -> float:
@@ -101,14 +111,24 @@ def setup_ewald(
                 ksq = float(k @ k)
                 if ksq <= gsqmx:
                     ks.append(k)
+    ms = []
+    for nx in range(-kxm, kxm + 1):
+        for ny in range(-kym, kym + 1):
+            for nz in range(-kzm, kzm + 1):
+                if nx == ny == nz == 0:
+                    continue
+                k = 2 * math.pi * np.array([nx / L[0], ny / L[1], nz / L[2]])
+                if float(k @ k) <= gsqmx:
+                    ms.append((nx, ny, nz))
     kvecs = np.asarray(ks)
+    mvecs = np.asarray(ms, np.int32)
     ksq = np.sum(kvecs**2, axis=1)
     ug = (2.0 * math.pi / volume) * np.exp(-ksq / (4.0 * g_ewald**2)) / ksq
 
     return Ewald(
         g_ewald=float(g_ewald), kvecs=kvecs, ug=ug, qsum=qsum,
         qsqsum=qsqsum, qqrd2e=qqrd2e, volume=volume,
-        kmax=(kxm, kym, kzm), acc_dtype=acc_dtype,
+        kmax=(kxm, kym, kzm), acc_dtype=acc_dtype, mvecs=mvecs,
     )
 
 
@@ -157,4 +177,52 @@ def _ewald_compute(ew: Ewald, x, q, eflag: bool, vflag: bool) -> KSpaceResult:
     else:
         virial = jnp.zeros((6,), acc)
 
+    return KSpaceResult(f=f, elong=elong, virial=virial)
+
+
+def _ewald_compute_traced(ew: Ewald, x, q, L, eflag: bool,
+                          vflag: bool) -> KSpaceResult:
+    """Traced-box Ewald (see Ewald.compute_traced)."""
+    flt = x.dtype
+    acc = ew.acc_dtype
+    m = jnp.asarray(ew.mvecs, flt)                       # (K, 3)
+    kv = (2.0 * math.pi) * m / L[None, :].astype(flt)    # traced (K, 3)
+    ksq = jnp.sum(kv * kv, axis=1)
+    vol = (L[0] * L[1] * L[2]).astype(flt)
+    g2 = ew.g_ewald**2
+    ug = (2.0 * math.pi) / vol * jnp.exp(-ksq / (4.0 * g2)) / ksq
+
+    phase = x @ kv.T
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    s_re = jnp.sum((q[:, None] * c).astype(acc), axis=0).astype(flt)
+    s_im = jnp.sum((q[:, None] * s).astype(acc), axis=0).astype(flt)
+
+    coef = s * s_re[None, :] - c * s_im[None, :]
+    f = (coef * (2.0 * ug)[None, :]) @ kv
+    f = (float(ew.qqrd2e) * q[:, None] * f).astype(acc)
+
+    sk2 = (s_re * s_re + s_im * s_im)
+    uk = ug * sk2 * float(ew.qqrd2e)
+    if eflag:
+        g = ew.g_ewald
+        e_self = -g * ew.qsqsum / math.sqrt(math.pi) \
+            - math.pi / 2.0 * ew.qsum**2 / (g * g * vol)
+        elong = (jnp.sum(uk.astype(acc))
+                 + ew.qqrd2e * e_self).astype(acc)
+    else:
+        elong = jnp.zeros((), acc)
+    if vflag:
+        kx, ky, kz = kv[:, 0], kv[:, 1], kv[:, 2]
+        pref = 2.0 * (1.0 / ksq + 0.25 / g2)
+        virial = jnp.stack([
+            jnp.sum((uk * (1.0 - pref * kx * kx)).astype(acc)),
+            jnp.sum((uk * (1.0 - pref * ky * ky)).astype(acc)),
+            jnp.sum((uk * (1.0 - pref * kz * kz)).astype(acc)),
+            jnp.sum((uk * (-pref * kx * ky)).astype(acc)),
+            jnp.sum((uk * (-pref * kx * kz)).astype(acc)),
+            jnp.sum((uk * (-pref * ky * kz)).astype(acc)),
+        ])
+    else:
+        virial = jnp.zeros((6,), acc)
     return KSpaceResult(f=f, elong=elong, virial=virial)

@@ -150,6 +150,7 @@ def setup_pppm(
     grid: Optional[tuple[int, int, int]] = None,
     acc_dtype=jnp.float32,
     multiple_of: Optional[tuple[int, int, int]] = None,
+    grid_min: Optional[tuple[int, int, int]] = None,
     diff: str = "ik",
     slab: Optional[float] = None,
 ) -> PPPM:
@@ -181,6 +182,8 @@ def setup_pppm(
                 if n > 4096:
                     raise RuntimeError("pppm grid blew up")
             n = max(n, 2 * order)
+            if grid_min is not None:
+                n = max(n, grid_min[ax])
             if multiple_of is not None:
                 # cell-aligned grids (pppm_cells patch pipeline): round the
                 # per-cell point count up, keep >= the accuracy-driven size

@@ -118,14 +118,17 @@ def compute_pair(
     j_safe = jnp.minimum(j, n_src - 1)
 
     # component-SoA displacement with per-axis minimum image.
-    # Box lengths are baked python-float constants (host Box contract).
-    L = np.asarray(box.lengths, np.float64)
+    # Box lengths are baked python-float constants for a host box, traced
+    # scalars for the NPT variable-cell path (core.box.axis_lengths).
+    from ...core.box import axis_lengths
+
+    L = axis_lengths(box)
     d = []
     rsq = None
     for ax in range(3):
         xc = x_src[:, ax]
         dd = x[:, ax][:, None] - xc[j_safe]
-        La = float(L[ax])
+        La = L[ax]
         dd = dd - jnp.round(dd * (1.0 / La)) * La
         d.append(dd)
         rsq = dd * dd if rsq is None else rsq + dd * dd
@@ -219,13 +222,15 @@ def compute_pair_peratom(
     j = nlist.idx
     mask = j < n_src
     j_safe = jnp.minimum(j, n_src - 1)
-    L = np.asarray(box.lengths, np.float64)
+    from ...core.box import axis_lengths
+
+    L = axis_lengths(box)
     d = []
     rsq = None
     for ax in range(3):
         xc = x_src[:, ax]
         dd = x[:, ax][:, None] - xc[j_safe]
-        La = float(L[ax])
+        La = L[ax]
         dd = dd - jnp.round(dd * (1.0 / La)) * La
         d.append(dd)
         rsq = dd * dd if rsq is None else rsq + dd * dd

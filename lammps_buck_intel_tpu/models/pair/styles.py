@@ -75,6 +75,11 @@ class PairStyle:
     g_ewald: float = 0.0
     g_ewald_6: float = 0.0
     cutsq_max: float = 0.0  # max over tables of all cutoffs (neighbor cut)
+    # lj/charmm switching region (pair_lj_charmm_coul_long.cpp):
+    inner_sq: float = 0.0   # cut_lj_inner^2
+    denom_lj: float = 1.0   # (cut_ljsq - inner_sq)^3
+    eps14: np.ndarray = None   # (T,) 1-4 LJ params for dihedral charmm
+    sig14: np.ndarray = None
 
     def replace(self, **kw) -> "PairStyle":
         return dataclasses.replace(self, **kw)
@@ -226,6 +231,65 @@ def build_lj(
     )
 
 
+def build_lj_charmm(
+    ntypes: int,
+    coeffs: dict[int, tuple],
+    inner: float,
+    cut_lj: float,
+    coul: str = "long",
+    cut_coul: Optional[float] = None,
+    special_lj=(1.0, 0.0, 0.0, 0.0),
+    special_coul=(1.0, 0.0, 0.0, 0.0),
+    qqrd2e: float = 1.0,
+    name: Optional[str] = None,
+) -> PairStyle:
+    """lj/charmm/coul/{long,cut} builder
+    (/root/reference/examples/in.rhodo:11 `pair_style lj/charmm/coul/long
+    4.0 6.0`; physics per LAMMPS pair_lj_charmm_coul_long.cpp).
+
+    coeffs: {type: (eps, sigma[, eps14, sigma14])}.  CHARMM mixes
+    arithmetically; the energy switches smoothly to zero between `inner`
+    and `cut_lj`.  eps14/sig14 default to eps/sigma and are consumed by
+    dihedral charmm's baked 1-4 terms (bake_charmm_14), not here —
+    special_bonds charmm zeroes 1-2/1-3/1-4 in the pair pass.
+    """
+    cut_coul = cut_lj if cut_coul is None else cut_coul
+    eps = np.zeros(ntypes)
+    sig = np.zeros(ntypes)
+    e14 = np.zeros(ntypes)
+    s14 = np.zeros(ntypes)
+    for t, c in coeffs.items():
+        eps[t], sig[t] = c[0], c[1]
+        e14[t] = c[2] if len(c) > 2 else c[0]
+        s14[t] = c[3] if len(c) > 3 else c[1]
+    e_ij, s_ij = _mix_arithmetic(eps, sig)
+    t = np.zeros((ntypes, ntypes, NCOEF), np.float64)
+    s6 = s_ij**6
+    t[..., _COL["c0"]] = 48.0 * e_ij * s6 * s6
+    t[..., _COL["c1"]] = 24.0 * e_ij * s6
+    t[..., _COL["e0"]] = 4.0 * e_ij * s6 * s6
+    t[..., _COL["e1"]] = 4.0 * e_ij * s6
+    t[..., _COL["cut_ljsq"]] = cut_lj**2
+    t[..., _COL["cut_coulsq"]] = cut_coul**2
+    cfg = PairConfig(
+        name=name or f"lj/charmm/coul/{coul}", vdw="ljcharmm", coul=coul,
+        disp="cut",
+    )
+    inner_sq = float(inner**2)
+    return PairStyle(
+        cfg=cfg,
+        tables=t,
+        special_lj=np.asarray(special_lj, np.float64),
+        special_coul=np.asarray(special_coul, np.float64),
+        qqrd2e=float(qqrd2e),
+        cutsq_max=float(max(cut_lj, cut_coul) ** 2),
+        inner_sq=inner_sq,
+        denom_lj=float((cut_lj**2 - inner_sq) ** 3),
+        eps14=e14,
+        sig14=s14,
+    )
+
+
 def erfc_approx(grij, expm2, dtype):
     """A&S 5-term erfc(x)*exp(x^2) form: erfc = t*poly(t)*exp(-x^2)."""
     a1, a2, a3, a4, a5 = (float(a) for a in ERFC_A)
@@ -273,10 +337,28 @@ def pair_terms(style: PairStyle, rsq, coef, qi, qj, f_lj, f_coul, *, eflag: bool
             rexp = jnp.exp(-r * coef["rhoinv"])
             rep_f = r * rexp * c0           # repulsive force piece
             rep_e = e0 * rexp
-        else:  # lj
+        else:  # lj / ljcharmm
             rep_f = r6inv * r6inv * c0
             rep_e = r6inv * r6inv * e0
-        if cfg.disp == "long":
+        if cfg.vdw == "ljcharmm":
+            # CHARMM energy-switch between inner and outer LJ cutoffs
+            # (pair_lj_charmm_coul_long.cpp:116-128)
+            forcelj = rep_f - r6inv * c1
+            philj = rep_e - e1 * r6inv
+            innersq = float(style.inner_sq)
+            denom = float(style.denom_lj)
+            tt = cut_ljsq - rsq
+            switch1 = tt * tt * (cut_ljsq + 2.0 * rsq - 3.0 * innersq) \
+                / denom
+            switch2 = 12.0 * rsq * tt * (rsq - innersq) / denom
+            sw = rsq > innersq
+            fvdw = jnp.where(sw, forcelj * switch1 + philj * switch2,
+                             forcelj) * f_lj
+            evdwl = jnp.where(sw, philj * switch1, philj) * f_lj
+            in_lj = rsq < cut_ljsq
+            fvdw = jnp.where(in_lj, fvdw, zero)
+            evdwl = jnp.where(in_lj, evdwl, zero)
+        elif cfg.disp == "long":
             # Ewald-split dispersion real-space damping
             # (pair_buck_long_coul_long_intel.cpp:400-421,
             #  pair_lj_long_coul_long_intel.cpp:621-638)

@@ -47,7 +47,8 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     dt = cfg.get("timestep", u.dt)
 
     # ---- geometry ----
-    bonds = angles = None
+    bonds = angles = dihedrals = impropers = None
+    data_coeffs = {}
     mol = None
     image = None
     v0 = None
@@ -59,14 +60,20 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         x, lo, hi = d.x, d.box_lo, d.box_hi
         typ, q, v0, image, mol = d.type, d.q, d.v, d.image, d.molecule
         bonds, angles, mass = d.bonds, d.angles, d.mass
+        dihedrals, impropers = d.dihedrals, d.impropers
+        data_coeffs = dict(bond=d.bond_coeffs, angle=d.angle_coeffs,
+                           dihedral=d.dihedral_coeffs,
+                           improper=d.improper_coeffs, pair=d.pair_coeffs)
         if not np.abs(v0).any():
             v0 = None
         rep = cfg.get("replicate")
         if rep:
-            x, lo, hi, pa, bonds, angles, _, _, mol = lattice.replicate(
+            (x, lo, hi, pa, bonds, angles, dihedrals, impropers,
+             mol) = lattice.replicate(
                 x, lo, hi, tuple(rep),
                 per_atom={"type": typ, "q": q, "image": image},
-                bonds=bonds, angles=angles, molecule=mol,
+                bonds=bonds, angles=angles, dihedrals=dihedrals,
+                impropers=impropers, molecule=mol,
             )
             typ, q, image = pa["type"], pa["q"], pa["image"]
             v0 = None
@@ -117,6 +124,20 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             angles = np.column_stack(
                 [angles[:, 0], remap[angles[:, 1]], remap[angles[:, 2]],
                  remap[angles[:, 3]]]).astype(angles.dtype)
+        for _nm in ("dihedrals", "impropers"):
+            arr = dihedrals if _nm == "dihedrals" else impropers
+            if arr is not None and len(arr):
+                ok = np.ones(len(arr), bool)
+                for c in range(1, 5):
+                    ok &= keep[arr[:, c]]
+                arr = arr[ok]
+                arr = np.column_stack(
+                    [arr[:, 0]] + [remap[arr[:, c]] for c in range(1, 5)]
+                ).astype(arr.dtype)
+                if _nm == "dihedrals":
+                    dihedrals = arr
+                else:
+                    impropers = arr
 
     n = len(x)
     if typ is None:
@@ -136,15 +157,25 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         )
 
     box = make_box(lo, hi)
-    topo = build_topology(n, bonds=bonds, angles=angles) \
+    topo = build_topology(n, bonds=bonds, angles=angles,
+                          dihedrals=dihedrals, impropers=impropers) \
         if bonds is not None and len(bonds) else None
 
     # ---- pair style ----
     ps = cfg["pair_style"]
     name = ps["name"]
     sb = cfg.get("special_bonds", [1.0, 1.0, 1.0])
+    if isinstance(sb, str):
+        # named sets (special_bonds.html): charmm = 0,0,0 for both lj and
+        # coul (1-4 handled by dihedral charmm's weight); amber shown for
+        # completeness
+        named = {"charmm": ([0., 0., 0.], [0., 0., 0.]),
+                 "amber": ([0., 0., 0.5], [0., 0., 1.0 / 1.2]),
+                 "lj/coul": ([0., 0., 0.], [0., 0., 0.])}
+        sb, sbc = named[sb]
+    else:
+        sbc = cfg.get("special_bonds_coul", sb)
     special = (1.0, float(sb[0]), float(sb[1]), float(sb[2]))
-    sbc = cfg.get("special_bonds_coul", sb)
     special_coul = (1.0, float(sbc[0]), float(sbc[1]), float(sbc[2]))
     coeffs = {_parse_pair_key(k): tuple(v)
               for k, v in ps.get("coeffs", {}).items()}
@@ -157,6 +188,25 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         style = build_buck(
             ntypes, coeffs, cut_global=ps["cut"], coul=coul, disp=disp,
             cut_coul=ps.get("cut_coul"), name=name, **kw,
+        )
+    elif name.startswith("lj/charmm"):
+        coul = ("long" if "coul/long" in name
+                else "cut" if "coul/cut" in name else "none")
+        lj_coeffs = {}
+        for key, c in coeffs.items():
+            i, j = key
+            if i == j:
+                lj_coeffs[i] = tuple(c)
+        if not lj_coeffs and data_coeffs.get("pair"):
+            lj_coeffs = {t: tuple(c)
+                         for t, c in data_coeffs["pair"].items()}
+        from .models.pair import build_lj_charmm
+
+        style = build_lj_charmm(
+            ntypes, lj_coeffs, inner=ps["inner"], cut_lj=ps["cut"],
+            coul=coul, cut_coul=ps.get("cut_coul"), name=name,
+            special_lj=special, special_coul=special_coul,
+            qqrd2e=u.qqrd2e,
         )
     elif name.startswith("lj"):
         coul = ("long" if "coul/long" in name
@@ -236,18 +286,50 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         kspace = CombinedKSpace(solvers)
 
     # ---- bonded ----
+    def _coeff_table(kind: str, ncols: int):
+        """Deck coeffs override data-file coeffs (LAMMPS input semantics)."""
+        deck = cfg.get(f"{kind}_style", {}).get("coeffs")
+        if deck:
+            return np.asarray(deck, np.float64)
+        dd = data_coeffs.get(kind)
+        if dd:
+            T = max(dd) + 1
+            out = np.zeros((T, ncols))
+            for t, row in dd.items():
+                out[t, :min(ncols, len(row))] = row[:ncols]
+            return out
+        return np.zeros((0, ncols))
+
     bonded = None
-    if cfg.get("bond_style") or cfg.get("angle_style"):
-        bc = np.asarray(cfg.get("bond_style", {}).get("coeffs", []) or
-                        np.zeros((0, 2)))
-        ac = np.asarray(cfg.get("angle_style", {}).get("coeffs", []) or
-                        np.zeros((0, 2)))
-        bonded = make_bonded(bonds=bonds, angles=angles,
-                             bond_coeffs=bc, angle_coeffs=ac)
+    angle_style_name = cfg.get("angle_style", {}).get("name", "harmonic")
+    have_bonded = (cfg.get("bond_style") or cfg.get("angle_style")
+                   or cfg.get("dihedral_style") or cfg.get("improper_style"))
+    d14 = None
+    dc = ic = None
+    if have_bonded:
+        bc = _coeff_table("bond", 2)
+        ac = _coeff_table("angle", 4 if angle_style_name == "charmm" else 2)
+        dc = _coeff_table("dihedral", 4)
+        ic = _coeff_table("improper", 2)
+        if (dihedrals is not None and len(dihedrals)
+                and cfg.get("dihedral_style", {}).get("name",
+                                                      "charmm") == "charmm"):
+            from .models.bonded import bake_charmm_14
+
+            e14 = getattr(style, "eps14", None)
+            if e14 is not None and len(dc):
+                d14 = bake_charmm_14(dihedrals, dc, typ, q,
+                                     style.eps14, style.sig14, u.qqrd2e)
+        bonded = make_bonded(
+            bonds=bonds, angles=angles, bond_coeffs=bc, angle_coeffs=ac,
+            angle_style=angle_style_name, dihedrals=dihedrals,
+            impropers=impropers, dihedral_coeffs=dc, improper_coeffs=ic,
+            d14=d14)
 
     # ---- fixes ----
     thermostat = None
     shake = None
+    npt_fix = None
     exclude_intra = bool(cfg.get("exclude_intra", False))
     for fx in cfg.get("fixes", [{"name": "nve"}]):
         fn = fx["name"]
@@ -259,10 +341,30 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 t_damp=fx["t_damp"], tchain=fx.get("tchain", 3),
             )
         elif fn == "shake":
-            bc = np.asarray(cfg["bond_style"]["coeffs"])
-            ac = np.asarray(cfg.get("angle_style", {}).get("coeffs",
-                                                           [[0.0, 109.47]]))
-            b_types = tuple(t - 1 for t in fx.get("b", [1]))
+            bc = (np.asarray(cfg["bond_style"]["coeffs"])
+                  if cfg.get("bond_style", {}).get("coeffs")
+                  else _coeff_table("bond", 2))
+            ac_deck = cfg.get("angle_style", {}).get("coeffs")
+            ac = (np.asarray(ac_deck) if ac_deck
+                  else (_coeff_table(
+                      "angle", 4 if angle_style_name == "charmm" else 2)
+                      if data_coeffs.get("angle") else
+                      np.asarray([[0.0, 109.47]])))
+            b_types = tuple(t - 1 for t in fx.get("b", []))
+            if "m" in fx and bonds is not None and len(bonds):
+                # `fix shake m <mass>`: constrain every bond type that
+                # involves an atom whose mass matches a listed value
+                # within 0.1 (fix_shake.cpp mass_list semantics)
+                mvals = np.atleast_1d(np.asarray(fx["m"], np.float64))
+                light = np.any(
+                    np.abs(mass_per_atom[:, None] - mvals[None, :]) <= 0.1,
+                    axis=1)
+                sel = light[bonds[:, 1]] | light[bonds[:, 2]]
+                b_types = tuple(sorted(
+                    set(int(t) for t in np.unique(bonds[sel, 0]))
+                    | set(b_types)))
+            if not b_types and "m" not in fx:
+                b_types = (0,)
             a_types = tuple(t - 1 for t in fx.get("a", []))
             shake = make_shake(
                 bonds, bc, angles if angles is not None else np.zeros((0, 4)),
@@ -276,9 +378,15 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                   if bonds is not None and len(bonds) else None)
             ra = (angles[~np.isin(angles[:, 0], a_types)]
                   if angles is not None and len(angles) else None)
-            if (rb is not None and len(rb)) or (ra is not None and len(ra)):
-                bonded = make_bonded(bonds=rb, angles=ra,
-                                     bond_coeffs=bc, angle_coeffs=ac)
+            has_di = ((dihedrals is not None and len(dihedrals))
+                      or (impropers is not None and len(impropers)))
+            if ((rb is not None and len(rb)) or (ra is not None and len(ra))
+                    or has_di):
+                bonded = make_bonded(
+                    bonds=rb, angles=ra, bond_coeffs=bc, angle_coeffs=ac,
+                    angle_style=angle_style_name, dihedrals=dihedrals,
+                    impropers=impropers, dihedral_coeffs=dc,
+                    improper_coeffs=ic, d14=d14)
             else:
                 bonded = None
         elif fn == "rigid/small":
@@ -286,6 +394,38 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 x, mol, mass_per_atom, box.lengths,
             )
             exclude_intra = True
+        elif fn == "npt":
+            # `fix npt temp T T Tdamp iso P P Pdamp` / the in.rhodo form
+            # `... z 0 0 1000 mtk no pchain 0 tchain 1`
+            from .integrate import NPTConfig
+
+            thermostat = NVTConfig(
+                t_start=fx["t_start"],
+                t_stop=fx.get("t_stop", fx["t_start"]),
+                t_damp=fx["t_damp"], tchain=fx.get("tchain", 3),
+            )
+            if "iso" in fx:
+                pv = fx["iso"]
+                npt_fix = NPTConfig(
+                    p_start=(pv[0],) * 3, p_stop=(pv[1],) * 3,
+                    p_damp=pv[2], flags=(True, True, True),
+                    couple="xyz", mtk=fx.get("mtk", True),
+                    pchain=fx.get("pchain", 0))
+            else:
+                flags = [False, False, False]
+                p0 = [0.0, 0.0, 0.0]
+                p1 = [0.0, 0.0, 0.0]
+                damp = None
+                for iax, ax in enumerate("xyz"):
+                    if ax in fx:
+                        flags[iax] = True
+                        p0[iax], p1[iax], damp = fx[ax]
+                if damp is None:
+                    raise ValueError("fix npt needs iso/x/y/z pressure")
+                npt_fix = NPTConfig(
+                    p_start=tuple(p0), p_stop=tuple(p1), p_damp=damp,
+                    flags=tuple(flags), couple="none",
+                    mtk=fx.get("mtk", True), pchain=fx.get("pchain", 0))
         else:
             raise ValueError(f"unknown fix {fn!r}")
 
@@ -301,43 +441,78 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     engine = cfg.get("engine", "nlist")
     common = dict(topology=topo, kspace=kspace, units=u, precision=prec,
                   dt=dt, neighbor=policy)
+    if npt_fix is not None:
+        from .integrate import NPTSimulation
+
+        if shake is not None:
+            raise NotImplementedError(
+                "fix shake + fix npt: the constraint virial is not yet "
+                "tallied into the barostat pressure")
+        if kspace is not None and not hasattr(kspace, "compute_traced"):
+            raise ValueError(
+                "fix npt needs a variable-cell kspace solver; use "
+                "kspace_style ewald (PPPM greensfn is box-baked)")
+        return NPTSimulation(
+            system, style, npt_fix, thermostat, kspace=kspace,
+            bonded=bonded, units=u, precision=prec, dt=dt,
+            neighbor=policy)
     if engine == "cellpair" and exclude_intra:
         raise ValueError(
             "cellpair engine does not support exclude_intra yet; "
             "use engine: nlist"
         )
     if engine == "cellpair":
+        use_cellpppm = (
+            ks and ks.get("name") == "pppm"
+            and style.cfg.coul == "long"
+            and not ks.get("slab")  # slab grids are z-extended past
+            # the cell grid; the generic pipeline handles them
+        )
+        kw2 = dict(common)
+        if use_cellpppm:
+            kw2["kspace"] = None
         try:
-            use_cellpppm = (
-                ks and ks.get("name") == "pppm"
-                and style.cfg.coul == "long"
-                and not ks.get("slab")  # slab grids are z-extended past
-                # the cell grid; the generic pipeline handles them
-            )
-            kw2 = dict(common)
-            if use_cellpppm:
-                kw2["kspace"] = None
             sim = CellPairSimulation(
                 system, style, bonded=bonded, shake=shake,
                 thermostat=thermostat, **kw2)
+        except ValueError:
+            # box too small for a 3^3 cell grid — fall through to nlist
+            sim = None
+        if sim is not None:
             if use_cellpppm:
                 # rebuild pppm aligned to the sim's cell grid and bind the
-                # scatter-free patch pipeline (g_ewald is grid-independent)
+                # scatter-free patch pipeline (g_ewald is grid-independent).
+                # The mesh must give each cell enough grid points to hold
+                # a spline patch: S >= (order+1)/2 + margin per axis.
                 from .models.kspace import setup_pppm as _setup
                 from .models.kspace import CellPPPM
+                import math as _math
 
+                order = ks.get("order", 5)
+                nc = np.asarray(sim.grid.nc)
+                L = np.asarray(box.lengths)
+                smin = []
+                for ax in range(3):
+                    s = (order + 1) // 2 + 2
+                    while True:
+                        h = L[ax] / (s * nc[ax])
+                        m = max(2, int(_math.ceil(0.5 * policy.skin / h
+                                                  - 1e-9)))
+                        if s >= (order + 1) // 2 + m:
+                            break
+                        s += 1
+                    smin.append(s)
+                grid_min = tuple(int(s * c) for s, c in zip(smin, nc))
                 pm2 = _setup(box, q, cutoff=ps.get("cut_coul", ps["cut"]),
                              accuracy_rel=ks.get("accuracy", 1e-4),
-                             qqrd2e=u.qqrd2e, order=ks.get("order", 5),
+                             qqrd2e=u.qqrd2e, order=order,
                              g_ewald=style.g_ewald,
                              diff=ks.get("diff", "ik"),
-                             multiple_of=sim.grid.nc, acc_dtype=prec.acc)
+                             multiple_of=sim.grid.nc,
+                             grid_min=grid_min, acc_dtype=prec.acc)
                 sim.kspace = CellPPPM(pm2, sim.grid, skin=policy.skin)
                 sim.state = sim._init_force_fn()(sim.state)
             return sim
-        except ValueError:
-            # box too small for a 3^3 cell grid — fall through to nlist
-            pass
     sim = Simulation(system, style, bonded=bonded, shake=shake,
                      thermostat=thermostat, exclude_intra=exclude_intra,
                      **common)
