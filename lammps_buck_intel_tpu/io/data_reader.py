@@ -187,9 +187,8 @@ def read_data(path: str, atom_style: str = "auto",
                 rows.append(line.split())
             i += 1
         if native_done and name in ("Masses", "Atoms", "Velocities",
-                                    "Bonds", "Angles"):
-            # (Dihedrals/Impropers fall through: the native parser only
-            # fills the sections it is given output buffers for)
+                                    "Bonds", "Angles", "Dihedrals",
+                                    "Impropers"):
             continue
         if name == "Masses":
             for r in rows:

@@ -26,8 +26,10 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        src = os.path.join(_NATIVE_DIR, "fastdata.cpp")
+    src = os.path.join(_NATIVE_DIR, "fastdata.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    if not os.path.exists(_LIB_PATH) or stale:
         if not os.path.exists(src):
             return None
         try:
@@ -54,7 +56,10 @@ def _load():
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long,
     ]
     _lib = lib
     return _lib
@@ -73,6 +78,8 @@ def parse_sections(path: str, style: str, d) -> bool:
         path.encode(), _STYLE_ID[style],
         d.x, d.v, d.q, d.type, d.molecule, d.image.reshape(-1),
         d.mass, d.bonds.reshape(-1), d.angles.reshape(-1),
+        d.dihedrals.reshape(-1), d.impropers.reshape(-1),
         d.n_atoms, len(d.bonds), len(d.angles), len(d.mass),
+        len(d.dihedrals), len(d.impropers),
     )
     return rc == 0

@@ -82,7 +82,10 @@ int lbi_parse_data(
     double* mass,     // (n_types,)
     int* bonds,       // (n_bonds, 3) [type, i, j] 0-based
     int* angles,      // (n_angles, 4)
-    long n_atoms, long n_bonds, long n_angles, long n_types)
+    int* dihedrals,   // (n_dihedrals, 5) — may be null when none
+    int* impropers,   // (n_impropers, 5) — may be null when none
+    long n_atoms, long n_bonds, long n_angles, long n_types,
+    long n_dihedrals, long n_impropers)
 {
     Reader r(path);
     if (!r.f) return -1;
@@ -146,6 +149,24 @@ int lbi_parse_data(
                 angles[4 * a + 1] = (int)(ri(p) - 1);
                 angles[4 * a + 2] = (int)(ri(p) - 1);
                 angles[4 * a + 3] = (int)(ri(p) - 1);
+                break;
+            }
+            case 5: {  // Dihedrals
+                if (!dihedrals) break;
+                long id = ri(p);
+                if (id < 1 || id > n_dihedrals) return -7;
+                long d = id - 1;
+                for (int c = 0; c < 5; ++c)
+                    dihedrals[5 * d + c] = (int)(ri(p) - 1);
+                break;
+            }
+            case 6: {  // Impropers
+                if (!impropers) break;
+                long id = ri(p);
+                if (id < 1 || id > n_impropers) return -8;
+                long d = id - 1;
+                for (int c = 0; c < 5; ++c)
+                    impropers[5 * d + c] = (int)(ri(p) - 1);
                 break;
             }
             default:
