@@ -1,0 +1,85 @@
+"""Record long-horizon thermo traces for the literal reference decks.
+
+VERDICT round-1 item 7: run the decks at the reference's own lengths
+(/root/reference/examples: in.buck 100 steps, in.buck_big 1000, in.spce
+100 @ 2 fs, in.hexane 200) on the TPU in f32, store the traces in-repo as
+goldens, and gate on total-energy drift.  tests/test_long_horizon.py
+checks the recorded traces; re-record after any physics change with
+
+    python tools/record_goldens.py [deck ...]
+
+Each golden JSON carries: deck name, backend, per-row thermo, and the
+derived drift metric the test gates on.
+"""
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+# (deck, steps, thermo cadence, drift gate on |etotal - e0| / natoms,
+#  conserved: False for thermostatted/constrained decks where etotal is
+#  not the conserved quantity)
+RUNS = {
+    "buck": dict(deck="buck.yaml", steps=100, thermo=10,
+                 drift_per_atom=2e-4, conserved=True),
+    "buck_big": dict(deck="buck_big.yaml", steps=1000, thermo=100,
+                     drift_per_atom=2e-4, conserved=True),
+    "silica_pppm": dict(deck="silica_pppm.yaml", steps=100, thermo=10,
+                        drift_per_atom=5e-3, conserved=True),
+    "spce": dict(deck="spce.yaml", steps=100, thermo=10,
+                 drift_per_atom=None, conserved=False),   # NVT+SHAKE
+    "hexane": dict(deck="hexane.yaml", steps=200, thermo=20,
+                   drift_per_atom=None, conserved=False),  # NVT+rigid
+}
+
+
+def record(name: str) -> dict:
+    import jax
+    import yaml
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    from lammps_buck_intel_tpu.run import run_deck
+
+    spec = RUNS[name]
+    path = os.path.join(ROOT, "examples", "decks", spec["deck"])
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["run"] = spec["steps"]
+    cfg["thermo"] = spec["thermo"]
+    cfg.pop("dump", None)
+    cfg.pop("write_data", None)
+    t0 = time.perf_counter()
+    sim, rows = run_deck(cfg, log=False)
+    wall = time.perf_counter() - t0
+    n = sim.n_atoms
+    clean = []
+    for r in rows:
+        clean.append({k: float(v) for k, v in r.items()
+                      if k in ("step", "temp", "epair", "evdwl", "ecoul",
+                               "elong", "emol", "ke", "etotal", "press")})
+    e0 = clean[0]["etotal"]
+    drift = max(abs(r["etotal"] - e0) for r in clean) / n
+    out = dict(
+        deck=name, backend=jax.devices()[0].platform, n_atoms=n,
+        steps=spec["steps"], wall_s=round(wall, 2),
+        atom_steps_per_s=round(n * spec["steps"] / wall, 1),
+        drift_per_atom=drift, conserved=spec["conserved"],
+        drift_gate=spec["drift_per_atom"], rows=clean,
+    )
+    gold_dir = os.path.join(ROOT, "tests", "goldens")
+    os.makedirs(gold_dir, exist_ok=True)
+    with open(os.path.join(gold_dir, f"long_{name}.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"{name}: {n} atoms x {spec['steps']} steps, "
+          f"drift/atom {drift:.3e}, {out['atom_steps_per_s']:.0f} "
+          f"atom-steps/s [{out['backend']}]")
+    return out
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(RUNS)
+    for nm in names:
+        record(nm)
