@@ -23,6 +23,13 @@ class Precision:
     name: str
     flt: jnp.dtype  # pair/grid compute dtype
     acc: jnp.dtype  # force / energy / virial accumulation dtype
+    # compensated=True: positions/velocities integrate with Neumaier
+    # two-float accumulation (integrate/nve.py two_sum_acc) — the
+    # on-hardware analog of f64 accumulation where no f64 exists (TPU).
+    # Honored by the neighbor-list engine; the cell-slot engine runs plain
+    # single — measured drift there is per-pair f32 force noise, which
+    # accumulation compensation cannot remove (tests/test_precision.py)
+    compensated: bool = False
 
     def __post_init__(self):
         if self.acc == jnp.float64 or self.flt == jnp.float64:
@@ -37,16 +44,33 @@ def single() -> Precision:
 
 
 def mixed() -> Precision:
-    """f32 pair math, f64 accumulation (CPU/x64 only)."""
-    return Precision("mixed", jnp.dtype(jnp.float32), jnp.dtype(jnp.float64))
+    """The reference's mixed mode (f32 compute, f64 accumulate —
+    pair_buck_intel.cpp:50-52).  With x64 available (CPU tests) that is
+    literal; on f32-only hardware (TPU) the accumulated state instead
+    carries two-float compensation planes, which removes the secular
+    integration drift the f64 accumulators exist for."""
+    if jax.config.read("jax_enable_x64"):
+        return Precision("mixed", jnp.dtype(jnp.float32),
+                         jnp.dtype(jnp.float64))
+    return Precision("mixed", jnp.dtype(jnp.float32), jnp.dtype(jnp.float32),
+                     compensated=True)
 
 
 def double() -> Precision:
     return Precision("double", jnp.dtype(jnp.float64), jnp.dtype(jnp.float64))
 
 
+def single_comp() -> Precision:
+    """f32 everywhere + compensated integration — the forced-two-float
+    variant of ``mixed`` (what ``mixed`` resolves to on TPU), selectable
+    directly so CPU tests can exercise it under x64."""
+    return Precision("single_comp", jnp.dtype(jnp.float32),
+                     jnp.dtype(jnp.float32), compensated=True)
+
+
 def get_precision(name: str) -> Precision:
     try:
-        return {"single": single, "mixed": mixed, "double": double}[name]()
+        return {"single": single, "mixed": mixed, "double": double,
+                "single_comp": single_comp}[name]()
     except KeyError:
         raise ValueError(f"unknown precision mode {name!r}") from None

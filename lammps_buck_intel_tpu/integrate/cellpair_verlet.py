@@ -335,17 +335,18 @@ class CellPairSimulation:
         state, _ = jax.lax.scan(one_step, state, None, length=nsteps)
         return state
 
-    def _repeat_blocks(self, size: int, t_target: float = 0.0):
-        key = (size, round(float(t_target), 6))
-        fn = self._chunk_fns.get(key)
+    def _repeat_blocks(self, size: int):
+        # t_target is a traced argument (not baked): a thermostat ramp
+        # re-dispatches per segment without recompiling (see verlet.py)
+        fn = self._chunk_fns.get(size)
         if fn is None:
-            def chunk(state, n_blocks):
+            def chunk(state, n_blocks, t_target):
                 return jax.lax.fori_loop(
                     0, n_blocks,
                     lambda i, s: self._block(s, size, t_target), state
                 )
             fn = jax.jit(chunk)
-            self._chunk_fns[key] = fn
+            self._chunk_fns[size] = fn
         return fn
 
     # ---------- thermo ----------
@@ -442,12 +443,12 @@ class CellPairSimulation:
         return cfg.t_start + (cfg.t_stop - cfg.t_start) * frac
 
     def _advance(self, total: int, cadence: int):
-        tt = self._t_target(ahead=total)
+        tt = jnp.asarray(self._t_target(ahead=total), self.precision.flt)
         n_full, rem = divmod(total, cadence)
         if n_full:
-            self.state = self._repeat_blocks(cadence, tt)(self.state, n_full)
+            self.state = self._repeat_blocks(cadence)(self.state, n_full, tt)
         if rem:
-            self.state = self._repeat_blocks(rem, tt)(self.state, 1)
+            self.state = self._repeat_blocks(rem)(self.state, 1, tt)
 
     def run(self, nsteps: int, thermo_every: int = 0, log: bool = True):
         rows = []

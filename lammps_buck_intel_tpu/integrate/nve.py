@@ -49,3 +49,33 @@ def initial_integrate(p: NVEParams, x, v, f):
 
 def final_integrate(p: NVEParams, v, f):
     return v + (p.dtf * p.mass_inv) * f.astype(v.dtype)
+
+
+# ---- compensated (two-float) integration: the on-hardware analog of the
+# reference's mixed precision mode (f32 compute / f64 accumulate,
+# /root/reference/pair_buck_intel.cpp:50-52).  TPUs have no f64, so the
+# accumulated quantities — positions and velocities, whose per-step update
+# rounding is what makes single-precision MD drift over 10^3+ steps — carry
+# a Neumaier compensation plane: (s, c) with s + c the exact running sum.
+
+
+def two_sum_acc(s, c, t):
+    """One compensated accumulation step: returns (s', c') with
+    s' + c' == s + c + t to ~2 ulp^2.  Branchless Neumaier two-sum."""
+    t = t + c          # fold the carried residual into the increment
+    snew = s + t
+    big = jnp.abs(s) >= jnp.abs(t)
+    err = jnp.where(big, (s - snew) + t, (t - snew) + s)
+    return snew, err
+
+
+def initial_integrate_comp(p: NVEParams, x, v, f, cx, cv):
+    dv = (p.dtf * p.mass_inv) * f.astype(v.dtype)
+    v, cv = two_sum_acc(v, cv, dv)
+    x, cx = two_sum_acc(x, cx, p.dtv * (v + cv))
+    return x, v, cx, cv
+
+
+def final_integrate_comp(p: NVEParams, v, f, cv):
+    dv = (p.dtf * p.mass_inv) * f.astype(v.dtype)
+    return two_sum_acc(v, cv, dv)

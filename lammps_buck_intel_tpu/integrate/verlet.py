@@ -35,7 +35,10 @@ from ..core.precision import Precision, single
 from ..neighbor import neighbor_list as nlmod
 from ..models.pair.driver import compute_pair
 from ..models.pair.styles import PairStyle
-from .nve import make_nve, initial_integrate, final_integrate
+from .nve import (
+    make_nve, initial_integrate, final_integrate,
+    initial_integrate_comp, final_integrate_comp,
+)
 from .nvt import NVTConfig, NHChain, init_chain, nhc_half, chain_energy
 from .shake import (
     ShakeConstraints, shake_positions, rattle_velocities,
@@ -49,6 +52,10 @@ class MDState(NamedTuple):
     f: jnp.ndarray
     overflow: jnp.ndarray  # () bool — any neighbor overflow since last fetch
     therm: jnp.ndarray     # (2, M) Nose-Hoover chain state ((2,0) when NVE)
+    # two-float compensation planes for x/v (None unless the precision
+    # policy is compensated — integrate/nve.py two_sum_acc)
+    cx: jnp.ndarray = None
+    cv: jnp.ndarray = None
 
 
 class Forces(NamedTuple):
@@ -111,6 +118,11 @@ class Simulation:
         self.typ = np.asarray(jax.device_get(system.type), np.int32)
         self.q = np.asarray(jax.device_get(system.q), np.dtype(flt))
         self.box = system.box
+        if getattr(self.box, "is_triclinic", False) and (
+                bonded is not None or shake is not None):
+            raise NotImplementedError(
+                "bonded terms / constraints use orthogonal per-axis minimum "
+                "image; triclinic decks must be non-molecular")
         self.mass_per_atom = np.asarray(
             jax.device_get(system.mass), np.float64
         )[self.typ]
@@ -128,7 +140,10 @@ class Simulation:
 
         cutneigh = float(np.sqrt(pair.cutsq_max)) + self.neighbor.skin
         L = np.asarray(self.box.lengths)
-        self.spec = nlmod.make_spec(n, L, cutneigh, kmax=kmax, dense=dense)
+        pw = (np.asarray(self.box.perp_widths)
+              if getattr(self.box, "is_triclinic", False) else None)
+        self.spec = nlmod.make_spec(n, L, cutneigh, kmax=kmax, dense=dense,
+                                    perp_widths=pw)
         self.nve = make_nve(self.dt, units.ftm2v, self.mass_per_atom,
                             dtype=flt)
         self.shake = shake
@@ -145,6 +160,8 @@ class Simulation:
             tchain = self.thermostat.tchain
         self._mass_col = self.mass_per_atom.astype(np.dtype(flt))[:, None]
 
+        comp = (jnp.zeros((n, 3), flt)
+                if self.precision.compensated else None)
         self.state = MDState(
             x=jnp.asarray(jax.device_get(system.x), flt),
             v=jnp.asarray(jax.device_get(system.v), flt),
@@ -152,6 +169,7 @@ class Simulation:
             f=jnp.zeros((n, 3), self.precision.acc),
             overflow=jnp.zeros((), bool),
             therm=jnp.zeros((2, tchain), flt),
+            cx=comp, cv=comp,
         )
         self.step_count = 0
         self._chunk_fns: dict[tuple, Callable] = {}
@@ -231,7 +249,7 @@ class Simulation:
         fr = self._forces(x, nl, eflag=False, vflag=False)
         return MDState(x=x, v=state.v, image=image, f=fr.f,
                        overflow=state.overflow | nl.overflow,
-                       therm=state.therm)
+                       therm=state.therm, cx=state.cx, cv=state.cv)
 
     # ---------- device-resident stepping ----------
 
@@ -247,50 +265,67 @@ class Simulation:
         sc = self.shake
         Lbox = np.asarray(self.box.lengths, np.float64)
 
+        comp = self.precision.compensated
+
         def one_step(carry, _):
-            xx, vv, ff, th = carry
+            xx, vv, ff, th, cx, cv = carry
             if cfg is not None:
                 chain = NHChain(eta=th[0], eta_dot=th[1])
                 scale, chain = nhc_half(cfg, chain, vv, mass_col, t_target)
                 vv = vv * scale
+                if comp:
+                    cv = cv * scale
                 th = jnp.stack([chain.eta, chain.eta_dot])
             x_old = xx
-            xx, vv = initial_integrate(nve, xx, vv, ff)
+            if comp:
+                xx, vv, cx, cv = initial_integrate_comp(
+                    nve, xx, vv, ff, cx, cv)
+            else:
+                xx, vv = initial_integrate(nve, xx, vv, ff)
             if sc is not None:
                 xx, vv = shake_positions(sc, x_old, xx, vv, nve.dtv, Lbox)
             fr = self._forces(xx, nl, eflag=False, vflag=False)
-            vv = final_integrate(nve, vv, fr.f)
+            if comp:
+                vv, cv = final_integrate_comp(nve, vv, fr.f, cv)
+            else:
+                vv = final_integrate(nve, vv, fr.f)
             if sc is not None:
                 vv = rattle_velocities(sc, xx, vv, Lbox)
             if cfg is not None:
                 chain = NHChain(eta=th[0], eta_dot=th[1])
                 scale, chain = nhc_half(cfg, chain, vv, mass_col, t_target)
                 vv = vv * scale
+                if comp:
+                    cv = cv * scale
                 th = jnp.stack([chain.eta, chain.eta_dot])
-            return (xx, vv, fr.f, th), None
+            return (xx, vv, fr.f, th, cx, cv), None
 
-        (x, v, f, th), _ = jax.lax.scan(
-            one_step, (x, state.v, state.f, state.therm), None, length=nsteps
+        (x, v, f, th, cx, cv), _ = jax.lax.scan(
+            one_step,
+            (x, state.v, state.f, state.therm, state.cx, state.cv),
+            None, length=nsteps,
         )
         return MDState(x=x, v=v, image=image, f=f,
-                       overflow=state.overflow | nl.overflow, therm=th)
+                       overflow=state.overflow | nl.overflow, therm=th,
+                       cx=cx, cv=cv)
 
-    def _repeat_blocks(self, size: int, t_target: float = 0.0):
-        """Jitted (state, n_blocks) -> state running n_blocks rebuild+scan
-        blocks of `size` steps via fori_loop — ONE compilation per
-        (block size, thermostat target), any repeat count (compiles through
-        the tunnel are expensive)."""
-        key = (size, round(float(t_target), 6))
-        fn = self._chunk_fns.get(key)
+    def _repeat_blocks(self, size: int):
+        """Jitted (state, n_blocks, t_target) -> state running n_blocks
+        rebuild+scan blocks of `size` steps via fori_loop — ONE compilation
+        per block size, any repeat count (compiles through the tunnel are
+        expensive).  The thermostat target is a traced scalar argument, so
+        a t_start != t_stop ramp re-dispatches per thermo segment without
+        recompiling (it only feeds the O(tchain) chain scalars)."""
+        fn = self._chunk_fns.get(size)
         if fn is None:
-            def chunk(state: MDState, n_blocks) -> MDState:
+            def chunk(state: MDState, n_blocks, t_target) -> MDState:
                 return jax.lax.fori_loop(
                     0, n_blocks,
                     lambda i, s: self._block(s, size, t_target), state
                 )
 
             fn = jax.jit(chunk)
-            self._chunk_fns[key] = fn
+            self._chunk_fns[size] = fn
         return fn
 
     # ---------- thermo ----------
@@ -382,12 +417,13 @@ class Simulation:
 
     def _advance(self, total: int, cadence: int):
         """Run `total` steps as n full blocks of `cadence` + one tail."""
-        tt = self._t_target(ahead=total)
+        flt = self.precision.flt
+        tt = jnp.asarray(self._t_target(ahead=total), flt)
         n_full, rem = divmod(total, cadence)
         if n_full:
-            self.state = self._repeat_blocks(cadence, tt)(self.state, n_full)
+            self.state = self._repeat_blocks(cadence)(self.state, n_full, tt)
         if rem:
-            self.state = self._repeat_blocks(rem, tt)(self.state, 1)
+            self.state = self._repeat_blocks(rem)(self.state, 1, tt)
 
     # ---------- main loop ----------
 

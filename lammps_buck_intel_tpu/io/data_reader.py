@@ -51,6 +51,7 @@ class DataFile:
     n_atom_types: int = 0
     box_lo: np.ndarray = None
     box_hi: np.ndarray = None
+    tilt: np.ndarray = None       # (3,) [xy, xz, yz] or None (orthogonal)
     x: np.ndarray = None          # (N,3) f64
     v: np.ndarray = None          # (N,3) f64 (zeros if no Velocities section)
     type: np.ndarray = None       # (N,) int32, 0-based
@@ -138,7 +139,8 @@ def read_data(path: str, atom_style: str = "auto",
                 elif toks[-2:] == ["zlo", "zhi"]:
                     lo[2], hi[2] = float(toks[0]), float(toks[1])
                 elif toks[-3:] == ["xy", "xz", "yz"]:
-                    raise NotImplementedError("triclinic data files")
+                    d.tilt = np.array([float(toks[0]), float(toks[1]),
+                                       float(toks[2])])
         i += 1
 
     for attr, val in counts.items():
@@ -311,6 +313,10 @@ def write_data(path: str, d_or_system, topology=None, atom_style: str = "full",
         f.write(f"\n{lo[0]:.16e} {hi[0]:.16e} xlo xhi\n")
         f.write(f"{lo[1]:.16e} {hi[1]:.16e} ylo yhi\n")
         f.write(f"{lo[2]:.16e} {hi[2]:.16e} zlo zhi\n")
+        tilt = getattr(s.box, "tilt", None)
+        if tilt is not None and np.any(np.asarray(tilt) != 0.0):
+            t = np.asarray(tilt, np.float64)
+            f.write(f"{t[0]:.16e} {t[1]:.16e} {t[2]:.16e} xy xz yz\n")
         f.write("\nMasses\n\n")
         for t, m in enumerate(mass):
             f.write(f"{t + 1} {m:.10g}\n")

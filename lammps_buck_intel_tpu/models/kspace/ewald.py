@@ -79,7 +79,12 @@ def setup_ewald(
     qsum = float(q.sum())
     qsqsum = float((q * q).sum())
     L = np.asarray(box.lengths, np.float64)
-    volume = float(np.prod(L))
+    volume = box.volume
+    # reciprocal basis: k(m) = recip @ m = 2 pi H^-T m.  For a tilted cell
+    # |2 pi H^-T e_a| = 2 pi / W_a with W the perpendicular face widths, so
+    # the per-axis kmax estimate runs on W (== L when orthogonal).
+    recip = 2.0 * math.pi * box.h_inv.T
+    W = np.asarray(box.perp_widths, np.float64)
     q2 = qsqsum * qqrd2e
     accuracy = accuracy_rel * two_charge_force(qqrd2e)
     if g_ewald is None:
@@ -88,7 +93,7 @@ def setup_ewald(
     kmax = []
     for ax in range(3):
         km = 1
-        while rms_kspace_ewald(km, L[ax], natoms, g_ewald, q2) > accuracy:
+        while rms_kspace_ewald(km, W[ax], natoms, g_ewald, q2) > accuracy:
             km += 1
             if km > 200:
                 raise RuntimeError("ewald kmax blew up; check accuracy/box")
@@ -96,29 +101,21 @@ def setup_ewald(
     kxm, kym, kzm = kmax
 
     gsqmx = max(
-        (2 * math.pi * kxm / L[0]) ** 2,
-        (2 * math.pi * kym / L[1]) ** 2,
-        (2 * math.pi * kzm / L[2]) ** 2,
+        (2 * math.pi * kxm / W[0]) ** 2,
+        (2 * math.pi * kym / W[1]) ** 2,
+        (2 * math.pi * kzm / W[2]) ** 2,
     ) * 1.00001
 
     ks = []
-    for nx in range(-kxm, kxm + 1):
-        for ny in range(-kym, kym + 1):
-            for nz in range(-kzm, kzm + 1):
-                if nx == ny == nz == 0:
-                    continue
-                k = 2 * math.pi * np.array([nx / L[0], ny / L[1], nz / L[2]])
-                ksq = float(k @ k)
-                if ksq <= gsqmx:
-                    ks.append(k)
     ms = []
     for nx in range(-kxm, kxm + 1):
         for ny in range(-kym, kym + 1):
             for nz in range(-kzm, kzm + 1):
                 if nx == ny == nz == 0:
                     continue
-                k = 2 * math.pi * np.array([nx / L[0], ny / L[1], nz / L[2]])
+                k = recip @ np.array([nx, ny, nz], np.float64)
                 if float(k @ k) <= gsqmx:
+                    ks.append(k)
                     ms.append((nx, ny, nz))
     kvecs = np.asarray(ks)
     mvecs = np.asarray(ms, np.int32)

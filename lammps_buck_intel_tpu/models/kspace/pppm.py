@@ -52,6 +52,27 @@ def _next_good(n: int) -> int:
     raise ValueError(f"grid size {n} too large")
 
 
+def _fold_idx(n: int) -> np.ndarray:
+    """FFT index -> signed harmonic number (m > n/2 wraps negative)."""
+    m = np.arange(n)
+    return np.where(m > n // 2, m - n, m)
+
+
+def _cart_k(recip, ix, iy, iz):
+    """Cartesian wave-vector components from (broadcastable) integer index
+    arrays: k = recip @ (ix, iy, iz).  Zero matrix entries contribute no
+    broadcast term, so orthogonal recips keep the per-axis shapes."""
+    comps = []
+    for row in range(3):
+        acc = None
+        for c, idx in zip(recip[row], (ix, iy, iz)):
+            if c != 0.0:
+                term = c * np.asarray(idx, np.float64)
+                acc = term if acc is None else acc + term
+        comps.append(np.zeros((1, 1, 1)) if acc is None else acc)
+    return comps
+
+
 def mspline(p: int, x):
     """Cardinal B-spline M_p on support (0, p), Cox-de Boor recursion."""
     if p == 1:
@@ -125,6 +146,29 @@ class PPPM:
     # dipole term removes the inter-slab coupling.  grid/h/volume/kz in
     # this object are all EXTENDED-box quantities when slab is set.
     slab: Optional[float] = None
+    # triclinic cell (the poisson_ik_triclinic / lamda-transform machinery
+    # of /root/reference/pppm_intel.cpp:153-157,878-881): recip = 2 pi H^-T
+    # (lower triangular) and hinv = H^-1; None for orthogonal.  The mesh is
+    # uniform in lamda space; cartesian wave vectors come from `recip`.
+    recip: Optional[np.ndarray] = None
+    hinv: Optional[np.ndarray] = None
+
+    def k3(self, nzh: Optional[int] = None):
+        """Broadcastable cartesian wave-vector component arrays (host numpy):
+        orthogonal -> ((nx,1,1), (1,ny,1), (1,1,nz)); triclinic ->
+        ((nx,1,1), (nx,ny,1), (nx,ny,nz')) from k = recip @ m.
+        nzh: slice the z (fastest FFT) axis to the rfft half space."""
+        if self.recip is None:
+            kzv = self.kz if nzh is None else self.kz[:nzh]
+            return (np.asarray(self.kx)[:, None, None],
+                    np.asarray(self.ky)[None, :, None],
+                    np.asarray(kzv)[None, None, :])
+        nx, ny, nz = self.grid
+        mx = _fold_idx(nx)[:, None, None]
+        my = _fold_idx(ny)[None, :, None]
+        mzf = _fold_idx(nz)
+        mz = (mzf if nzh is None else mzf[:nzh])[None, None, :]
+        return tuple(_cart_k(self.recip, mx, my, mz))
 
     @property
     def elong_self(self) -> float:
@@ -159,12 +203,26 @@ def setup_pppm(
     qsum = float(q.sum())
     qsqsum = float((q * q).sum())
     L = np.asarray(box.lengths, np.float64)
+    triclinic = bool(getattr(box, "is_triclinic", False))
+    if triclinic:
+        if slab is not None:
+            raise NotImplementedError("slab correction requires an "
+                                      "orthogonal box (as in LAMMPS)")
+        if diff == "ad":
+            raise NotImplementedError(
+                "triclinic PPPM uses ik differentiation (the reference "
+                "ships only poisson_ik_triclinic, pppm_intel.cpp:878)")
     if slab is not None:
         if slab < 2.0:
             raise ValueError("slab factor must be >= 2 (vacuum padding)")
         L = L.copy()
         L[2] *= slab  # all k-space geometry below uses the extended box
-    volume = float(np.prod(L))
+    volume = float(np.prod(L)) if not triclinic else box.volume
+    # per-axis resolution scale: perpendicular face widths (== L when
+    # orthogonal) — the spacing h below is then a worst-case spacing
+    W = L if not triclinic else np.asarray(box.perp_widths, np.float64)
+    recip = None if not triclinic else 2.0 * np.pi * box.h_inv.T
+    hinv = None if not triclinic else box.h_inv
     q2 = qsqsum * qqrd2e
     accuracy = accuracy_rel * two_charge_force(qqrd2e)
     if g_ewald is None:
@@ -175,7 +233,7 @@ def setup_pppm(
         for ax in range(3):
             n = 2
             while (
-                estimate_ik_error(L[ax] / n, L[ax], natoms, order, g_ewald,
+                estimate_ik_error(W[ax] / n, W[ax], natoms, order, g_ewald,
                                   q2) > accuracy
             ):
                 n += 1
@@ -195,15 +253,14 @@ def setup_pppm(
         grid = tuple(grid)
     nx, ny, nz = grid
 
-    # folded wave numbers per FFT index
+    # folded wave numbers per FFT index (orthogonal per-axis components;
+    # triclinic paths go through PPPM.k3() / recip instead)
     def kvals(n, prd):
-        m = np.arange(n)
-        m = np.where(m > n // 2, m - n, m)
-        return 2.0 * np.pi * m / prd
+        return 2.0 * np.pi * _fold_idx(n) / prd
 
     kxv, kyv, kzv = kvals(nx, L[0]), kvals(ny, L[1]), kvals(nz, L[2])
 
-    greensfn = _greens_function(grid, L, g_ewald, order)
+    greensfn = _greens_function(grid, L, g_ewald, order, recip=recip)
 
     sf_sine = None
     if diff == "ad":
@@ -213,9 +270,9 @@ def setup_pppm(
         g_ewald=float(g_ewald), grid=grid, order=order, greensfn=greensfn,
         kx=kxv, ky=kyv, kz=kzv, qsum=qsum, qsqsum=qsqsum, qqrd2e=qqrd2e,
         volume=volume, box_lo=tuple(float(v) for v in np.asarray(box.lo)),
-        h=tuple(float(L[i] / grid[i]) for i in range(3)),
+        h=tuple(float(W[i] / grid[i]) for i in range(3)),
         acc_dtype=acc_dtype, accuracy_abs=float(accuracy),
-        diff=diff, sf_sine=sf_sine, slab=slab,
+        diff=diff, sf_sine=sf_sine, slab=slab, recip=recip, hinv=hinv,
     )
 
 
@@ -256,29 +313,30 @@ def coulomb_kernel(g_ewald):
 
 
 def _greens_function(grid, L, g_ewald, order, nalias: int = 2,
-                     kernel=None) -> np.ndarray:
+                     kernel=None, recip=None) -> np.ndarray:
     """Hockney-Eastwood optimal influence function for ik differentiation.
 
     G(k) = [ sum_m U^2(k_m) hat-g(k_m) (k . k_m) ]
            / ( |k|^2 [ sum_m U^2(k_m) ]^2 )
-    with U(k) = prod_axis sinc(k_ax h_ax / 2)^order, the alias sum m over
-    (2 pi n / h) shifts, |n| <= nalias, and hat-g the pair kernel (Coulomb
-    4pi/k^2 e^{-k^2/4g^2} by default; dispersion uses its own — see
-    pppm_disp.py).  k = 0 entry is zeroed.
+    with U(k_m) = prod_axis sinc(pi (m_ax + n_ax N_ax) / N_ax)^order (the
+    B-spline deposit transform lives in grid-index space, so it is
+    tilt-independent), the alias sum over reciprocal-supercell shifts
+    |n| <= nalias, and hat-g the pair kernel (Coulomb 4pi/k^2 e^{-k^2/4g^2}
+    by default; dispersion uses its own — see pppm_disp.py).  k = 0 entry
+    is zeroed.  recip: 2 pi H^-T for a triclinic cell (None -> orthogonal
+    diag(2 pi / L)); this is the poisson_ik_triclinic generalization
+    (/root/reference/pppm_intel.cpp:878-881).
     """
     if kernel is None:
         kernel = coulomb_kernel(g_ewald)
     nx, ny, nz = grid
+    if recip is None:
+        recip = np.diag(2.0 * np.pi / np.asarray(L, np.float64))
 
-    def axis_k(n, prd):
-        m = np.arange(n)
-        m = np.where(m > n // 2, m - n, m)
-        return 2.0 * np.pi * m / prd
-
-    kx = axis_k(nx, L[0])[:, None, None]
-    ky = axis_k(ny, L[1])[None, :, None]
-    kz = axis_k(nz, L[2])[None, None, :]
-    hx, hy, hz = L[0] / nx, L[1] / ny, L[2] / nz
+    ix = _fold_idx(nx)[:, None, None]
+    iy = _fold_idx(ny)[None, :, None]
+    iz = _fold_idx(nz)[None, None, :]
+    kx, ky, kz = _cart_k(recip, ix, iy, iz)
 
     def sinc(t):
         out = np.ones_like(t)
@@ -290,15 +348,14 @@ def _greens_function(grid, L, g_ewald, order, nalias: int = 2,
     num = np.zeros((nx, ny, nz))
     den = np.zeros((nx, ny, nz))
     shifts = range(-nalias, nalias + 1)
-    for mx in shifts:
-        kmx = kx + 2.0 * np.pi * mx / hx
-        ux = sinc(kmx * hx / 2.0) ** order
-        for my in shifts:
-            kmy = ky + 2.0 * np.pi * my / hy
-            uy = sinc(kmy * hy / 2.0) ** order
-            for mz in shifts:
-                kmz = kz + 2.0 * np.pi * mz / hz
-                uz = sinc(kmz * hz / 2.0) ** order
+    for sx in shifts:
+        ux = sinc(np.pi * (ix + sx * nx) / nx) ** order
+        for sy in shifts:
+            uy = sinc(np.pi * (iy + sy * ny) / ny) ** order
+            for sz in shifts:
+                uz = sinc(np.pi * (iz + sz * nz) / nz) ** order
+                kmx, kmy, kmz = _cart_k(
+                    recip, ix + sx * nx, iy + sy * ny, iz + sz * nz)
                 u2 = (ux * uy * uz) ** 2
                 kmsq = kmx**2 + kmy**2 + kmz**2
                 g = kernel(kmsq)
@@ -385,9 +442,26 @@ def sf_correction(pm: PPPM, x, q):
 
 
 def _particle_weights(pm: PPPM, x, deriv: bool = False):
-    """Per-axis grid bases + B-spline weight stacks for all atoms."""
+    """Per-axis grid bases + B-spline weight stacks for all atoms.
+
+    Triclinic: the mesh is uniform in lamda space (particle_map under the
+    x2lamda transform, /root/reference/pppm_intel.cpp:153-157), so the grid
+    coordinate is u_ax = lamda_ax * n_ax via hinv."""
     p = pm.order
     out = []
+    if pm.hinv is not None:
+        hinv = pm.hinv
+        lo = pm.box_lo
+        dx = [x[:, ax] - lo[ax] for ax in range(3)]
+        for ax, n in enumerate(pm.grid):
+            s = None
+            for col in range(3):
+                c = float(hinv[ax, col])
+                if c != 0.0:
+                    t = c * dx[col]
+                    s = t if s is None else s + t
+            out.append(bspline_weights(s * n, p, deriv=deriv))
+        return out
     for ax, (n, lo, h) in enumerate(
         zip(pm.grid, pm.box_lo, pm.h)
     ):
@@ -452,9 +526,10 @@ def _pppm_compute(pm: PPPM, x, q, eflag: bool, vflag: bool) -> KSpaceResult:
     else:
         elong = jnp.zeros((), acc)
 
-    kx = jnp.asarray(pm.kx, acc)[:, None, None]
-    ky = jnp.asarray(pm.ky, acc)[None, :, None]
-    kz = jnp.asarray(pm.kz, acc)[None, None, :]
+    kx3, ky3, kz3 = pm.k3()
+    kx = jnp.asarray(kx3, acc)
+    ky = jnp.asarray(ky3, acc)
+    kz = jnp.asarray(kz3, acc)
 
     if vflag:
         ksq = kx * kx + ky * ky + kz * kz
@@ -551,9 +626,10 @@ def compute_peratom(pm: PPPM, x, q):
         - math.pi / (2.0 * g * g * V) * q * pm.qsum
     eatom = (qqrd2e * eatom).astype(acc)
 
-    kx = jnp.asarray(pm.kx, acc)[:, None, None]
-    ky = jnp.asarray(pm.ky, acc)[None, :, None]
-    kz = jnp.asarray(pm.kz[:nzh], acc)[None, None, :]
+    kx3, ky3, kz3 = pm.k3(nzh)
+    kx = jnp.asarray(kx3, acc)
+    ky = jnp.asarray(ky3, acc)
+    kz = jnp.asarray(kz3, acc)
     ksq = kx * kx + ky * ky + kz * kz
     ksq_safe = jnp.where(ksq == 0.0, 1.0, ksq)
     pref = 2.0 * (1.0 / ksq_safe + 0.25 / (g * g))

@@ -117,21 +117,16 @@ def compute_pair(
     mask = j < n_src
     j_safe = jnp.minimum(j, n_src - 1)
 
-    # component-SoA displacement with per-axis minimum image.
-    # Box lengths are baked python-float constants for a host box, traced
-    # scalars for the NPT variable-cell path (core.box.axis_lengths).
-    from ...core.box import axis_lengths
+    # component-SoA displacement with minimum image.  Box constants are
+    # baked python-float literals for a host box, traced scalars for the
+    # NPT variable-cell path (core.box.axis_lengths); triclinic boxes go
+    # through the greedy plane reduction.
+    from ...core.box import minimum_image_planes
 
-    L = axis_lengths(box)
-    d = []
-    rsq = None
-    for ax in range(3):
-        xc = x_src[:, ax]
-        dd = x[:, ax][:, None] - xc[j_safe]
-        La = L[ax]
-        dd = dd - jnp.round(dd * (1.0 / La)) * La
-        d.append(dd)
-        rsq = dd * dd if rsq is None else rsq + dd * dd
+    d = list(minimum_image_planes(
+        *(x[:, ax][:, None] - x_src[:, ax][j_safe] for ax in range(3)),
+        box))
+    rsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
     # push masked slots out of every cutoff
     rsq = jnp.where(mask, rsq, jnp.asarray(1e30, flt))
 
@@ -222,18 +217,12 @@ def compute_pair_peratom(
     j = nlist.idx
     mask = j < n_src
     j_safe = jnp.minimum(j, n_src - 1)
-    from ...core.box import axis_lengths
+    from ...core.box import minimum_image_planes
 
-    L = axis_lengths(box)
-    d = []
-    rsq = None
-    for ax in range(3):
-        xc = x_src[:, ax]
-        dd = x[:, ax][:, None] - xc[j_safe]
-        La = L[ax]
-        dd = dd - jnp.round(dd * (1.0 / La)) * La
-        d.append(dd)
-        rsq = dd * dd if rsq is None else rsq + dd * dd
+    d = list(minimum_image_planes(
+        *(x[:, ax][:, None] - x_src[:, ax][j_safe] for ax in range(3)),
+        box))
+    rsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
     rsq = jnp.where(mask, rsq, jnp.asarray(1e30, flt))
     ti = typ[:, None]
     tj = typ_src[j_safe] if ntypes > 1 else jnp.zeros((), jnp.int32)

