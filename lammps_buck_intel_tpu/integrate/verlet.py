@@ -56,6 +56,10 @@ class MDState(NamedTuple):
     # policy is compensated — integrate/nve.py two_sum_acc)
     cx: jnp.ndarray = None
     cv: jnp.ndarray = None
+    # rigid-body state (integrate/rigid.py BodyState; None unless fix
+    # rigid/small is active).  x/v are then DERIVED per block for
+    # neighbor/force/thermo use; body is the integrated truth.
+    body: object = None
 
 
 class Forces(NamedTuple):
@@ -98,6 +102,7 @@ class Simulation:
         exclude_intra: bool = False,
         thermostat: Optional[NVTConfig] = None,
         shake: Optional[ShakeConstraints] = None,
+        rigid=None,   # integrate/rigid.py RigidBodies (fix rigid/small)
     ):
         self.units = units
         self.precision = precision or single()
@@ -119,10 +124,12 @@ class Simulation:
         self.q = np.asarray(jax.device_get(system.q), np.dtype(flt))
         self.box = system.box
         if getattr(self.box, "is_triclinic", False) and (
-                bonded is not None or shake is not None):
+                bonded is not None or shake is not None
+                or rigid is not None):
             raise NotImplementedError(
-                "bonded terms / constraints use orthogonal per-axis minimum "
-                "image; triclinic decks must be non-molecular")
+                "bonded terms / constraints / rigid bodies use orthogonal "
+                "per-axis minimum image; triclinic decks must be "
+                "non-molecular")
         self.mass_per_atom = np.asarray(
             jax.device_get(system.mass), np.float64
         )[self.typ]
@@ -147,12 +154,17 @@ class Simulation:
         self.nve = make_nve(self.dt, units.ftm2v, self.mass_per_atom,
                             dtype=flt)
         self.shake = shake
+        self.rigid = rigid
+        if rigid is not None and shake is not None:
+            raise ValueError("fix rigid/small and fix shake are exclusive")
         self.thermostat = None
         tchain = 0
         if thermostat is not None:
             t_dof = 3 * n - 3
             if shake is not None:
                 t_dof -= shake.n_constraints
+            if rigid is not None:
+                t_dof -= rigid.n_constraints
             self.thermostat = dataclasses.replace(
                 thermostat, dof=max(t_dof, 1), boltz=units.boltz,
                 mvv2e=units.mvv2e, dt=self.dt,
@@ -171,6 +183,17 @@ class Simulation:
             therm=jnp.zeros((2, tchain), flt),
             cx=comp, cv=comp,
         )
+        if rigid is not None:
+            from .rigid import (
+                init_body_state, atom_positions, atom_velocities,
+            )
+
+            bs = init_body_state(rigid, self.state.v, dtype=flt)
+            xa, d = atom_positions(rigid, bs)
+            va = atom_velocities(rigid, bs, d)
+            # projecting out non-rigid velocity components IS the settle
+            self.state = self.state._replace(
+                x=xa.astype(flt), v=va.astype(flt), body=bs)
         self.step_count = 0
         self._chunk_fns: dict[tuple, Callable] = {}
         self.timings: dict[str, float] = {"run": 0.0, "setup": 0.0}
@@ -249,13 +272,67 @@ class Simulation:
         fr = self._forces(x, nl, eflag=False, vflag=False)
         return MDState(x=x, v=state.v, image=image, f=fr.f,
                        overflow=state.overflow | nl.overflow,
-                       therm=state.therm, cx=state.cx, cv=state.cv)
+                       therm=state.therm, cx=state.cx, cv=state.cv,
+                       body=state.body)
 
     # ---------- device-resident stepping ----------
+
+    def _block_rigid(self, state: MDState, nsteps: int,
+                     t_target) -> MDState:
+        """fix rigid/small block: neighbor rebuild once, then nsteps of
+        batched quaternion rigid-body velocity-Verlet (integrate/rigid.py).
+        Atom x/v are derived from the body state; positions stay unwrapped
+        (the cell binning folds lamda and the pair kernel min-images)."""
+        from .rigid import (
+            atom_positions, atom_velocities, initial_integrate_rigid,
+            final_integrate_rigid,
+        )
+
+        rg = self.rigid
+        nve = self.nve
+        cfg = self.thermostat
+        mass_col = self._mass_col
+        nl = self._build(state.x)
+
+        def one_step(carry, _):
+            bs, ff, th = carry
+            if cfg is not None:
+                _, d0 = atom_positions(rg, bs)
+                va = atom_velocities(rg, bs, d0)
+                chain = NHChain(eta=th[0], eta_dot=th[1])
+                scale, chain = nhc_half(cfg, chain, va, mass_col, t_target)
+                bs = bs._replace(V=bs.V * scale, L=bs.L * scale)
+                th = jnp.stack([chain.eta, chain.eta_dot])
+            _, d = atom_positions(rg, bs)
+            bs = initial_integrate_rigid(rg, bs, ff, d, nve.dtv, nve.dtf)
+            xa, d2 = atom_positions(rg, bs)
+            fr = self._forces(xa, nl, eflag=False, vflag=False)
+            bs = final_integrate_rigid(rg, bs, fr.f, d2, nve.dtf)
+            if cfg is not None:
+                va = atom_velocities(rg, bs, d2)
+                chain = NHChain(eta=th[0], eta_dot=th[1])
+                scale, chain = nhc_half(cfg, chain, va, mass_col, t_target)
+                bs = bs._replace(V=bs.V * scale, L=bs.L * scale)
+                th = jnp.stack([chain.eta, chain.eta_dot])
+            return (bs, fr.f, th), None
+
+        (bs, f, th), _ = jax.lax.scan(
+            one_step, (state.body, state.f, state.therm), None,
+            length=nsteps,
+        )
+        xa, d = atom_positions(rg, bs)
+        va = atom_velocities(rg, bs, d)
+        flt = self.precision.flt
+        return MDState(x=xa.astype(flt), v=va.astype(flt),
+                       image=state.image, f=f,
+                       overflow=state.overflow | nl.overflow, therm=th,
+                       cx=state.cx, cv=state.cv, body=bs)
 
     def _block(self, state: MDState, nsteps: int,
                t_target: float) -> MDState:
         """wrap -> rebuild -> nsteps scanned NVE/NVT steps, all on device."""
+        if self.rigid is not None:
+            return self._block_rigid(state, nsteps, t_target)
         x, image = wrap(state.x, state.image, self.box)
         nl = self._build(x)
         nve = self.nve
@@ -344,6 +421,8 @@ class Simulation:
         dof = 3 * n - 3
         if self.shake is not None:
             dof -= self.shake.n_constraints
+        if self.rigid is not None:
+            dof -= self.rigid.n_constraints
         dof = max(dof, 1)
         temp = sum_mv2 / (dof * u.boltz)
         ke = 0.5 * sum_mv2

@@ -336,6 +336,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     thermostat = None
     shake = None
     npt_fix = None
+    rigid_fix = None
     exclude_intra = bool(cfg.get("exclude_intra", False))
     for fx in cfg.get("fixes", [{"name": "nve"}]):
         fn = fx["name"]
@@ -396,9 +397,17 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             else:
                 bonded = None
         elif fn == "rigid/small":
-            shake = make_rigid_from_molecules(
-                x, mol, mass_per_atom, box.lengths,
-            )
+            if fx.get("style") == "constraints":
+                # legacy all-pair SHAKE rigidification (kept selectable;
+                # runs on the cellpair engine too)
+                shake = make_rigid_from_molecules(
+                    x, mol, mass_per_atom, box.lengths,
+                )
+            else:
+                from .integrate import make_rigid_bodies
+
+                rigid_fix = make_rigid_bodies(x, mol, mass_per_atom,
+                                              box.lengths)
             exclude_intra = True
         elif fn == "npt":
             # `fix npt temp T T Tdamp iso P P Pdamp` / the in.rhodo form
@@ -452,6 +461,9 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     if prec.compensated and engine == "cellpair":
         # two-float integration planes are carried by the nlist engine
         # only (core/precision.py); honor the requested precision there
+        engine = "nlist"
+    if rigid_fix is not None and engine == "cellpair":
+        # the quaternion rigid integrator lives in the nlist engine
         engine = "nlist"
     common = dict(topology=topo, kspace=kspace, units=u, precision=prec,
                   dt=dt, neighbor=policy)
@@ -530,8 +542,8 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 sim.state = sim._init_force_fn()(sim.state)
             return sim
     sim = Simulation(system, style, bonded=bonded, shake=shake,
-                     thermostat=thermostat, exclude_intra=exclude_intra,
-                     **common)
+                     rigid=rigid_fix, thermostat=thermostat,
+                     exclude_intra=exclude_intra, **common)
     return sim
 
 

@@ -113,5 +113,18 @@ def resume(sim, ckpt: dict) -> None:
             cx=None if st.cx is None else jnp.zeros_like(st.cx),
             cv=None if st.cv is None else jnp.zeros_like(st.cv),
         )
+        if getattr(sim, "rigid", None) is not None:
+            # rebuild body state (Kabsch) and re-derive atom arrays so the
+            # state is exactly on the rigid manifold
+            from ..integrate.rigid import (
+                body_state_from_atoms, atom_positions, atom_velocities,
+            )
+
+            bs = body_state_from_atoms(sim.rigid, ckpt["x"], ckpt["v"],
+                                       sim.box.lengths, dtype=flt)
+            xa, d = atom_positions(sim.rigid, bs)
+            va = atom_velocities(sim.rigid, bs, d)
+            sim.state = sim.state._replace(
+                x=xa.astype(flt), v=va.astype(flt), body=bs)
         sim.state = sim._init_force_fn(sim.state)
     sim.step_count = ckpt["step_count"]

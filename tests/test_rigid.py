@@ -1,0 +1,201 @@
+"""Quaternion rigid-body integrator tests (``fix rigid/small``,
+integrate/rigid.py) — torque-free mechanics, rigidity, conservation, and
+the literal hexane deck on the quaternion path.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lammps_buck_intel_tpu.core import (
+    make_box, make_system, get_units, double,
+)
+from lammps_buck_intel_tpu.io import read_data
+from lammps_buck_intel_tpu.integrate import (
+    Simulation, NeighborPolicy, NVTConfig, make_rigid_bodies,
+)
+from lammps_buck_intel_tpu.integrate.rigid import (
+    BodyState, init_body_state, atom_positions, atom_velocities,
+    initial_integrate_rigid, final_integrate_rigid, rotational_ke,
+    body_state_from_atoms, quat_rotate, quat_rotate_inv,
+)
+from lammps_buck_intel_tpu.models.pair import build_lj, build_buck
+
+
+def _asym_body():
+    """One 4-atom asymmetric rigid body (distinct principal moments)."""
+    x = np.array([[0.0, 0, 0], [1.5, 0, 0], [0, 1.0, 0], [0, 0, 0.6]])
+    x += 5.0
+    mol = np.zeros(4, np.int32)
+    mass = np.array([1.0, 2.0, 3.0, 4.0])
+    rb = make_rigid_bodies(x, mol, mass, [20.0] * 3)
+    return rb, x, mass
+
+
+def test_quat_rotate_roundtrip():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(7, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    v = rng.normal(size=(7, 3))
+    out = quat_rotate_inv(jnp.asarray(q), quat_rotate(jnp.asarray(q),
+                                                      jnp.asarray(v)))
+    np.testing.assert_allclose(np.asarray(out), v, atol=1e-12)
+
+
+def test_build_reconstructs_geometry():
+    rb, x, mass = _asym_body()
+    bs = init_body_state(rb, np.zeros((4, 3)))
+    xa, _ = atom_positions(rb, bs)
+    np.testing.assert_allclose(np.asarray(xa), x, atol=1e-10)
+    assert rb.n_constraints == 3 * 4 - 6
+
+
+def test_torque_free_tumbling():
+    """Free asymmetric top: |L| and rotational KE exactly conserved; the
+    body frame tumbles (Dzhanibekov-style) but rigidity holds to f64."""
+    rb, x, mass = _asym_body()
+    bs = init_body_state(rb, np.zeros((4, 3)))
+    bs = bs._replace(L=jnp.asarray([[0.3, 2.0, 0.01]]))  # near mid axis
+    dt = 0.01
+    zeros = jnp.zeros((4, 3))
+
+    def step(bs, _):
+        _, d = atom_positions(rb, bs)
+        bs = initial_integrate_rigid(rb, bs, zeros, d, dt, 0.5 * dt)
+        _, d2 = atom_positions(rb, bs)
+        bs = final_integrate_rigid(rb, bs, zeros, d2, 0.5 * dt)
+        return bs, (jnp.linalg.norm(bs.L), rotational_ke(rb, bs))
+
+    bs2, (lmag, ke) = jax.lax.scan(step, bs, None, length=4000)
+    lmag = np.asarray(lmag)
+    ke = np.asarray(ke)
+    np.testing.assert_allclose(lmag, lmag[0], rtol=1e-12)   # exact (kicks=0)
+    np.testing.assert_allclose(ke, ke[0], rtol=1e-6)        # midpoint drift
+    # rigidity: interatomic distances unchanged
+    xa, _ = atom_positions(rb, bs2)
+    xa = np.asarray(xa)
+    d0 = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+    d1 = np.linalg.norm(xa[:, None] - xa[None, :], axis=-1)
+    np.testing.assert_allclose(d1, d0, atol=1e-9)
+    # it actually tumbled
+    assert float(jnp.abs(bs2.q[0, 0]) - 1.0) < 0.999
+
+
+def _dimer_sim(thermostat=None, dt=0.002):
+    """Two rigid triatomic ions (buck + coul/cut) — interacting bodies."""
+    u = get_units("lj")
+    x = np.array([
+        [3.0, 3.0, 3.0], [4.0, 3.0, 3.0], [3.0, 4.2, 3.0],     # body 0
+        [6.5, 3.5, 3.2], [7.5, 3.5, 3.2], [6.5, 4.7, 3.2],     # body 1
+    ])
+    mol = np.array([0, 0, 0, 1, 1, 1], np.int32)
+    typ = np.array([0, 1, 1, 0, 1, 1], np.int32)
+    q = np.array([-0.8, 0.4, 0.4, -0.8, 0.4, 0.4])
+    mass = np.array([16.0, 1.0])
+    box = make_box([0] * 3, [12.0] * 3, dtype=jnp.float64)
+    v0 = np.array([[0.05, 0, 0]] * 3 + [[-0.05, 0.01, 0]] * 3)
+    rb = make_rigid_bodies(x, mol, mass[typ], box.lengths)
+    style = build_buck(
+        2, {(0, 0): (2000.0, 0.3, 1.0), (0, 1): (1500.0, 0.3, 0.5),
+            (1, 1): (1000.0, 0.3, 0.2)},
+        cut_global=5.5, coul="cut", dtype=jnp.float64, qqrd2e=1.0,
+    )
+    system = make_system(x, box, type=typ, v=v0, q=q, molecule=mol,
+                         mass=mass, dtype=jnp.float64)
+    sim = Simulation(system, style, units=u, precision=double(), dt=dt,
+                     rigid=rb, exclude_intra=True, dense=True,
+                     thermostat=thermostat,
+                     neighbor=NeighborPolicy(skin=1.0, every=5, delay=0,
+                                             check=False))
+    return sim, rb
+
+
+def test_rigid_dimer_conservation():
+    sim, rb = _dimer_sim()
+    rows = sim.run(2000, thermo_every=400, log=False)
+    e = [r["etotal"] for r in rows]
+    # etotal excludes rotational KE? no: temp/ke come from atom velocities
+    # which include rotation — conserved total = ke + epair
+    drift = max(abs(v - e[0]) for v in e)
+    assert drift < 5e-6, e
+    # rigidity over 2000 steps
+    xa = np.asarray(sim.state.x)
+    for b, sl in ((0, slice(0, 3)), (1, slice(3, 6))):
+        xb = xa[sl]
+        assert abs(np.linalg.norm(xb[1] - xb[0]) - 1.0) < 1e-8
+        assert abs(np.linalg.norm(xb[2] - xb[0]) - 1.2) < 1e-8
+
+
+def test_rigid_dof_and_temperature():
+    sim, rb = _dimer_sim()
+    rows = sim.run(10, thermo_every=10, log=False)
+    # 2 bodies x 6 dof - 3 com = 9 thermal dof; n_constraints = 18-12 = 6
+    assert rb.n_constraints == 6
+    assert np.isfinite(rows[-1]["temp"])
+
+
+def test_rigid_with_nvt():
+    sim, rb = _dimer_sim(
+        thermostat=NVTConfig(t_start=0.3, t_stop=0.3, t_damp=0.2))
+    rows = sim.run(3000, thermo_every=1000, log=False)
+    temps = [r["temp"] for r in rows[1:]]
+    assert all(np.isfinite(t) for t in temps)
+    # thermostat couples to both translation and rotation
+    assert 0.1 < np.mean(temps[-2:]) < 0.6, temps
+
+
+def test_body_state_from_atoms_roundtrip():
+    sim, rb = _dimer_sim()
+    sim.run(50, log=False)
+    st = jax.device_get(sim.state)
+    bs2 = body_state_from_atoms(rb, st.x, st.v, sim.box.lengths)
+    xa, d = atom_positions(rb, bs2)
+    va = atom_velocities(rb, bs2, d)
+    np.testing.assert_allclose(np.asarray(xa), st.x, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(va), st.v, atol=1e-9)
+
+
+def test_rigid_hexane_quaternion(reference_dir):
+    """The literal in.hexane rigid path on the quaternion integrator at
+    dt=2fs — conservation without any constraint iterations."""
+    from lammps_buck_intel_tpu.models.kspace import (
+        setup_pppm_disp, solve_g6, BoundKSpace,
+    )
+
+    u = get_units("real")
+    d = read_data(f"{reference_dir}/examples/equilibrated_data.hexane")
+    box = make_box(d.box_lo, d.box_hi)
+    EPS = (0.1744742, 0.1147228)
+    SIG = (3.97, 3.97)
+    CUT = 9.8
+    g6 = solve_g6(CUT, 1e-4)
+    style = build_lj(
+        2, {0: (EPS[0], SIG[0]), 1: (EPS[1], SIG[1])},
+        cut_global=CUT, coul="none", disp="long", dtype=jnp.float64,
+    ).replace(g_ewald_6=g6)
+    B = np.asarray([np.sqrt(4.0 * e) * s**3 for e, s in zip(EPS, SIG)])
+    pm = setup_pppm_disp(box, B, d.type, cutoff=CUT, g_ewald_6=g6,
+                         acc_dtype=jnp.float64)
+    rb = make_rigid_bodies(d.x, d.molecule, d.mass[d.type], box.lengths)
+    assert rb.nbody == 1000
+    assert rb.n_constraints == 12 * 1000
+    system = make_system(d.x, box, type=d.type, v=d.v, image=d.image,
+                         mass=d.mass, molecule=d.molecule,
+                         dtype=jnp.float64)
+    sim = Simulation(
+        system, style, kspace=BoundKSpace(pm, B[d.type]), units=u,
+        precision=double(), dt=2.0, rigid=rb, kmax=384,
+        neighbor=NeighborPolicy(skin=2.0, every=5, delay=0, check=False),
+        exclude_intra=True,
+    )
+    rows = sim.run(10, thermo_every=5, log=False)
+    e0 = rows[0]["etotal"]
+    drift = max(abs(r["etotal"] - e0) for r in rows) / abs(e0)
+    assert drift < 2e-4, f"quaternion hexane drift {drift}"
+    # rigidity: first molecule's bond pattern preserved exactly
+    xa = np.asarray(sim.state.x)
+    idx = np.nonzero(rb.body_of == 0)[0]
+    r01 = np.linalg.norm(xa[idx[1]] - xa[idx[0]])
+    x0 = np.asarray(d.x)
+    r01_0 = np.linalg.norm(x0[idx[1]] - x0[idx[0]])
+    assert abs(r01 - r01_0) < 1e-6
