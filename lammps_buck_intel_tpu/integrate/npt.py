@@ -37,6 +37,7 @@ from ..models.pair import compute_pair
 from ..models.pair.styles import PairStyle
 from .verlet import NeighborPolicy
 from .nvt import NVTConfig, NHChain, nhc_half
+from .shake import ShakeConstraints, shake_positions, rattle_velocities
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,8 +74,9 @@ class NPTSimulation:
     """Variable-cell MD driver (neighbor-list engine, capability tier).
 
     The box stays CENTERED on its initial center; lengths dilate per axis.
-    SHAKE under NPT is not yet supported (the constraint virial is not
-    tallied into the pressure)."""
+    ``fix shake`` couples through shake_positions/rattle under the traced
+    box, with the constraint virial tallied into the barostat pressure
+    (the in.rhodo:17-19 shake+npt combination)."""
 
     def __init__(
         self,
@@ -89,6 +91,8 @@ class NPTSimulation:
         dt: Optional[float] = None,
         neighbor: Optional[NeighborPolicy] = None,
         box_headroom: float = 1.10,
+        shake: Optional[ShakeConstraints] = None,
+        topology=None,   # core Topology: special-bond exclusion source
     ):
         self.units = units
         self.precision = precision or single()
@@ -115,12 +119,22 @@ class NPTSimulation:
 
         self.typ = np.asarray(jax.device_get(system.type), np.int32)
         self.q = np.asarray(jax.device_get(system.q), np.float64)
+        if topology is not None and topology.special_idx.shape[1] > 0:
+            self.special_idx = topology.special_idx
+            self.special_code = topology.special_code
+        else:
+            self.special_idx = np.zeros((n, 0), np.int32)
+            self.special_code = np.zeros((n, 0), np.int8)
         mass = np.asarray(jax.device_get(system.mass), np.float64)
         self._mass_col = mass[self.typ][:, None].astype(np.dtype(flt))
         self.dtf = float(0.5 * self.dt * units.ftm2v)
         self.dtv = float(self.dt)
 
-        t_dof = max(3 * n - 3, 1)
+        self.shake = shake
+        t_dof = 3 * n - 3
+        if shake is not None:
+            t_dof -= shake.n_constraints
+        t_dof = max(t_dof, 1)
         self.thermostat = dataclasses.replace(
             thermostat, dof=t_dof, boltz=units.boltz, mvv2e=units.mvv2e,
             dt=self.dt)
@@ -136,6 +150,11 @@ class NPTSimulation:
             therm=jnp.zeros((2, self._tchain), flt),
             virial=jnp.zeros((6,), self.precision.acc),
         )
+        if shake is not None:
+            # settle onto the constraint manifold (verlet.py settle analog)
+            xs, _ = shake_positions(shake, st.x, st.x, st.v, 1.0, L0)
+            vs = rattle_velocities(shake, xs, st.v, L0)
+            st = st._replace(x=xs, v=vs)
         self._nl = None
         self.state = jax.jit(self._init_forces)(st)
         self.step_count = 0
@@ -154,7 +173,8 @@ class NPTSimulation:
 
     def _build_nl(self, x, boxL):
         box = self._traced_box(boxL)
-        return build(x, box, self.spec)
+        return build(x, box, self.spec, self.special_idx,
+                     self.special_code)
 
     def _forces(self, x, boxL, nl):
         box = self._traced_box(boxL)
@@ -259,19 +279,29 @@ class NPTSimulation:
         minv = 1.0 / self._mass_col
         st = st._replace(v=st.v + (dtf * minv) * st.f)
         # drift + dilation about the fixed center
+        x_ref = st.x   # pre-step positions: SHAKE reference directions
         x = st.x + dtv * st.v
         flags = jnp.asarray(np.asarray(self.npt.flags, bool))
         s = jnp.exp(dtv * jnp.where(flags, st.omega_dot, 0.0))
         c = jnp.asarray(self._center, x.dtype)
         x = c + (x - c) * s[None, :]
         boxL = st.boxL * s
+        vir_c = 0.0
+        if self.shake is not None:
+            x, v, vir_c = shake_positions(
+                self.shake, x_ref, x, st.v, dtv, boxL,
+                virial_factor=1.0 / (dtv * dtf))
+            st = st._replace(v=v)
         st = st._replace(x=x, boxL=boxL)
         # forces at the new configuration
         nl = self._nl_carried
         f, virial = self._forces(st.x, st.boxL, nl)
-        st = st._replace(f=f, virial=virial)
+        st = st._replace(f=f, virial=virial + vir_c)
         # kick half + barostat + thermostat
         st = st._replace(v=st.v + (dtf * minv) * st.f)
+        if self.shake is not None:
+            st = st._replace(v=rattle_velocities(
+                self.shake, st.x, st.v, st.boxL))
         st = self._press_vscale(st)
         st = self._omega_dot_half(st, p_target, t_target)
         chain = NHChain(eta=st.therm[0], eta_dot=st.therm[1])
@@ -311,7 +341,10 @@ class NPTSimulation:
         acc = self.precision.acc
         p_cur, mv2, V = self._press_current(st)
         sum_mv2 = jnp.sum(mv2)
-        dof = max(3 * self.n_atoms - 3, 1)
+        dof = 3 * self.n_atoms - 3
+        if self.shake is not None:
+            dof -= self.shake.n_constraints
+        dof = max(dof, 1)
         temp = sum_mv2 / (dof * u.boltz)
         ke = 0.5 * sum_mv2
         press = (sum_mv2 + st.virial[0] + st.virial[1] + st.virial[2]) \

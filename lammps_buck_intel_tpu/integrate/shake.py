@@ -114,18 +114,25 @@ def make_shake(
 def _minimg_cols(d, L):
     out = []
     for ax in range(3):
-        La = float(L[ax])
+        # host numpy L -> baked float literal; traced L (NPT) -> scalar op
+        La = float(L[ax]) if isinstance(L, np.ndarray) else L[ax]
         out.append(d[:, ax] - jnp.round(d[:, ax] * (1.0 / La)) * La)
     return jnp.stack(out, axis=-1)
 
 
 def shake_positions(sc: ShakeConstraints, x_old, x_new, v, dt: float, L,
-                    pairs=None):
+                    pairs=None, virial_factor=None):
     """Iteratively correct x_new (and v) so constraints hold.
 
     x_old: positions at the start of the step (reference directions).
     pairs: optional traced (Nc, 2) index override (slot-layout engines remap
-    atom ids to slots per rebin).  Returns (x_new, v).
+    atom ids to slots per rebin).
+    virial_factor: when set (1 / (dtv * dtf), fix-NPT coupling), also
+    returns the (6,) constraint virial: the accumulated Lagrange
+    multipliers define the equivalent constraint pair force
+    f_c = -lam_tot * r_old * virial_factor, tallied as sum r (x) f — the
+    fix_shake.cpp virial contribution the barostat pressure needs.
+    Returns (x_new, v) or (x_new, v, virial).
     """
     idxp = sc.pairs if pairs is None else pairs
     i = jnp.asarray(idxp[:, 0]) if pairs is None else pairs[:, 0]
@@ -137,7 +144,8 @@ def shake_positions(sc: ShakeConstraints, x_old, x_new, v, dt: float, L,
 
     omega = float(sc.omega)
 
-    def body(k, xn):
+    def body(k, carry):
+        xn, lam_tot = carry
         r_new = _minimg_cols(xn[i] - xn[j], L)
         diff = jnp.sum(r_new * r_new, axis=1) - d2
         denom = 2.0 * jnp.sum(r_new * r_old, axis=1) * (
@@ -148,11 +156,23 @@ def shake_positions(sc: ShakeConstraints, x_old, x_new, v, dt: float, L,
         corr = (omega * lam)[:, None] * r_old
         xn = xn.at[i].add(-mi * corr)
         xn = xn.at[j].add(mj * corr)
-        return xn
+        return xn, lam_tot + omega * lam
 
-    x_fix = jax.lax.fori_loop(0, sc.iters, body, x_new)
+    lam0 = jnp.zeros(r_old.shape[0], x_new.dtype)
+    x_fix, lam_tot = jax.lax.fori_loop(0, sc.iters, body, (x_new, lam0))
     v = v + (x_fix - x_new) / dt
-    return x_fix, v
+    if virial_factor is None:
+        return x_fix, v
+    w = (-lam_tot * virial_factor)[:, None] * r_old     # pair force on i
+    virial = jnp.stack([
+        jnp.sum(r_old[:, 0] * w[:, 0]),
+        jnp.sum(r_old[:, 1] * w[:, 1]),
+        jnp.sum(r_old[:, 2] * w[:, 2]),
+        jnp.sum(r_old[:, 0] * w[:, 1]),
+        jnp.sum(r_old[:, 0] * w[:, 2]),
+        jnp.sum(r_old[:, 1] * w[:, 2]),
+    ])
+    return x_fix, v, virial
 
 
 def rattle_velocities(sc: ShakeConstraints, x, v, L, iters: int = None,

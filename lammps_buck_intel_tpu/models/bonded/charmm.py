@@ -99,8 +99,10 @@ def _minimg3(d, L):
     out = []
     for ax in range(3):
         dd = d[:, ax]
-        La = L[ax] if not isinstance(L, (np.ndarray, list, tuple)) \
-            else float(L[ax])
+        # L is core.box.axis_lengths output: python floats (host box,
+        # baked) or traced scalars (NPT variable cell) — use either as-is;
+        # only a raw numpy array needs the host cast
+        La = float(L[ax]) if isinstance(L, np.ndarray) else L[ax]
         out.append(dd - jnp.round(dd * (1.0 / La)) * La)
     return jnp.stack(out, axis=-1)
 

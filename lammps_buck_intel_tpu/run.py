@@ -472,10 +472,6 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             raise NotImplementedError("fix npt on a triclinic box")
         from .integrate import NPTSimulation
 
-        if shake is not None:
-            raise NotImplementedError(
-                "fix shake + fix npt: the constraint virial is not yet "
-                "tallied into the barostat pressure")
         if kspace is not None and not hasattr(kspace, "compute_traced"):
             raise ValueError(
                 "fix npt needs a variable-cell kspace solver; use "
@@ -483,7 +479,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         return NPTSimulation(
             system, style, npt_fix, thermostat, kspace=kspace,
             bonded=bonded, units=u, precision=prec, dt=dt,
-            neighbor=policy)
+            neighbor=policy, shake=shake, topology=topo)
     if engine == "cellpair" and exclude_intra:
         raise ValueError(
             "cellpair engine does not support exclude_intra yet; "

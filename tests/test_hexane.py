@@ -1,9 +1,9 @@
 """Hexane deck physics (examples/in.hexane): lj/long/coul/long long off 9.8
 + pppm/disp 1e-4, real units, uncharged united-atom hexane.
 
-The deck holds molecules together with fix rigid/small; pending rigid-body
-support we run unconstrained NVE — still a valid conservation test of the
-long-range-dispersion force field.
+The deck holds molecules together with fix rigid/small (quaternion path
+covered in tests/test_rigid.py); here we run unconstrained NVE — a direct
+conservation test of the long-range-dispersion force field alone.
 """
 import numpy as np
 import jax.numpy as jnp

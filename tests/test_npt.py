@@ -168,3 +168,95 @@ def test_npt_deck_runner():
     assert L1[0] == L0[0] and L1[1] == L0[1]
     atoms = sim.get_atoms()
     assert np.isfinite(atoms["x"]).all()
+
+
+def test_npt_with_shake_water(tmp_path):
+    """fix shake + fix npt (the in.rhodo:17-19 combination): rigid SPC/E-
+    like water under an isotropic barostat — constraints hold under the
+    traced box and the constraint virial feeds the barostat pressure."""
+    from lammps_buck_intel_tpu.run import build_simulation
+    from lammps_buck_intel_tpu.integrate import NPTSimulation
+    from lammps_buck_intel_tpu.integrate.shake import max_violation
+
+    # 27 SPC/E-like waters on a 3x3x3 grid, ~1 g/cc
+    L = 9.4
+    m = 3
+    oh = 1.0
+    ang = np.radians(109.47)
+    rows_atoms = []
+    bonds = []
+    angles = []
+    aid = 0
+    for i in range(m):
+        for j in range(m):
+            for k in range(m):
+                o = (np.array([i, j, k]) + 0.5) * (L / m)
+                h1 = o + [oh, 0.0, 0.0]
+                h2 = o + [oh * np.cos(ang), oh * np.sin(ang), 0.0]
+                molid = i * m * m + j * m + k + 1
+                rows_atoms += [
+                    (aid + 1, molid, 1, -0.8476, *o),
+                    (aid + 2, molid, 2, 0.4238, *h1),
+                    (aid + 3, molid, 2, 0.4238, *h2),
+                ]
+                bonds += [(1, aid + 1, aid + 2), (1, aid + 1, aid + 3)]
+                angles += [(1, aid + 2, aid + 1, aid + 3)]
+                aid += 3
+    data = tmp_path / "data.water"
+    with open(data, "w") as f:
+        f.write("spce-like water\n\n")
+        f.write(f"{aid} atoms\n{len(bonds)} bonds\n{len(angles)} angles\n")
+        f.write("2 atom types\n1 bond types\n1 angle types\n\n")
+        for ax in "xyz":
+            f.write(f"0.0 {L} {ax}lo {ax}hi\n")
+        f.write("\nMasses\n\n1 15.9994\n2 1.008\n\nAtoms # full\n\n")
+        for r in rows_atoms:
+            f.write(f"{r[0]} {r[1]} {r[2]} {r[3]} "
+                    f"{r[4]:.8f} {r[5]:.8f} {r[6]:.8f}\n")
+        f.write("\nBonds\n\n")
+        for n_, (t, i, j) in enumerate(bonds):
+            f.write(f"{n_+1} {t} {i} {j}\n")
+        f.write("\nAngles\n\n")
+        for n_, (t, i, j, k) in enumerate(angles):
+            f.write(f"{n_+1} {t} {i} {j} {k}\n")
+
+    cfg = {
+        "units": "real", "precision": "double",
+        "read_data": str(data),
+        "pair_style": {"name": "lj/cut/coul/cut", "cut": 4.5,
+                       "coeffs": {"1 1": [0.1553, 3.166],
+                                  "1 2": [0.0, 1.0],
+                                  "2 2": [0.0, 1.0]}},
+        "special_bonds": [0.0, 0.0, 0.0],
+        "bond_style": {"name": "harmonic", "coeffs": [[1000.0, 1.0]]},
+        "angle_style": {"name": "harmonic", "coeffs": [[100.0, 109.47]]},
+        "velocity": {"temp": 300.0, "seed": 123},
+        "neighbor": {"skin": 1.5, "every": 5, "check": False},
+        "fixes": [
+            {"name": "shake", "b": [1], "a": [1]},
+            {"name": "npt", "t_start": 300.0, "t_damp": 50.0,
+             "iso": [1.0, 1.0, 500.0], "tchain": 1},
+        ],
+        "timestep": 1.0,
+    }
+    sim = build_simulation(cfg)
+    assert isinstance(sim, NPTSimulation)
+    assert sim.shake is not None
+    # special-bond exclusions must reach the NPT neighbor build (a missing
+    # special table once blew the pair virial up by 1e5x)
+    assert sim.special_idx.shape[1] > 0
+    p0 = sim.thermo()["press"]
+    assert abs(p0) < 1e6, p0   # the missing-table bug sat at ~6e7
+    rows = sim.run(150, thermo_every=50, log=False)
+    for r in rows:
+        assert np.isfinite(r["temp"]) and np.isfinite(r["press"])
+    # constraints hold under the dilating box
+    Lc = np.asarray(jax.device_get(sim.state.boxL))
+    viol = float(max_violation(sim.shake,
+                               jnp.asarray(jax.device_get(sim.state.x)),
+                               Lc))
+    assert viol < 5e-4, viol
+    # the barostat actually moved the box
+    assert abs(rows[-1]["vol"] - rows[0]["vol"]) / rows[0]["vol"] > 1e-5
+    # dof bookkeeping: 27 waters, 3 constraints each
+    assert sim.shake.n_constraints == 81
