@@ -162,3 +162,69 @@ def make_pallas_cellpair(style: PairStyle, grid: CellGrid, box,
                 fz[:ncell].reshape(-1))
 
     return fn
+
+
+def _time_force(fn, state, nscan: int = 10, reps: int = 3) -> float:
+    """Honest ms/step for a force fn over SlotState: chained data
+    dependencies inside one jit + a final value fetch (the tunneled TPU
+    runtime's block_until_ready does not block — see README)."""
+    import time
+
+    @jax.jit
+    def run(st):
+        def body(c, _):
+            fx, fy, fz = fn(c)
+            eps = jnp.asarray(1e-30, c.x.dtype)
+            c = c._replace(x=c.x + eps * fx.astype(c.x.dtype),
+                           y=c.y + eps * fy.astype(c.y.dtype),
+                           z=c.z + eps * fz.astype(c.z.dtype))
+            return c, None
+
+        c, _ = jax.lax.scan(body, st, None, length=nscan)
+        return c
+
+    out = run(state)
+    float(jnp.sum(out.x))          # compile + sync
+    t0 = time.perf_counter()
+    c = state
+    for _ in range(reps):
+        c = run(c)
+    float(jnp.sum(c.x))
+    return (time.perf_counter() - t0) / (reps * nscan) * 1000.0
+
+
+def benchmark_vs_xla(deck: str = "silica_pppm.yaml", nscan: int = 10,
+                     reps: int = 3) -> dict:
+    """Hardware A/B: this Pallas kernel vs the XLA dense kernels (full
+    27-stencil and the production Newton half-stencil) on the north-star
+    deck's pair pass.  Returns {variant: ms_per_step}."""
+    import os
+
+    import yaml
+
+    from ..run import build_simulation
+    from ..models.pair.cellpair import compute_cellpair
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    with open(os.path.join(root, "examples", "decks", deck)) as f:
+        cfg = yaml.safe_load(f)
+    sim = build_simulation(cfg)
+    state, grid, box, style = sim.state, sim.grid, sim.box, sim.pair
+
+    def xla_variant(newton):
+        def fn(st):
+            r = compute_cellpair(style, grid, box, st, newton=newton)
+            return r.fx, r.fy, r.fz
+        return fn
+
+    out = {}
+    out["xla_newton_half"] = _time_force(xla_variant(True), state,
+                                         nscan, reps)
+    out["xla_full27"] = _time_force(xla_variant(False), state, nscan, reps)
+    try:
+        pallas_fn = make_pallas_cellpair(style, grid, box)
+        out["pallas_full27"] = _time_force(pallas_fn, state, nscan, reps)
+    except Exception as e:   # CPU backends can't lower the TPU kernel
+        out["pallas_full27"] = f"unavailable: {type(e).__name__}"
+    return out
