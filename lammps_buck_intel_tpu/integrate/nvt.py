@@ -48,11 +48,15 @@ def _masses(cfg: NVTConfig, t_target: float):
     return q1, qk
 
 
-def nhc_half(cfg: NVTConfig, chain: NHChain, v, mass_col, t_target: float):
+def nhc_half(cfg: NVTConfig, chain: NHChain, v, mass_col, t_target,
+             ke2=None):
     """One half-step of the NH chain; returns (scale for v, new chain).
 
     mass_col: (N, 1) per-atom masses (host numpy — baked).
-    t_target: python float (baked per block).
+    t_target: python float (baked) or traced scalar.
+    ke2: optional precomputed 2*KE (energy units) — pass the psum'd global
+    value on sharded engines (parallel/slab.py), where v/mass_col are then
+    unused and may be None.
     """
     m = cfg.tchain
     dt2 = 0.5 * cfg.dt
@@ -61,7 +65,8 @@ def nhc_half(cfg: NVTConfig, chain: NHChain, v, mass_col, t_target: float):
     kt = cfg.boltz * t_target
     q1, qk = _masses(cfg, t_target)
 
-    ke2 = jnp.sum(mass_col * v * v) * cfg.mvv2e  # = 2 KE
+    if ke2 is None:
+        ke2 = jnp.sum(mass_col * v * v) * cfg.mvv2e  # = 2 KE
     eta = chain.eta
     ed = chain.eta_dot
 

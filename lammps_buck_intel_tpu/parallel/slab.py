@@ -22,8 +22,10 @@ decomposition — no re-layout).  Per step:
   (surfaced at thermo, like capacity overflow).
 * scalars: lax.psum (the MPI_Allreduce analog).
 
-Scope mirrors the reference fork's own integrator (FixNVEIntel): NVE, pair
-+ PPPM.  SHAKE/bonded/NVT stay on the single-chip engines for now.
+Scope: the reference fork's own integrator (FixNVEIntel: NVE, pair + PPPM)
+plus Nose-Hoover NVT — the chain is a replicated global state updated
+identically on every device from the psum'd kinetic energy (deterministic
+by construction).  SHAKE/bonded stay on the single-chip engines.
 """
 from __future__ import annotations
 
@@ -45,6 +47,7 @@ from ..models.pair.driver import _select_small
 from ..models.pair.styles import PairStyle
 from ..models.kspace.pppm_slab import SlabCellPPPM, _perm_left, _perm_right
 from ..integrate.verlet import NeighborPolicy
+from ..integrate.nvt import NVTConfig, NHChain, nhc_half
 
 try:
     shard_map = jax.shard_map
@@ -89,6 +92,7 @@ class SlabCellPairSimulation:
         neighbor: Optional[NeighborPolicy] = None,
         cap: Optional[int] = None,
         kspace_setup: Optional[Callable] = None,
+        thermostat: Optional[NVTConfig] = None,
     ):
         """kspace_setup: optional fn (sim) -> SlabCellPPPM called after the
         grid exists (the runner wires setup_pppm through it)."""
@@ -141,11 +145,18 @@ class SlabCellPairSimulation:
         self.topology = None
         self.kspace: Optional[SlabCellPPPM] = None
         self._kc = {}
+        self.thermostat = None
+        tchain = 0
+        if thermostat is not None:
+            self.thermostat = dataclasses.replace(
+                thermostat, dof=max(3 * n - 3, 1), boltz=units.boltz,
+                mvv2e=units.mvv2e, dt=self.dt)
+            tchain = self.thermostat.tchain
 
         st = cs.from_atoms(
             self.grid, self.box, jax.device_get(system.x),
             jax.device_get(system.v), jax.device_get(system.image),
-            typ_np, jax.device_get(system.q), dtype=flt, tchain=0,
+            typ_np, jax.device_get(system.q), dtype=flt, tchain=tchain,
         )
         if bool(jax.device_get(st.overflow)):
             self.grid = cs.grow(self.grid, observed_max=self._occupancy(
@@ -154,7 +165,7 @@ class SlabCellPairSimulation:
             st = cs.from_atoms(
                 self.grid, self.box, jax.device_get(system.x),
                 jax.device_get(system.v), jax.device_get(system.image),
-                typ_np, jax.device_get(system.q), dtype=flt, tchain=0,
+                typ_np, jax.device_get(system.q), dtype=flt, tchain=tchain,
             )
             if bool(jax.device_get(st.overflow)):
                 raise RuntimeError("cell capacity sizing failed")
@@ -324,25 +335,53 @@ class SlabCellPairSimulation:
 
         return jax.jit(self._shmap(local, self._state_spec))
 
-    def _block_local(self, state: cs.SlotState, kc: dict, nsteps: int):
+    def _nhc_scale(self, st: cs.SlotState, th, minv, t_target):
+        """Global NH chain half-step: psum'd kinetic energy drives a chain
+        update computed identically (replicated) on every device."""
+        cfg = self.thermostat
+        mass = jnp.where(st.aid < self.n_atoms,
+                         1.0 / jnp.maximum(minv, 1e-30), 0.0)
+        ke2 = jnp.sum((mass * (st.vx**2 + st.vy**2 + st.vz**2))
+                      .astype(self.precision.acc)) * cfg.mvv2e
+        if self.D > 1:
+            ke2 = jax.lax.psum(ke2, self.axis)
+        chain = NHChain(eta=th[0], eta_dot=th[1])
+        scale, chain = nhc_half(cfg, chain, None, None, t_target,
+                                ke2=ke2.astype(th.dtype))
+        return scale, jnp.stack([chain.eta, chain.eta_dot])
+
+    def _block_local(self, state: cs.SlotState, kc: dict, nsteps: int,
+                     t_target=0.0):
         state = self._rebin_local(state)
         minv = self._minv(state)
         dtf, dtv = self.dtf, self.dtv
         flt = self.precision.flt
+        cfg = self.thermostat
 
         def one_step(st, _):
-            vx = st.vx + (dtf * minv) * st.fx
-            vy = st.vy + (dtf * minv) * st.fy
-            vz = st.vz + (dtf * minv) * st.fz
+            th = st.therm
+            vx, vy, vz = st.vx, st.vy, st.vz
+            if cfg is not None:
+                scale, th = self._nhc_scale(st, th, minv, t_target)
+                vx, vy, vz = vx * scale, vy * scale, vz * scale
+            vx = vx + (dtf * minv) * st.fx
+            vy = vy + (dtf * minv) * st.fy
+            vz = vz + (dtf * minv) * st.fz
             st = st._replace(
                 x=st.x + dtv * vx, y=st.y + dtv * vy, z=st.z + dtv * vz)
             (fx, fy, fz), *_ = self._forces_local(st, kc, False, False)
             fx = fx.astype(flt)
             fy = fy.astype(flt)
             fz = fz.astype(flt)
+            vx = vx + (dtf * minv) * fx
+            vy = vy + (dtf * minv) * fy
+            vz = vz + (dtf * minv) * fz
+            if cfg is not None:
+                st2 = st._replace(vx=vx, vy=vy, vz=vz)
+                scale, th = self._nhc_scale(st2, th, minv, t_target)
+                vx, vy, vz = vx * scale, vy * scale, vz * scale
             return st._replace(
-                vx=vx + (dtf * minv) * fx, vy=vy + (dtf * minv) * fy,
-                vz=vz + (dtf * minv) * fz, fx=fx, fy=fy, fz=fz), None
+                vx=vx, vy=vy, vz=vz, fx=fx, fy=fy, fz=fz, therm=th), None
 
         state, _ = jax.lax.scan(one_step, state, None, length=nsteps)
         return state
@@ -350,15 +389,15 @@ class SlabCellPairSimulation:
     def _repeat_blocks(self, size: int):
         fn = self._chunk_fns.get(size)
         if fn is None:
-            def local(state, kc, n_blocks):
+            def local(state, kc, n_blocks, t_target):
                 return jax.lax.fori_loop(
                     0, n_blocks,
-                    lambda i, s: self._block_local(s, kc, size),
+                    lambda i, s: self._block_local(s, kc, size, t_target),
                     state)
 
             sharded = shard_map(
                 local, mesh=self.mesh,
-                in_specs=(self._state_spec, self._kc_in_specs(), P()),
+                in_specs=(self._state_spec, self._kc_in_specs(), P(), P()),
                 out_specs=self._state_spec,
                 check_vma=False,
             )
@@ -477,13 +516,16 @@ class SlabCellPairSimulation:
                 )
             total = target - self.step_count
             cadence = self._cadence(vmax)
+            cfg = self.thermostat
+            tt = jnp.asarray(cfg.t_start if cfg is not None else 0.0,
+                             self.precision.flt)
             n_full, rem = divmod(total, cadence)
             if n_full:
                 self.state = self._repeat_blocks(cadence)(
-                    self.state, self._kc, n_full)
+                    self.state, self._kc, n_full, tt)
             if rem:
                 self.state = self._repeat_blocks(rem)(
-                    self.state, self._kc, 1)
+                    self.state, self._kc, 1, tt)
             self.step_count = target
             if thermo_every and self.step_count % thermo_every == 0:
                 emit()

@@ -145,3 +145,33 @@ def test_slab_pppm_matches_single_device():
     xa = simA.get_atoms()["x"]
     xb = simB.get_atoms()["x"]
     np.testing.assert_allclose(xb, xa, rtol=0, atol=1e-8)
+
+
+def test_slab_nvt_matches_single_device():
+    """Nose-Hoover NVT on the slab engine: the replicated chain driven by
+    psum'd kinetic energy reproduces the single-device thermostat."""
+    from lammps_buck_intel_tpu.integrate import NVTConfig
+
+    u, box, system, _ = _melt_system()
+    style = _style()
+    prec = get_precision("double")
+    therm = NVTConfig(t_start=1.1, t_stop=1.1, t_damp=0.5)
+    simA = CellPairSimulation(
+        system, style, units=u, precision=prec, thermostat=therm,
+        neighbor=NeighborPolicy(skin=0.3, every=5, check=False),
+    )
+    simB = SlabCellPairSimulation(
+        system, style, mesh=slab_mesh(4), units=u, precision=prec,
+        thermostat=therm,
+        neighbor=NeighborPolicy(skin=0.3, every=5, check=False),
+    )
+    rowsA = simA.run(30, thermo_every=10, log=False)
+    rowsB = simB.run(30, thermo_every=10, log=False)
+    for ra, rb in zip(rowsA, rowsB):
+        assert abs(ra["temp"] - rb["temp"]) < 1e-8 * abs(ra["temp"]), (
+            ra["temp"], rb["temp"])
+        assert abs(ra["etotal"] - rb["etotal"]) < 1e-7 * abs(ra["etotal"])
+    # thermostat state advanced identically (replicated chain)
+    thA = np.asarray(jax.device_get(simA.state.therm))
+    thB = np.asarray(jax.device_get(simB.state.therm))
+    np.testing.assert_allclose(thB, thA, atol=1e-10)

