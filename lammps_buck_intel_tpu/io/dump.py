@@ -54,6 +54,55 @@ def write_xyz(path: str, sim, append: bool = True,
             f.write(f"{sym} {x[i, 0]:.8g} {x[i, 1]:.8g} {x[i, 2]:.8g}\n")
 
 
+_TYPE_COLORS = np.array([
+    [220, 60, 60], [60, 120, 220], [60, 200, 90], [230, 200, 60],
+    [200, 90, 220], [90, 210, 210], [230, 140, 60], [160, 160, 160],
+], np.int32)
+
+
+def write_image(path: str, sim, size: int = 512, view: str = "xy",
+                radius_frac: float = 0.01) -> None:
+    """``dump image`` analog (examples/in.spce:39): orthographic
+    depth-sorted sphere render of the current frame to a binary PPM
+    (readable everywhere, zero dependencies).  Atoms colored by type,
+    shaded by a simple z-normal lambert term."""
+    x, typ, _ = _atoms_of(sim)
+    lo = np.asarray(sim.box.lo, np.float64)
+    hi = np.asarray(sim.box.hi, np.float64)
+    L = hi - lo
+    ax_u, ax_v = {"xy": (0, 1), "xz": (0, 2), "yz": (1, 2)}[view]
+    ax_w = 3 - ax_u - ax_v
+    xw = lo + np.mod(x - lo, L)          # wrapped view
+    u = (xw[:, ax_u] - lo[ax_u]) / L[ax_u]
+    v = (xw[:, ax_v] - lo[ax_v]) / L[ax_v]
+    w = (xw[:, ax_w] - lo[ax_w]) / L[ax_w]
+    order = np.argsort(w)                 # far -> near painter's sort
+    img = np.zeros((size, size, 3), np.uint8)
+    r_px = max(1, int(radius_frac * size))
+    yy, xx = np.mgrid[-r_px:r_px + 1, -r_px:r_px + 1]
+    disc = xx * xx + yy * yy <= r_px * r_px
+    # lambert-ish: brighten toward the disc center
+    shade = np.clip(1.0 - 0.5 * (xx * xx + yy * yy)
+                    / max(r_px * r_px, 1), 0.4, 1.0)
+    for i in order:
+        cu = int(u[i] * (size - 1))
+        cv = int((1.0 - v[i]) * (size - 1))
+        col = _TYPE_COLORS[int(typ[i]) % len(_TYPE_COLORS)]
+        depth = 0.6 + 0.4 * w[i]          # nearer = brighter
+        u0, u1 = max(cu - r_px, 0), min(cu + r_px + 1, size)
+        v0, v1 = max(cv - r_px, 0), min(cv + r_px + 1, size)
+        du0, dv0 = u0 - (cu - r_px), v0 - (cv - r_px)
+        d = disc[dv0:dv0 + (v1 - v0), du0:du0 + (u1 - u0)]
+        s = shade[dv0:dv0 + (v1 - v0), du0:du0 + (u1 - u0)]
+        tile = img[v0:v1, u0:u1]
+        px = np.clip(col[None, None, :] * (s * depth)[..., None],
+                     0, 255).astype(np.uint8)
+        tile[d] = px[d]
+    with open(path, "wb") as f:
+        f.write(f"P6\n{size} {size}\n255\n".encode())
+        f.write(img.tobytes())
+
+
 def read_lammpstrj(path: str):
     """Parse frames back (round-trip testing / analysis)."""
     frames = []

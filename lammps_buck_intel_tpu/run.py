@@ -556,12 +556,24 @@ def run_deck(cfg: dict, log: bool = True):
     t0 = time.perf_counter()
     if dmp:
         every = int(dmp.get("every", thermo))
+        style = dmp.get("style", "lammpstrj")
+
+        def write_frame(append=True):
+            if style == "image":
+                # `dump image` (in.spce:39): one PPM per frame, * -> step
+                dumpmod.write_image(
+                    dmp["file"].replace("*", str(sim.step_count)), sim,
+                    size=int(dmp.get("size", 512)),
+                    view=dmp.get("view", "xy"))
+            else:
+                dumpmod.write_lammpstrj(dmp["file"], sim, append=append)
+
         left = nsteps
-        dumpmod.write_lammpstrj(dmp["file"], sim, append=False)
+        write_frame(append=False)
         while left > 0:
             chunk = min(every, left)
             rows += sim.run(chunk, thermo_every=thermo, log=log)
-            dumpmod.write_lammpstrj(dmp["file"], sim)
+            write_frame()
             left -= chunk
     else:
         rows = sim.run(nsteps, thermo_every=thermo, log=log)

@@ -90,3 +90,31 @@ def test_native_reader_matches_python(reference_dir):
         np.testing.assert_array_equal(a.mass, b.mass)
         np.testing.assert_array_equal(a.bonds, b.bonds)
         np.testing.assert_array_equal(a.angles, b.angles)
+
+
+def test_dump_image(tmp_path):
+    """`dump image` analog: a PPM frame per dump interval through the deck
+    runner (in.spce:39 contract)."""
+    from lammps_buck_intel_tpu.run import run_deck
+
+    cfg = {
+        "units": "lj",
+        "lattice": {"style": "fcc", "density": 0.8442,
+                    "nx": 3, "ny": 3, "nz": 3},
+        "mass": [1.0],
+        "pair_style": {"name": "lj/cut", "cut": 2.5,
+                       "coeffs": {"1 1": [1.0, 1.0]}},
+        "velocity": {"temp": 1.0, "seed": 7},
+        "neighbor": {"skin": 0.3, "every": 5, "check": False},
+        "run": 10, "thermo": 5,
+        "dump": {"style": "image", "every": 5, "size": 64,
+                 "file": str(tmp_path / "frame_*.ppm")},
+    }
+    run_deck(cfg, log=False)
+    frames = sorted(tmp_path.glob("frame_*.ppm"))
+    assert len(frames) == 3  # steps 0, 5, 10
+    data = frames[0].read_bytes()
+    assert data.startswith(b"P6\n64 64\n255\n")
+    body = data.split(b"255\n", 1)[1]
+    assert len(body) == 64 * 64 * 3
+    assert max(body) > 0  # something was drawn
