@@ -321,20 +321,30 @@ def write_data(path: str, d_or_system, topology=None, atom_style: str = "full",
         for t, m in enumerate(mass):
             f.write(f"{t + 1} {m:.10g}\n")
         f.write(f"\nAtoms # {atom_style}\n\n")
-        for a in range(n):
-            if atom_style == "atomic":
-                cols = f"{a + 1} {typ[a] + 1}"
-            elif atom_style == "charge":
-                cols = f"{a + 1} {typ[a] + 1} {q[a]:.16e}"
-            else:
-                cols = f"{a + 1} {mol[a] + 1} {typ[a] + 1} {q[a]:.16e}"
-            f.write(
-                f"{cols} {x[a, 0]:.16e} {x[a, 1]:.16e} {x[a, 2]:.16e} "
-                f"{img[a, 0]} {img[a, 1]} {img[a, 2]}\n"
-            )
-        f.write("\nVelocities\n\n")
-        for a in range(n):
-            f.write(f"{a + 1} {v[a, 0]:.16e} {v[a, 1]:.16e} {v[a, 2]:.16e}\n")
+        f.flush()
+        from . import fastdata
+
+        if fastdata.write_data_body(path, atom_style, x, v, q, typ, mol,
+                                    img):
+            import os as _os
+
+            f.seek(0, _os.SEEK_END)   # native appended; rejoin at the end
+        else:
+            for a in range(n):
+                if atom_style == "atomic":
+                    cols = f"{a + 1} {typ[a] + 1}"
+                elif atom_style == "charge":
+                    cols = f"{a + 1} {typ[a] + 1} {q[a]:.16e}"
+                else:
+                    cols = f"{a + 1} {mol[a] + 1} {typ[a] + 1} {q[a]:.16e}"
+                f.write(
+                    f"{cols} {x[a, 0]:.16e} {x[a, 1]:.16e} {x[a, 2]:.16e} "
+                    f"{img[a, 0]} {img[a, 1]} {img[a, 2]}\n"
+                )
+            f.write("\nVelocities\n\n")
+            for a in range(n):
+                f.write(f"{a + 1} {v[a, 0]:.16e} {v[a, 1]:.16e} "
+                        f"{v[a, 2]:.16e}\n")
         if len(bonds):
             f.write("\nBonds\n\n")
             for b, (bt, bi, bj) in enumerate(bonds):

@@ -23,6 +23,13 @@ def write_lammpstrj(path: str, sim, append: bool = True) -> None:
     lo = np.asarray(sim.box.lo, np.float64)
     hi = np.asarray(sim.box.hi, np.float64)
     n = len(x)
+    # native fast path (the reference's dump machinery is host C++ too);
+    # python fallback below writes the identical format
+    from . import fastdata
+
+    if fastdata.write_lammpstrj_frame(path, append, sim.step_count,
+                                      lo, hi, x, v, typ):
+        return
     mode = "a" if append else "w"
     with open(path, mode) as f:
         f.write("ITEM: TIMESTEP\n")

@@ -61,6 +61,18 @@ def _load():
         ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.c_long, ctypes.c_long,
     ]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.write_lammpstrj_frame.restype = ctypes.c_int
+    lib.write_lammpstrj_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_long, ctypes.c_long,
+        f64p, f64p, f64p, f64p, i32p,
+    ]
+    lib.write_data_body.restype = ctypes.c_int
+    lib.write_data_body.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_long,
+        f64p, f64p, f64p, i32p, i32p, i32p,
+    ]
     _lib = lib
     return _lib
 
@@ -81,5 +93,39 @@ def parse_sections(path: str, style: str, d) -> bool:
         d.dihedrals.reshape(-1), d.impropers.reshape(-1),
         d.n_atoms, len(d.bonds), len(d.angles), len(d.mass),
         len(d.dihedrals), len(d.impropers),
+    )
+    return rc == 0
+
+
+def write_lammpstrj_frame(path, append, step, lo, hi, x, v, typ) -> bool:
+    """Native lammpstrj frame writer; False -> caller falls back."""
+    lib = _load()
+    if lib is None:
+        return False
+    rc = lib.write_lammpstrj_frame(
+        path.encode(), 1 if append else 0, int(step), len(x),
+        np.ascontiguousarray(lo, np.float64),
+        np.ascontiguousarray(hi, np.float64),
+        np.ascontiguousarray(x, np.float64).reshape(-1),
+        np.ascontiguousarray(v, np.float64).reshape(-1),
+        np.ascontiguousarray(typ, np.int32),
+    )
+    return rc == 0
+
+
+def write_data_body(path, style, x, v, q, typ, mol, image) -> bool:
+    """Native Atoms+Velocities body appender; False -> python fallback."""
+    lib = _load()
+    if lib is None:
+        return False
+    rc = lib.write_data_body(
+        path.encode(), {"atomic": 0, "charge": 1, "full": 2}[style],
+        len(x),
+        np.ascontiguousarray(x, np.float64).reshape(-1),
+        np.ascontiguousarray(v, np.float64).reshape(-1),
+        np.ascontiguousarray(q, np.float64),
+        np.ascontiguousarray(typ, np.int32),
+        np.ascontiguousarray(mol, np.int32),
+        np.ascontiguousarray(image, np.int32).reshape(-1),
     )
     return rc == 0

@@ -177,3 +177,84 @@ int lbi_parse_data(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// fastwrite — native trajectory / data writers (the IO side of the
+// runtime; the reference's dump/write_data machinery is host C++ too).
+// One buffered fwrite per frame; %.8g float formatting matches the
+// python writer (io/dump.py) so outputs are interchangeable.
+
+extern "C" {
+
+// lammpstrj frame: id type x y z vx vy vz rows.  Returns 0 on success.
+int write_lammpstrj_frame(const char* path, int append, long step, long n,
+                          const double* lo, const double* hi,
+                          const double* x, const double* v,
+                          const int* typ) {
+    FILE* f = std::fopen(path, append ? "ab" : "wb");
+    if (!f) return -1;
+    std::string out;
+    out.reserve(80 * (size_t)n + 256);
+    char tmp[256];
+    std::snprintf(tmp, sizeof tmp,
+                  "ITEM: TIMESTEP\n%ld\nITEM: NUMBER OF ATOMS\n%ld\n"
+                  "ITEM: BOX BOUNDS pp pp pp\n", step, n);
+    out += tmp;
+    for (int ax = 0; ax < 3; ++ax) {
+        std::snprintf(tmp, sizeof tmp, "%.16e %.16e\n", lo[ax], hi[ax]);
+        out += tmp;
+    }
+    out += "ITEM: ATOMS id type x y z vx vy vz\n";
+    for (long i = 0; i < n; ++i) {
+        std::snprintf(tmp, sizeof tmp,
+                      "%ld %d %.8g %.8g %.8g %.8g %.8g %.8g\n",
+                      i + 1, typ[i] + 1,
+                      x[3 * i], x[3 * i + 1], x[3 * i + 2],
+                      v[3 * i], v[3 * i + 1], v[3 * i + 2]);
+        out += tmp;
+    }
+    size_t put = std::fwrite(out.data(), 1, out.size(), f);
+    std::fclose(f);
+    return put == out.size() ? 0 : -2;
+}
+
+// Atoms/Velocities body of a LAMMPS data file (header written by python).
+// style: 0 atomic, 1 charge, 2 full.  Returns 0 on success.
+int write_data_body(const char* path, int style, long n,
+                    const double* x, const double* v, const double* q,
+                    const int* typ, const int* mol, const int* image) {
+    FILE* f = std::fopen(path, "ab");
+    if (!f) return -1;
+    std::string out;
+    out.reserve(140 * (size_t)n + 64);
+    char tmp[320];
+    for (long i = 0; i < n; ++i) {
+        int nc;
+        if (style == 0)
+            nc = std::snprintf(tmp, sizeof tmp, "%ld %d ", i + 1,
+                               typ[i] + 1);
+        else if (style == 1)
+            nc = std::snprintf(tmp, sizeof tmp, "%ld %d %.16e ", i + 1,
+                               typ[i] + 1, q[i]);
+        else
+            nc = std::snprintf(tmp, sizeof tmp, "%ld %d %d %.16e ", i + 1,
+                               mol[i] + 1, typ[i] + 1, q[i]);
+        out.append(tmp, nc);
+        nc = std::snprintf(tmp, sizeof tmp, "%.16e %.16e %.16e %d %d %d\n",
+                           x[3 * i], x[3 * i + 1], x[3 * i + 2],
+                           image[3 * i], image[3 * i + 1],
+                           image[3 * i + 2]);
+        out.append(tmp, nc);
+    }
+    out += "\nVelocities\n\n";
+    for (long i = 0; i < n; ++i) {
+        int nc = std::snprintf(tmp, sizeof tmp, "%ld %.16e %.16e %.16e\n",
+                               i + 1, v[3 * i], v[3 * i + 1], v[3 * i + 2]);
+        out.append(tmp, nc);
+    }
+    size_t put = std::fwrite(out.data(), 1, out.size(), f);
+    std::fclose(f);
+    return put == out.size() ? 0 : -2;
+}
+
+}  // extern "C"

@@ -118,3 +118,61 @@ def test_dump_image(tmp_path):
     body = data.split(b"255\n", 1)[1]
     assert len(body) == 64 * 64 * 3
     assert max(body) > 0  # something was drawn
+
+
+def test_native_writers_match_python(tmp_path, monkeypatch):
+    """Native C++ dump/data writers produce byte-identical files to the
+    python fallback (same formats, interchangeable)."""
+    import lammps_buck_intel_tpu.io.fastdata as fastdata
+    from lammps_buck_intel_tpu.io import dump as dumpmod
+    from lammps_buck_intel_tpu.io.data_reader import write_data
+
+    rng = np.random.default_rng(3)
+    n = 50
+
+    class S:
+        pass
+
+    s = S()
+    s.x = rng.random((n, 3)) * 10
+    s.v = rng.normal(size=(n, 3))
+    s.q = rng.normal(size=n)
+    s.type = (np.arange(n) % 3).astype(np.int32)
+    s.image = rng.integers(-2, 3, (n, 3)).astype(np.int32)
+    s.molecule = (np.arange(n) // 5).astype(np.int32)
+    s.mass = np.array([1.0, 2.0, 3.0])
+
+    class B:
+        pass
+
+    s.box = B()
+    s.box.lo = np.zeros(3)
+    s.box.hi = np.full(3, 10.0)
+    s.box.tilt = None
+
+    class Sim:
+        step_count = 7
+        box = s.box
+        typ = s.type
+
+        def get_atoms(self):
+            return {"x": s.x, "typ": s.type, "v": s.v}
+
+    if fastdata._load() is None:
+        pytest.skip("native library unavailable")
+
+    pn = tmp_path / "native.data"
+    write_data(str(pn), s, atom_style="full")
+    pp = tmp_path / "python.data"
+    monkeypatch.setattr(fastdata, "write_data_body",
+                        lambda *a, **k: False)
+    write_data(str(pp), s, atom_style="full")
+    assert pn.read_bytes() == pp.read_bytes()
+
+    tn = tmp_path / "native.lammpstrj"
+    dumpmod.write_lammpstrj(str(tn), Sim(), append=False)
+    monkeypatch.setattr(fastdata, "write_lammpstrj_frame",
+                        lambda *a, **k: False)
+    tp = tmp_path / "python.lammpstrj"
+    dumpmod.write_lammpstrj(str(tp), Sim(), append=False)
+    assert tn.read_bytes() == tp.read_bytes()
