@@ -176,9 +176,15 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         # coul (1-4 handled by dihedral charmm's weight); amber shown for
         # completeness
         named = {"charmm": ([0., 0., 0.], [0., 0., 0.]),
-                 "amber": ([0., 0., 0.5], [0., 0., 1.0 / 1.2]),
-                 "lj/coul": ([0., 0., 0.], [0., 0., 0.])}
+                 "amber": ([0., 0., 0.5], [0., 0., 1.0 / 1.2])}
         sb, sbc = named[sb]
+    elif isinstance(sb, dict):
+        # `special_bonds lj/coul w2 w3 w4` (in.spce:28) / `lj ...` `coul
+        # ...` keyword forms
+        both = sb.get("lj/coul")
+        sbl = both if both is not None else sb.get("lj", [1.0, 1.0, 1.0])
+        sbc = both if both is not None else sb.get("coul", [1.0, 1.0, 1.0])
+        sb = sbl
     else:
         sbc = cfg.get("special_bonds_coul", sb)
     special = (1.0, float(sb[0]), float(sb[1]), float(sb[2]))
