@@ -38,6 +38,14 @@ RUNS = {
                  drift_per_atom=None, conserved=False),   # NVT+SHAKE
     "hexane": dict(deck="hexane.yaml", steps=200, thermo=20,
                    drift_per_atom=None, conserved=False),  # NVT+rigid
+    # auxiliary capability decks (beyond the 5 reference baselines)
+    "hexane_if": dict(deck="hexane_if.yaml", steps=100, thermo=20,
+                      drift_per_atom=None, conserved=False),
+    "rhodo_class": dict(deck="rhodo_class.yaml", steps=100, thermo=20,
+                        drift_per_atom=None, conserved=False),  # NVT+shake
+    "triclinic": dict(deck="triclinic.yaml", steps=100, thermo=20,
+                      drift_per_atom=2e-3, conserved=True),  # 128 atoms: f32
+                      # thermo-fetch noise dominates /atom
 }
 
 
