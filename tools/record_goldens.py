@@ -39,6 +39,8 @@ RUNS = {
     "hexane": dict(deck="hexane.yaml", steps=200, thermo=20,
                    drift_per_atom=None, conserved=False),  # NVT+rigid
     # auxiliary capability decks (beyond the 5 reference baselines)
+    "spce_if": dict(deck="spce_if.yaml", steps=100, thermo=20,
+                    drift_per_atom=None, conserved=False),
     "hexane_if": dict(deck="hexane_if.yaml", steps=100, thermo=20,
                       drift_per_atom=None, conserved=False),
     "rhodo_class": dict(deck="rhodo_class.yaml", steps=100, thermo=20,
