@@ -68,6 +68,7 @@ class NPTState(NamedTuple):
     omega_dot: jnp.ndarray  # (3,) barostat strain rates
     therm: jnp.ndarray    # (2, M) NH chain
     virial: jnp.ndarray   # (6,) from the last force evaluation
+    overflow: jnp.ndarray = None  # () bool — sticky neighbor overflow
 
 
 class NPTSimulation:
@@ -110,6 +111,8 @@ class NPTSimulation:
         box0 = system.box
         L0 = np.asarray(box0.lengths, np.float64)
         self._center = np.asarray(box0.lo) + 0.5 * L0
+        self._L0 = L0
+        self._headroom = float(box_headroom)
         # static bin geometry sized for a box GROWN by `box_headroom`:
         # bins only get larger if the box shrinks; cell size >= cutneigh
         # must hold for the smallest box reached, so size the count from
@@ -149,6 +152,7 @@ class NPTSimulation:
             omega_dot=jnp.zeros((3,), flt),
             therm=jnp.zeros((2, self._tchain), flt),
             virial=jnp.zeros((6,), self.precision.acc),
+            overflow=jnp.zeros((), bool),
         )
         if shake is not None:
             # settle onto the constraint manifold (verlet.py settle analog)
@@ -203,7 +207,8 @@ class NPTSimulation:
     def _init_forces(self, st: NPTState) -> NPTState:
         nl = self._build_nl(st.x, st.boxL)
         f, virial = self._forces(st.x, st.boxL, nl)
-        return st._replace(f=f, virial=virial)
+        return st._replace(f=f, virial=virial,
+                           overflow=st.overflow | nl.overflow)
 
     # ---------- NPT step ----------
 
@@ -219,8 +224,9 @@ class NPTSimulation:
         p = (mv2 + st.virial[:3]) / V * u.nktv2p
         return p, mv2, V
 
-    def _omega_masses(self, t_target: float):
-        nkt = (self.n_atoms + 1) * self.units.boltz * max(t_target, 1e-30)
+    def _omega_masses(self, t_target):
+        nkt = (self.n_atoms + 1) * self.units.boltz * jnp.maximum(
+            t_target, 1e-30)
         return nkt * self.npt.p_damp**2   # omega_mass (all axes equal)
 
     def _omega_dot_half(self, st, p_target, t_target):
@@ -309,15 +315,17 @@ class NPTSimulation:
         return st._replace(v=st.v * scale,
                            therm=jnp.stack([chain.eta, chain.eta_dot]))
 
-    def _block(self, st: NPTState, nsteps: int, t_target: float,
-               p_target: tuple) -> NPTState:
+    def _block(self, st: NPTState, nsteps: int, t_target,
+               p_target) -> NPTState:
         """Rebuild + nsteps with the stale list (skin bound)."""
         from ..core.box import wrap
 
         box = self._traced_box(st.boxL)
         xw, im = wrap(st.x, st.image, box)
         st = st._replace(x=xw, image=im)
-        self._nl_carried = self._build_nl(st.x, st.boxL)
+        nl = self._build_nl(st.x, st.boxL)
+        st = st._replace(overflow=st.overflow | nl.overflow)
+        self._nl_carried = nl
 
         def body(s, _):
             return self._one_step(s, t_target, p_target), None
@@ -325,12 +333,16 @@ class NPTSimulation:
         st, _ = jax.lax.scan(body, st, None, length=nsteps)
         return st
 
-    def _block_fn(self, size: int, t_target: float, p_target: tuple):
-        key = (size, round(t_target, 6), tuple(np.round(p_target, 6)))
+    def _block_fn(self, size: int):
+        # (t_target, p_target) are TRACED arguments: ramps re-dispatch per
+        # cadence block without recompiling (one program per block size).
+        # The frozen config dataclasses join the key so swapping sim.npt /
+        # sim.thermostat mid-run (structural flags are baked at trace
+        # time) correctly retraces.
+        key = (size, self.npt, self.thermostat)
         fn = self._block_fns.get(key)
         if fn is None:
-            fn = jax.jit(lambda s: self._block(s, size, t_target,
-                                               p_target))
+            fn = jax.jit(lambda s, tt, pt: self._block(s, size, tt, pt))
             self._block_fns[key] = fn
         return fn
 
@@ -350,15 +362,32 @@ class NPTSimulation:
         press = (sum_mv2 + st.virial[0] + st.virial[1] + st.virial[2]) \
             / (3.0 * V) * u.nktv2p
         return dict(temp=temp, ke=ke, press=press, p_axis=p_cur,
-                    boxL=st.boxL, vol=V, omega_dot=st.omega_dot)
+                    boxL=st.boxL, vol=V, omega_dot=st.omega_dot,
+                    overflow=st.overflow)
 
     def thermo(self) -> dict:
         row = jax.device_get(self._thermo_jit(self.state))
         out = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v))
                for k, v in row.items()}
         out["step"] = self.step_count
+        out["overflow"] = bool(row["overflow"])
         if not np.isfinite(out["temp"]) or not np.isfinite(out["press"]):
             raise RuntimeError(f"non-finite thermo at step {out['step']}")
+        if out["overflow"]:
+            raise RuntimeError(
+                "NPT neighbor overflow: per-atom neighbor count exceeded "
+                "the capacity sized from the initial density — compression "
+                "outgrew the spec; restart from the compressed state or "
+                "raise box_headroom")
+        # the static bin geometry is valid only down to 1/box_headroom
+        # shrinkage per axis (see __init__): past that the 27-stencil no
+        # longer covers cutoff+skin and pairs would be silently dropped
+        shrink = np.asarray(out["boxL"]) / self._L0
+        if float(shrink.min()) < 1.0 / self._headroom - 1e-9:
+            raise RuntimeError(
+                f"box shrank to {shrink.min():.3f} of its initial length, "
+                f"beyond the bin-geometry bound 1/{self._headroom}; "
+                "rebuild the simulation from the compressed state")
         return out
 
     # ---------- IO ----------
@@ -377,6 +406,12 @@ class NPTSimulation:
     def current_box(self) -> Box:
         L = np.asarray(jax.device_get(self.state.boxL), np.float64)
         return make_box(self._center - 0.5 * L, self._center + 0.5 * L)
+
+    @property
+    def box(self) -> Box:
+        """Host Box snapshot at the CURRENT (dilated) lengths — the IO
+        contract (dump/write_data/checkpoint read sim.box)."""
+        return self.current_box
 
     # ---------- main loop ----------
 
@@ -404,12 +439,14 @@ class NPTSimulation:
             while done < target:
                 size = min(cadence, target - done)
                 frac = done / max(nsteps, 1)
-                tt = cfg.t_start + (cfg.t_stop - cfg.t_start) * frac
-                pt = tuple(
+                flt = self.precision.flt
+                tt = jnp.asarray(
+                    cfg.t_start + (cfg.t_stop - cfg.t_start) * frac, flt)
+                pt = jnp.asarray(
                     np.asarray(npt.p_start)
                     + (np.asarray(npt.p_stop)
-                       - np.asarray(npt.p_start)) * frac)
-                self.state = self._block_fn(size, tt, pt)(self.state)
+                       - np.asarray(npt.p_start)) * frac, flt)
+                self.state = self._block_fn(size)(self.state, tt, pt)
                 done += size
                 self.step_count += size
             if thermo_every:

@@ -517,8 +517,17 @@ class SlabCellPairSimulation:
             total = target - self.step_count
             cadence = self._cadence(vmax)
             cfg = self.thermostat
-            tt = jnp.asarray(cfg.t_start if cfg is not None else 0.0,
-                             self.precision.flt)
+            if cfg is None:
+                tt_val = 0.0
+            elif cfg.t_start == cfg.t_stop:
+                tt_val = cfg.t_start
+            else:
+                # linear ramp evaluated at the end of this segment (the
+                # verlet.py _t_target contract)
+                done_after = self.step_count - (end - nsteps) + total
+                frac = min(max(done_after / max(nsteps, 1), 0.0), 1.0)
+                tt_val = cfg.t_start + (cfg.t_stop - cfg.t_start) * frac
+            tt = jnp.asarray(tt_val, self.precision.flt)
             n_full, rem = divmod(total, cadence)
             if n_full:
                 self.state = self._repeat_blocks(cadence)(

@@ -180,10 +180,11 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         sb, sbc = named[sb]
     elif isinstance(sb, dict):
         # `special_bonds lj/coul w2 w3 w4` (in.spce:28) / `lj ...` `coul
-        # ...` keyword forms
+        # ...` keyword forms.  An unspecified channel keeps the LAMMPS
+        # default 0 0 0 (special_bonds.html), NOT full interactions.
         both = sb.get("lj/coul")
-        sbl = both if both is not None else sb.get("lj", [1.0, 1.0, 1.0])
-        sbc = both if both is not None else sb.get("coul", [1.0, 1.0, 1.0])
+        sbl = both if both is not None else sb.get("lj", [0.0, 0.0, 0.0])
+        sbc = both if both is not None else sb.get("coul", [0.0, 0.0, 0.0])
         sb = sbl
     else:
         sbc = cfg.get("special_bonds_coul", sb)
@@ -610,11 +611,14 @@ def _as_system_like(sim):
         pass
 
     s = _S()
-    if hasattr(sim, "get_atoms"):  # cell-pair engine: slot -> atom order
+    if hasattr(sim, "get_atoms"):  # slot/NPT engines: atom-ordered dict
         atoms = sim.get_atoms()
         s.x, s.v, s.image = atoms["x"], atoms["v"], atoms["image"]
         typ, q = atoms["typ"], atoms["q"]
-        mass_per_atom = (1.0 / sim._minv_per_type)[typ]
+        if hasattr(sim, "_minv_per_type"):      # cell-pair engine
+            mass_per_atom = (1.0 / sim._minv_per_type)[typ]
+        else:                                    # NPT engine
+            mass_per_atom = np.asarray(sim._mass_col)[:, 0]
     else:
         st = jax.device_get(sim.state)
         s.x, s.v, s.image = st.x, st.v, st.image

@@ -69,10 +69,22 @@ def load(path: str) -> dict:
 
 def resume(sim, ckpt: dict) -> None:
     """Restore dynamic state into an already-constructed simulation
-    (either engine)."""
+    (any engine)."""
     import jax.numpy as jnp
 
     flt = sim.precision.flt
+    if hasattr(sim, "npt"):   # NPTSimulation: full NPTState round-trip
+        from ..integrate.npt import NPTState
+
+        casts = dict(image=jnp.int32, overflow=bool,
+                     virial=sim.precision.acc)
+        st = NPTState(**{
+            f: jnp.asarray(ckpt[f"slot_{f}"], casts.get(f, flt))
+            for f in NPTState._fields
+        })
+        sim.state = jax.jit(sim._init_forces)(st)
+        sim.step_count = ckpt["step_count"]
+        return
     if hasattr(sim, "grid"):  # cell-pair engine
         from ..neighbor import cell_slots as cs
 

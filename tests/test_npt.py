@@ -8,6 +8,7 @@ traced-box machinery itself: traced Ewald forces against the baked-box
 solver, and pair forces through a traced box against the host-box path.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -260,3 +261,68 @@ def test_npt_with_shake_water(tmp_path):
     assert abs(rows[-1]["vol"] - rows[0]["vol"]) / rows[0]["vol"] > 1e-5
     # dof bookkeeping: 27 waters, 3 constraints each
     assert sim.shake.n_constraints == 81
+
+
+def test_npt_guards_and_ramp_no_recompile():
+    """Overflow and bin-shrink guards fire at thermo; T/P ramps re-dispatch
+    without recompiling (traced targets, one program per block size)."""
+    import jax.numpy as jnp
+
+    sim = _make_npt("xyz", (True, True, True), barostat_on=True)
+    sim.npt = NPTConfig(p_start=(2.0,) * 3, p_stop=(4.0,) * 3,
+                        p_damp=5.0, flags=(True, True, True), couple="xyz")
+    sim.thermostat = sim.thermostat.__class__(
+        **{**sim.thermostat.__dict__, "t_start": 1.0, "t_stop": 1.3})
+    sim.run(60, thermo_every=20, log=False)
+    assert len(sim._block_fns) <= 2, list(sim._block_fns)
+
+    st = sim.state
+    sim.state = st._replace(overflow=jnp.asarray(True))
+    with pytest.raises(RuntimeError, match="overflow"):
+        sim.thermo()
+    sim.state = st._replace(boxL=st.boxL * 0.85)
+    with pytest.raises(RuntimeError, match="shrank"):
+        sim.thermo()
+    sim.state = st
+
+
+def test_npt_deck_io_paths(tmp_path):
+    """dump / write_data / write_restart + resume all work for NPT decks."""
+    from lammps_buck_intel_tpu.run import run_deck, build_simulation
+    from lammps_buck_intel_tpu.utils import checkpoint as ckpt
+    from lammps_buck_intel_tpu.io import read_data
+
+    cfg = {
+        "units": "lj", "precision": "double",
+        "lattice": {"style": "fcc", "density": 0.8442,
+                    "nx": 3, "ny": 3, "nz": 3},
+        "mass": [1.0],
+        "pair_style": {"name": "lj/cut", "cut": 2.5,
+                       "coeffs": {"1 1": [1.0, 1.0]}},
+        "velocity": {"temp": 1.0, "seed": 99},
+        "neighbor": {"skin": 0.3, "every": 5, "check": False},
+        "fixes": [{"name": "npt", "t_start": 1.0, "t_damp": 0.5,
+                   "iso": [2.0, 2.0, 5.0], "tchain": 1}],
+        "timestep": 0.004,
+        "run": 10, "thermo": 5,
+        "dump": {"file": str(tmp_path / "npt.lammpstrj"), "every": 5},
+        "write_data": str(tmp_path / "npt.data"),
+        "write_restart": str(tmp_path / "npt.npz"),
+    }
+    sim, rows = run_deck(cfg, log=False)
+    assert (tmp_path / "npt.lammpstrj").exists()
+    d = read_data(str(tmp_path / "npt.data"))
+    assert d.n_atoms == sim.n_atoms
+    np.testing.assert_allclose(
+        d.box_hi - d.box_lo,
+        np.asarray(jax.device_get(sim.state.boxL)), rtol=1e-12)
+    # resume round-trips the full NPT state
+    cfg2 = {k: v for k, v in cfg.items()
+            if k not in ("dump", "write_data", "write_restart", "run")}
+    sim2 = build_simulation(cfg2)
+    ckpt.resume(sim2, ckpt.load(str(tmp_path / "npt.npz")))
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(sim2.state.boxL)),
+        np.asarray(jax.device_get(sim.state.boxL)), rtol=1e-7)
+    sim2.run(5, log=False)
+    assert np.isfinite(sim2.thermo()["press"])
