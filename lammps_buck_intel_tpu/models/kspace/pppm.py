@@ -425,19 +425,22 @@ def _sf_sine_fit(grid, L, greensfn, order, nterms: int = 4,
     return out
 
 
+def sf_axis_series(pm: PPPM, coord, ax: int):
+    """Per-axis ad self-field sine series at 1-D coordinates — the single
+    home of the sf_sine evaluation (used by the atom-ordered
+    sf_correction here and the slot-plane CellPPPM ad path)."""
+    sf = np.asarray(pm.sf_sine)
+    u = (coord - pm.box_lo[ax]) * (1.0 / pm.h[ax])
+    acc = 0.0
+    for j in range(sf.shape[1]):
+        acc = acc + float(sf[ax, j]) * jnp.sin(2.0 * jnp.pi * (j + 1) * u)
+    return acc
+
+
 def sf_correction(pm: PPPM, x, q):
     """(N, 3) ad self-force (energy units; includes qqrd2e)."""
-    sf = np.asarray(pm.sf_sine)
-    nterms = sf.shape[1]
-    cols = []
-    for ax in range(3):
-        u = (x[:, ax] - pm.box_lo[ax]) * (1.0 / pm.h[ax])
-        acc = 0.0
-        for j in range(nterms):
-            acc = acc + float(sf[ax, j]) * jnp.sin(
-                2.0 * jnp.pi * (j + 1) * u)
-        cols.append(acc)
-    e_self = jnp.stack(cols, axis=-1)
+    e_self = jnp.stack(
+        [sf_axis_series(pm, x[:, ax], ax) for ax in range(3)], axis=-1)
     return (pm.qqrd2e * q * q)[:, None] * e_self
 
 

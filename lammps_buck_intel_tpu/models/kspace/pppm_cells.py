@@ -702,16 +702,13 @@ class CellPPPM:
             fy = fy.astype(acc) * qf
             fz = fz.astype(acc) * qf
             if pm.sf_sine is not None:
-                sf = np.asarray(pm.sf_sine)
+                from .pppm import sf_axis_series
+
                 q2 = (qqrd2e * state.q * state.q).astype(acc)
-                outs = []
-                for ax, p in enumerate((state.x, state.y, state.z)):
-                    uu = (p - pm.box_lo[ax]) * (1.0 / pm.h[ax])
-                    e_self = 0.0
-                    for j in range(sf.shape[1]):
-                        e_self = e_self + float(sf[ax, j]) * jnp.sin(
-                            2.0 * jnp.pi * (j + 1) * uu)
-                    outs.append(e_self.astype(acc) * q2)
+                outs = [
+                    sf_axis_series(pm, p, ax).astype(acc) * q2
+                    for ax, p in enumerate((state.x, state.y, state.z))
+                ]
                 fx = fx - outs[0]
                 fy = fy - outs[1]
                 fz = fz - outs[2]
