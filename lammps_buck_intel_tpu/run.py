@@ -248,7 +248,8 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         cutc = ps.get("cut_coul", ps["cut"])
         if kname == "ewald":
             ew = setup_ewald(box, q, cutoff=cutc, accuracy_rel=acc,
-                             qqrd2e=u.qqrd2e, acc_dtype=prec.acc)
+                             qqrd2e=u.qqrd2e, g_ewald=ks.get("gewald"),
+                             acc_dtype=prec.acc)
             style = style.replace(g_ewald=ew.g_ewald)
             solvers.append(ew)
         elif kname in ("pppm", "pppm/disp"):
@@ -258,6 +259,10 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                                 order=ks.get("order", 5),
                                 diff=ks.get("diff", "ik"),
                                 slab=ks.get("slab"),
+                                # `kspace_modify mesh/gewald` overrides
+                                grid=(tuple(ks["grid"])
+                                      if ks.get("grid") else None),
+                                g_ewald=ks.get("gewald"),
                                 acc_dtype=prec.acc)
                 style = style.replace(g_ewald=pm.g_ewald)
                 solvers.append(pm)

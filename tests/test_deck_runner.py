@@ -235,3 +235,55 @@ def test_hexane_interface_deck(reference_dir):
     assert sim.n_atoms % 6 == 0  # hexane united-atom molecules
     assert rows[0]["elong"] != 0.0
     assert np.isfinite(rows[-1]["etotal"])
+
+
+def test_determinism_same_seed_bitexact():
+    """A2 contract (SURVEY.md §5.2): pure-functional stepping makes two
+    runs from the same seed bitwise identical — the determinism analog of
+    the reference's race-freedom-by-privatization."""
+    from lammps_buck_intel_tpu.run import build_simulation
+
+    cfg = {
+        "units": "lj",
+        "lattice": {"style": "fcc", "density": 0.8442,
+                    "nx": 6, "ny": 6, "nz": 6},
+        "mass": [1.0],
+        "pair_style": {"name": "buck", "cut": 2.5,
+                       "coeffs": {"1 1": [1.0, 0.2, -0.8]}},
+        "velocity": {"temp": 1.44, "seed": 87287},
+        "neighbor": {"skin": 0.3, "every": 5, "check": False},
+        "engine": "cellpair",
+    }
+    runs = []
+    for _ in range(2):
+        sim = build_simulation(cfg)
+        sim.run(30, log=False)
+        assert hasattr(sim, "get_atoms")  # cellpair engine in use
+        a = sim.get_atoms()
+        runs.append((np.asarray(a["x"]), np.asarray(a["v"])))
+    np.testing.assert_array_equal(runs[0][0], runs[1][0])
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
+
+
+def test_kspace_modify_mesh_and_gewald_overrides():
+    """`kspace_modify mesh/gewald` passthrough: the deck pins the PPPM
+    grid and splitting parameter."""
+    from lammps_buck_intel_tpu.run import build_simulation
+
+    cfg = {
+        "units": "lj",
+        "read_data": "examples/data.triclinic",
+        "engine": "nlist",
+        "pair_style": {"name": "buck/coul/long", "cut": 3.5,
+                       "coeffs": {"1 1": [1000.0, 0.32, 1.0],
+                                  "1 2": [800.0, 0.30, 0.8],
+                                  "2 2": [600.0, 0.35, 0.6]}},
+        "kspace_style": {"name": "pppm", "accuracy": 1.0e-4,
+                         "grid": [16, 16, 16], "gewald": 0.9},
+        "neighbor": {"skin": 0.4},
+    }
+    sim = build_simulation(cfg)
+    pm = sim.kspace.solver if hasattr(sim.kspace, "solver") else sim.kspace
+    assert pm.grid == (16, 16, 16)
+    assert abs(pm.g_ewald - 0.9) < 1e-12
+    assert abs(sim.pair.g_ewald - 0.9) < 1e-12
