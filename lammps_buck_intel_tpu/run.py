@@ -653,10 +653,23 @@ def _as_system_like(sim):
 def main(argv=None):
     ap = argparse.ArgumentParser(
         description="lammps_buck_intel_tpu deck runner")
-    ap.add_argument("deck", help="YAML deck file")
+    ap.add_argument("deck", help="YAML deck file OR a LAMMPS input script "
+                    "(in.*) — scripts are translated on the fly")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--steps", type=int, help="override run length")
+    ap.add_argument("--translate-only", action="store_true",
+                    help="print the translated deck config and exit")
     args = ap.parse_args(argv)
+
+    from .io.lammps_input import is_lammps_input, translate
+
+    if args.translate_only:
+        import yaml
+
+        cfg = (translate(args.deck) if is_lammps_input(args.deck)
+               else yaml.safe_load(open(args.deck)))
+        print(yaml.safe_dump(cfg, sort_keys=False))
+        return
 
     import jax
 
@@ -667,8 +680,11 @@ def main(argv=None):
 
     import yaml
 
-    with open(args.deck) as f:
-        cfg = yaml.safe_load(f)
+    if is_lammps_input(args.deck):
+        cfg = translate(args.deck)
+    else:
+        with open(args.deck) as f:
+            cfg = yaml.safe_load(f)
     if cfg.get("precision") == "double" or (
             cfg.get("precision") == "mixed" and args.cpu):
         # literal f64 needs x64 (CPU only); `mixed` on TPU resolves to the
