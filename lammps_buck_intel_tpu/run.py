@@ -485,9 +485,21 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         from .integrate import NPTSimulation
 
         if kspace is not None and not hasattr(kspace, "compute_traced"):
-            raise ValueError(
-                "fix npt needs a variable-cell kspace solver; use "
-                "kspace_style ewald (PPPM greensfn is box-baked)")
+            # PPPM's Green's function is box-baked by design; the
+            # variable-cell engine needs a traced solver.  Substitute
+            # Ewald at the deck accuracy (loudly) so literal decks like
+            # in.rhodo (`fix npt` + `kspace_style pppm`) still run.
+            import sys
+
+            print("# fix npt: kspace_style pppm is box-baked; "
+                  "substituting ewald at the same accuracy "
+                  "(kspace_modify has no effect on the substitute)",
+                  file=sys.stderr)
+            ew = setup_ewald(box, q, cutoff=ps.get("cut_coul", ps["cut"]),
+                             accuracy_rel=ks.get("accuracy", 1e-4),
+                             qqrd2e=u.qqrd2e, acc_dtype=prec.acc)
+            style = style.replace(g_ewald=ew.g_ewald)
+            kspace = ew
         return NPTSimulation(
             system, style, npt_fix, thermostat, kspace=kspace,
             bonded=bonded, units=u, precision=prec, dt=dt,
