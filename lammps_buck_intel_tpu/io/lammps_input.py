@@ -241,17 +241,17 @@ def translate(path: str) -> dict:
             # dump id group style every file args...
             style = a[2]
             every = int(a[3])
-            fname = a[4].replace("*", "STAR")
-            fname = os.path.join(base, fname) if not os.path.isabs(fname) \
-                else fname
+            # OUTPUT paths resolve against the CWD (the script dir may be
+            # read-only, e.g. the mounted reference examples)
+            fname = a[4]
             d = {"every": every}
             if style == "image":
                 d["style"] = "image"
-                d["file"] = fname.replace("STAR", "*")
+                d["file"] = fname
                 if "size" in a:
                     d["size"] = int(a[a.index("size") + 1])
             else:
-                d["file"] = fname.replace("STAR", "")
+                d["file"] = fname.replace("*", "")
             cfg["dump"] = d
         elif cmd == "dump_modify":
             pass
@@ -265,9 +265,9 @@ def translate(path: str) -> dict:
                      "change_box", "min_style", "minimize", "write_data",
                      "write_restart"):
             if cmd == "write_data":
-                cfg["write_data"] = os.path.join(base, a[0])
+                cfg["write_data"] = a[0]    # output: CWD-relative
             elif cmd == "write_restart":
-                cfg["write_restart"] = os.path.join(base, a[0])
+                cfg["write_restart"] = a[0]
             # log/echo/print/group are IO/bookkeeping no-ops here
         else:
             raise TranslateError(f"unsupported command {cmd!r} — extend "
