@@ -5,6 +5,12 @@ the production cell-pair engine with the scatter-free cell-patch PPPM.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Robustness (round-2 lesson: the TPU tunnel flakes — BENCH_r02 died in
+backend init): the backend is probed in a watchdog SUBPROCESS with retries
+and backoff before committing this process to jax init (an in-process init
+hang cannot be recovered).  All failures emit a structured JSON line with
+an "error" field instead of a raw traceback.
+
 Baseline note: the reference publishes no numbers (BASELINE.md).  The
 vs_baseline denominator is 1.06e6 atom-steps/s — MEASURED, not guessed:
 native/baseline_md.cpp (a C++ implementation of the reference's own
@@ -17,10 +23,58 @@ Reproduce with `python bench_baseline.py`.
 """
 import json
 import os
+import subprocess
+import sys
 import time
+
+METRIC = "atom_steps_per_sec_silica_buck_coul_long_pppm_259k"
+BASELINE = 1.06e6  # atom-steps/s, measured single-socket CPU (BASELINE.md)
+
+_PROBE = (
+    "import jax; d = jax.devices(); "
+    "print('PROBE_OK', d[0].platform, len(d))"
+)
+
+
+def _fail(stage: str, detail: str) -> None:
+    print(json.dumps({
+        "metric": METRIC, "value": None, "unit": "atom-steps/s",
+        "vs_baseline": None, "error": stage,
+        "detail": detail[-2000:],
+    }))
+    sys.exit(1)
+
+
+def probe_backend(attempts=(240, 240, 300), backoff=(15, 45)) -> str:
+    """Probe jax backend init in a watchdog subprocess; returns platform.
+
+    The round-2 failure mode was an in-process init that either raised
+    UNAVAILABLE or hung >14 min.  A subprocess can be killed on timeout
+    and retried — the tunnel has been observed to come back.
+    """
+    last = ""
+    for i, tmo in enumerate(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE], capture_output=True,
+                text=True, timeout=tmo)
+            out = (r.stdout or "") + (r.stderr or "")
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                return r.stdout.split("PROBE_OK", 1)[1].split()[0]
+            last = f"rc={r.returncode}: {out[-500:]}"
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {tmo}s"
+        sys.stderr.write(f"[bench] backend probe attempt {i + 1} failed: "
+                         f"{last}\n")
+        if i < len(attempts) - 1:
+            time.sleep(backoff[min(i, len(backoff) - 1)])
+    _fail("backend_init", last)
 
 
 def main():
+    platform = probe_backend()
+    sys.stderr.write(f"[bench] backend up: {platform}\n")
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -44,12 +98,20 @@ def main():
     dt = time.perf_counter() - t0
     rate = n * steps / dt
     print(json.dumps({
-        "metric": "atom_steps_per_sec_silica_buck_coul_long_pppm_259k",
+        "metric": METRIC,
         "value": rate,
         "unit": "atom-steps/s",
-        "vs_baseline": rate / 1.06e6,
+        "vs_baseline": rate / BASELINE,
+        "platform": platform,
+        "ms_per_step": dt / steps * 1e3,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # emit structured JSON, never a bare traceback
+        import traceback
+        _fail(type(e).__name__, traceback.format_exc())
