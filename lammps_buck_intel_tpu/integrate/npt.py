@@ -180,7 +180,7 @@ class NPTSimulation:
         return build(x, box, self.spec, self.special_idx,
                      self.special_code)
 
-    def _forces(self, x, boxL, nl):
+    def _forces(self, x, boxL, nl, kc=None):
         box = self._traced_box(boxL)
         pr = compute_pair(
             self.pair, x, self.typ, self.q, box, nl._replace(
@@ -190,9 +190,10 @@ class NPTSimulation:
         )
         f, virial = pr.f, pr.virial
         if self.kspace is not None:
+            kw = {"kc": kc} if kc is not None else {}
             kr = self.kspace.compute_traced(
                 x, jnp.asarray(self.q, x.dtype), boxL,
-                eflag=False, vflag=True)
+                eflag=False, vflag=True, **kw)
             f = f + kr.f
             virial = virial + kr.virial
         if self.bonded is not None:
@@ -206,9 +207,17 @@ class NPTSimulation:
 
     def _init_forces(self, st: NPTState) -> NPTState:
         nl = self._build_nl(st.x, st.boxL)
-        f, virial = self._forces(st.x, st.boxL, nl)
+        f, virial = self._forces(st.x, st.boxL, nl, kc=self._kspace_kc(st))
         return st._replace(f=f, virial=virial,
                            overflow=st.overflow | nl.overflow)
+
+    def _kspace_kc(self, st: NPTState):
+        """Box-baked kspace tables rebuilt from the traced box — the
+        PPPM::setup()-on-box-change contract (TracedPPPM.tables), invoked
+        once per cadence block, not per step."""
+        if self.kspace is not None and hasattr(self.kspace, "tables"):
+            return self.kspace.tables(st.boxL)
+        return None
 
     # ---------- NPT step ----------
 
@@ -301,7 +310,7 @@ class NPTSimulation:
         st = st._replace(x=x, boxL=boxL)
         # forces at the new configuration
         nl = self._nl_carried
-        f, virial = self._forces(st.x, st.boxL, nl)
+        f, virial = self._forces(st.x, st.boxL, nl, kc=self._kc_carried)
         st = st._replace(f=f, virial=virial + vir_c)
         # kick half + barostat + thermostat
         st = st._replace(v=st.v + (dtf * minv) * st.f)
@@ -326,6 +335,10 @@ class NPTSimulation:
         nl = self._build_nl(st.x, st.boxL)
         st = st._replace(overflow=st.overflow | nl.overflow)
         self._nl_carried = nl
+        # kspace setup-on-box-change at reneighbor cadence (host LAMMPS
+        # re-setups PPPM when the box changes; TracedPPPM rebuilds its
+        # influence function here, traced, once per block)
+        self._kc_carried = self._kspace_kc(st)
 
         def body(s, _):
             return self._one_step(s, t_target, p_target), None
@@ -438,7 +451,9 @@ class NPTSimulation:
             target = min(nsteps, done + (thermo_every or nsteps))
             while done < target:
                 size = min(cadence, target - done)
-                frac = done / max(nsteps, 1)
+                # segment-END evaluation: LAMMPS ramps reach t_stop/p_stop
+                # on the final step (matches verlet.py's _t_target contract)
+                frac = (done + size) / max(nsteps, 1)
                 flt = self.precision.flt
                 tt = jnp.asarray(
                     cfg.t_start + (cfg.t_stop - cfg.t_start) * frac, flt)
@@ -453,5 +468,19 @@ class NPTSimulation:
                 emit()
         if not thermo_every:
             float(self.state.x[0, 0])  # force completion
+        # guards must fire even with thermo_every=0 (advisor r2): cheap
+        # scalar device_gets of the sticky overflow flag + shrink ratio
+        if bool(jax.device_get(self.state.overflow)):
+            raise RuntimeError(
+                "NPT neighbor overflow: per-atom neighbor count exceeded "
+                "the capacity sized from the initial density — compression "
+                "outgrew the spec; restart from the compressed state or "
+                "raise box_headroom")
+        shrink = np.asarray(jax.device_get(self.state.boxL)) / self._L0
+        if float(shrink.min()) < 1.0 / self._headroom - 1e-9:
+            raise RuntimeError(
+                f"box shrank to {shrink.min():.3f} of its initial length, "
+                f"beyond the bin-geometry bound 1/{self._headroom}; "
+                "rebuild the simulation from the compressed state")
         self.timings["run"] += time.perf_counter() - t0
         return rows

@@ -326,3 +326,117 @@ def test_npt_deck_io_paths(tmp_path):
         np.asarray(jax.device_get(sim.state.boxL)), rtol=1e-7)
     sim2.run(5, log=False)
     assert np.isfinite(sim2.thermo()["press"])
+
+
+# ---------------- PPPM under a variable cell (TracedPPPM) ----------------
+
+
+def _charged_sys(seed=7, L=(11.0, 10.0, 12.0)):
+    rng = np.random.default_rng(seed)
+    n = 96
+    L = np.asarray(L, np.float64)
+    x = rng.uniform(0, 1, (n, 3)) * L
+    q = rng.normal(0, 1, n)
+    q -= q.mean()
+    box = make_box(np.zeros(3), L)
+    return box, x, q, L, n
+
+
+def test_traced_pppm_matches_baked():
+    """TracedPPPM at the setup box reproduces the baked-box PPPM solver
+    bit-for-near-bit (same grid/order/g_ewald; G traced vs host numpy)."""
+    from lammps_buck_intel_tpu.models.kspace import setup_pppm, TracedPPPM
+
+    box, x, q, L, n = _charged_sys()
+    pm = setup_pppm(box, q, cutoff=3.5, accuracy_rel=1e-5, qqrd2e=1.0,
+                    acc_dtype=jnp.float64)
+    tp = TracedPPPM(pm, center=0.5 * L)
+    xj = jnp.asarray(x, jnp.float64)
+    qj = jnp.asarray(q, jnp.float64)
+    r0 = pm.compute(xj, qj)
+    r1 = jax.jit(lambda xx, LL: tp.compute_traced(xx, qj, LL))(
+        xj, jnp.asarray(L, jnp.float64))
+    np.testing.assert_allclose(np.asarray(r1.f), np.asarray(r0.f),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(float(r1.elong), float(r0.elong), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(r1.virial),
+                               np.asarray(r0.virial), rtol=1e-8, atol=1e-10)
+
+
+def test_traced_pppm_rescaled_box_matches_fresh_setup():
+    """After an affine box dilation, TracedPPPM at the new lengths equals
+    a FRESH setup_pppm at the dilated box (same grid/order/g_ewald) — the
+    PPPM::setup()-on-box-change contract, per-axis anisotropic."""
+    from lammps_buck_intel_tpu.models.kspace import setup_pppm, TracedPPPM
+
+    box, x, q, L, n = _charged_sys()
+    pm = setup_pppm(box, q, cutoff=3.5, accuracy_rel=1e-5, qqrd2e=1.0,
+                    acc_dtype=jnp.float64)
+    tp = TracedPPPM(pm, center=0.5 * L)
+    s = np.array([1.06, 0.97, 1.02])
+    L1 = L * s
+    x1 = x * s[None, :] + 0.5 * (L - L1)[None, :]  # dilate about center
+    box1 = make_box(0.5 * (L - L1), 0.5 * (L + L1))
+    pm1 = setup_pppm(box1, q, cutoff=3.5, accuracy_rel=1e-5, qqrd2e=1.0,
+                     acc_dtype=jnp.float64, g_ewald=pm.g_ewald,
+                     grid=pm.grid, order=pm.order)
+    xj = jnp.asarray(x1, jnp.float64)
+    qj = jnp.asarray(q, jnp.float64)
+    r0 = pm1.compute(xj, qj)
+    r1 = jax.jit(lambda xx, LL: tp.compute_traced(xx, qj, LL))(
+        xj, jnp.asarray(L1, jnp.float64))
+    np.testing.assert_allclose(np.asarray(r1.f), np.asarray(r0.f),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(float(r1.elong), float(r0.elong), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(r1.virial),
+                               np.asarray(r0.virial), rtol=1e-8, atol=1e-10)
+
+
+def test_npt_deck_honors_pppm(tmp_path, capsys):
+    """A `fix npt` + `kspace_style pppm` deck runs the PPPM solver (no
+    Ewald substitution note) and stays finite with a moving box."""
+    import sys
+    from lammps_buck_intel_tpu.run import build_simulation
+    from lammps_buck_intel_tpu.models.kspace import TracedPPPM
+    from lammps_buck_intel_tpu.integrate import NPTSimulation
+
+    # rocksalt-like 4^3 lattice, alternating +-0.5 e, spacing 2.8 A
+    m, a = 4, 2.8
+    idx = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                   -1).reshape(-1, 3)
+    x = (idx + 0.5) * a
+    q = np.where(idx.sum(1) % 2 == 0, 0.5, -0.5).astype(np.float64)
+    n = len(q)
+    L = np.full(3, m * a)
+    data = tmp_path / "data.chg"
+    with open(data, "w") as f:
+        f.write("charged lattice\n\n")
+        f.write(f"{n} atoms\n1 atom types\n\n")
+        for ax, Lax in zip("xyz", L):
+            f.write(f"0.0 {Lax} {ax}lo {ax}hi\n")
+        f.write("\nMasses\n\n1 20.0\n\nAtoms # charge\n\n")
+        for i in range(n):
+            f.write(f"{i+1} 1 {q[i]:.10f} "
+                    f"{x[i,0]:.8f} {x[i,1]:.8f} {x[i,2]:.8f}\n")
+    cfg = {
+        "units": "real", "precision": "double",
+        "read_data": str(data),
+        "pair_style": {"name": "lj/cut/coul/long", "cut": 4.0,
+                       "cut_coul": 4.0,
+                       "coeffs": {"1 1": [0.2, 2.5]}},
+        "kspace_style": {"name": "pppm", "accuracy": 1e-4},
+        "velocity": {"temp": 300.0, "seed": 11},
+        "neighbor": {"skin": 1.0, "every": 5, "check": False},
+        "fixes": [{"name": "npt", "t_start": 300.0, "t_damp": 50.0,
+                   "iso": [100.0, 100.0, 500.0], "tchain": 1}],
+        "timestep": 0.5,
+    }
+    sim = build_simulation(cfg)
+    err = capsys.readouterr().err
+    assert "substituting ewald" not in err
+    assert isinstance(sim, NPTSimulation)
+    assert isinstance(sim.kspace, TracedPPPM)
+    rows = sim.run(60, thermo_every=30, log=False)
+    for r in rows:
+        assert np.isfinite(r["temp"]) and np.isfinite(r["press"])
+    assert abs(rows[-1]["vol"] - rows[0]["vol"]) / rows[0]["vol"] > 1e-7
