@@ -34,6 +34,17 @@ class TranslateError(ValueError):
     pass
 
 
+# Styles compute_bonded actually implements; anything else must raise (the
+# coeff column meanings differ per style — e.g. dihedral 'harmonic' is
+# [K, d, n] but 'charmm' is [K, n, d, weight]).
+_BONDED_STYLES = {
+    "bond": {"harmonic"},
+    "angle": {"harmonic", "charmm"},
+    "dihedral": {"charmm"},
+    "improper": {"harmonic"},
+}
+
+
 def _tok_sub(tok: str, vars_: dict) -> str:
     tok = re.sub(r"\$\{(\w+)\}", lambda m: str(vars_[m.group(1)]), tok)
     tok = re.sub(r"\$(\w)", lambda m: str(vars_[m.group(1)]), tok)
@@ -202,7 +213,15 @@ def translate(path: str) -> dict:
         elif cmd in ("bond_style", "angle_style", "dihedral_style",
                      "improper_style"):
             if a[0] != "none":
-                bonded_styles[cmd.split("_")[0]] = a[0]
+                kind = cmd.split("_")[0]
+                allowed = _BONDED_STYLES[kind]
+                if a[0] not in allowed:
+                    raise TranslateError(
+                        f"{cmd} {a[0]!r} not implemented (have: "
+                        f"{', '.join(sorted(allowed))}) — coeff columns "
+                        "differ per style; silently misreading them would "
+                        "fake coverage")
+                bonded_styles[kind] = a[0]
         elif cmd in ("bond_coeff", "angle_coeff", "dihedral_coeff",
                      "improper_coeff"):
             kind = cmd.split("_")[0]
@@ -230,7 +249,7 @@ def translate(path: str) -> dict:
         elif cmd == "fix":
             fixes.append(_fix(a))
         elif cmd == "unfix":
-            fixes = [f for f in fixes if f.pop("_id", None) != a[0]]
+            fixes = [f for f in fixes if f.get("_id") != a[0]]
         elif cmd == "timestep":
             cfg["timestep"] = float(a[0])
         elif cmd == "thermo":
@@ -284,11 +303,7 @@ def translate(path: str) -> dict:
         for ti, tj, vals in raw_pair_coeffs:
             for i, j in _expand_coeff_key(ti, tj, ntypes):
                 key = f"{min(i, j)} {max(i, j)}"
-                name = cfg["pair_style"]["name"]
-                if name.startswith("lj/charmm") and ti == tj and vals:
-                    coeffs[key] = vals
-                else:
-                    coeffs[key] = vals
+                coeffs[key] = vals
         cfg["pair_style"]["coeffs"] = coeffs
     if mix:
         cfg["pair_style"]["mix"] = mix

@@ -108,10 +108,11 @@ def _minimg3(d, L):
 
 
 def dihedral_charmm_forces(x, L, dihedrals, coeffs, d14, idx=None,
-                           acc_dtype=jnp.float32):
+                           acc_dtype=jnp.float32, eweight=None):
     """Forces/energies for all dihedrals.  Returns (f_update (N,3) add,
     edihed, e14lj, e14coul, virial (6,)).  idx: optional traced (Nd, 4)
-    slot overrides."""
+    slot overrides.  eweight: optional (Nd,) 0/1 per-term energy+virial
+    weights (multi-device ownership; see compute_bonded)."""
     dt = dihedrals[:, 0]
     if idx is None:
         i1 = jnp.asarray(dihedrals[:, 1])
@@ -150,19 +151,22 @@ def dihedral_charmm_forces(x, L, dihedrals, coeffs, d14, idx=None,
     f3 = g3 - g2
     f4 = -g3
 
+    wv = 1.0 if eweight is None else eweight
+    if eweight is not None:
+        ed, elj, ec = ed * eweight, elj * eweight, ec * eweight
     virial = jnp.stack([
-        jnp.sum((-b1[:, 0] * g1[:, 0] - b2[:, 0] * g2[:, 0]
-                 - b3[:, 0] * g3[:, 0]).astype(acc_dtype)),
-        jnp.sum((-b1[:, 1] * g1[:, 1] - b2[:, 1] * g2[:, 1]
-                 - b3[:, 1] * g3[:, 1]).astype(acc_dtype)),
-        jnp.sum((-b1[:, 2] * g1[:, 2] - b2[:, 2] * g2[:, 2]
-                 - b3[:, 2] * g3[:, 2]).astype(acc_dtype)),
-        jnp.sum((-b1[:, 0] * g1[:, 1] - b2[:, 0] * g2[:, 1]
-                 - b3[:, 0] * g3[:, 1]).astype(acc_dtype)),
-        jnp.sum((-b1[:, 0] * g1[:, 2] - b2[:, 0] * g2[:, 2]
-                 - b3[:, 0] * g3[:, 2]).astype(acc_dtype)),
-        jnp.sum((-b1[:, 1] * g1[:, 2] - b2[:, 1] * g2[:, 2]
-                 - b3[:, 1] * g3[:, 2]).astype(acc_dtype)),
+        jnp.sum((wv * (-b1[:, 0] * g1[:, 0] - b2[:, 0] * g2[:, 0]
+                 - b3[:, 0] * g3[:, 0])).astype(acc_dtype)),
+        jnp.sum((wv * (-b1[:, 1] * g1[:, 1] - b2[:, 1] * g2[:, 1]
+                 - b3[:, 1] * g3[:, 1])).astype(acc_dtype)),
+        jnp.sum((wv * (-b1[:, 2] * g1[:, 2] - b2[:, 2] * g2[:, 2]
+                 - b3[:, 2] * g3[:, 2])).astype(acc_dtype)),
+        jnp.sum((wv * (-b1[:, 0] * g1[:, 1] - b2[:, 0] * g2[:, 1]
+                 - b3[:, 0] * g3[:, 1])).astype(acc_dtype)),
+        jnp.sum((wv * (-b1[:, 0] * g1[:, 2] - b2[:, 0] * g2[:, 2]
+                 - b3[:, 0] * g3[:, 2])).astype(acc_dtype)),
+        jnp.sum((wv * (-b1[:, 1] * g1[:, 2] - b2[:, 1] * g2[:, 2]
+                 - b3[:, 1] * g3[:, 2])).astype(acc_dtype)),
     ])
     updates = dict(
         i=(i1, f1), j=(i2, f2), k=(i3, f3), l=(i4, f4),
@@ -175,7 +179,7 @@ def dihedral_charmm_forces(x, L, dihedrals, coeffs, d14, idx=None,
 
 
 def improper_harmonic_forces(x, L, impropers, coeffs, idx=None,
-                             acc_dtype=jnp.float32):
+                             acc_dtype=jnp.float32, eweight=None):
     """Forces/energy for harmonic impropers; same contract as dihedrals."""
     it = impropers[:, 0]
     if idx is None:
@@ -203,19 +207,22 @@ def improper_harmonic_forces(x, L, impropers, coeffs, idx=None,
     f2 = g1 + g2
     f3 = g3 - g2
     f4 = -g3
+    wv = 1.0 if eweight is None else eweight
+    if eweight is not None:
+        e = e * eweight
     virial = jnp.stack([
-        jnp.sum((-b1[:, 0] * g1[:, 0] - b2[:, 0] * g2[:, 0]
-                 - b3[:, 0] * g3[:, 0]).astype(acc_dtype)),
-        jnp.sum((-b1[:, 1] * g1[:, 1] - b2[:, 1] * g2[:, 1]
-                 - b3[:, 1] * g3[:, 1]).astype(acc_dtype)),
-        jnp.sum((-b1[:, 2] * g1[:, 2] - b2[:, 2] * g2[:, 2]
-                 - b3[:, 2] * g3[:, 2]).astype(acc_dtype)),
-        jnp.sum((-b1[:, 0] * g1[:, 1] - b2[:, 0] * g2[:, 1]
-                 - b3[:, 0] * g3[:, 1]).astype(acc_dtype)),
-        jnp.sum((-b1[:, 0] * g1[:, 2] - b2[:, 0] * g2[:, 2]
-                 - b3[:, 0] * g3[:, 2]).astype(acc_dtype)),
-        jnp.sum((-b1[:, 1] * g1[:, 2] - b2[:, 1] * g2[:, 2]
-                 - b3[:, 1] * g3[:, 2]).astype(acc_dtype)),
+        jnp.sum((wv * (-b1[:, 0] * g1[:, 0] - b2[:, 0] * g2[:, 0]
+                 - b3[:, 0] * g3[:, 0])).astype(acc_dtype)),
+        jnp.sum((wv * (-b1[:, 1] * g1[:, 1] - b2[:, 1] * g2[:, 1]
+                 - b3[:, 1] * g3[:, 1])).astype(acc_dtype)),
+        jnp.sum((wv * (-b1[:, 2] * g1[:, 2] - b2[:, 2] * g2[:, 2]
+                 - b3[:, 2] * g3[:, 2])).astype(acc_dtype)),
+        jnp.sum((wv * (-b1[:, 0] * g1[:, 1] - b2[:, 0] * g2[:, 1]
+                 - b3[:, 0] * g3[:, 1])).astype(acc_dtype)),
+        jnp.sum((wv * (-b1[:, 0] * g1[:, 2] - b2[:, 0] * g2[:, 2]
+                 - b3[:, 0] * g3[:, 2])).astype(acc_dtype)),
+        jnp.sum((wv * (-b1[:, 1] * g1[:, 2] - b2[:, 1] * g2[:, 2]
+                 - b3[:, 1] * g3[:, 2])).astype(acc_dtype)),
     ])
     updates = dict(i=(i1, f1), j=(i2, f2), k=(i3, f3), l=(i4, f4))
     return updates, jnp.sum(e.astype(acc_dtype)), virial

@@ -115,9 +115,14 @@ def _minimg(d, L):
 def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
                    acc_dtype=jnp.float32, bonds_idx=None,
                    angles_idx=None, dihedrals_idx=None,
-                   impropers_idx=None) -> BondedResult:
+                   impropers_idx=None, eweights=None) -> BondedResult:
     """*_idx: optional traced index overrides (slot-layout engines remap
-    atom ids to slots per rebin)."""
+    atom ids to slots per rebin).
+
+    eweights: optional dict {"bonds"/"angles"/"dihedrals"/"impropers":
+    (Nterm,) 0/1 arrays} multiplying ENERGY and VIRIAL tallies per term —
+    the multi-device engine owns each term on exactly one shard (forces
+    are handled by index redirection instead; see parallel/slab.py)."""
     from ...core.box import axis_lengths
 
     n = x.shape[0]
@@ -127,6 +132,11 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
     eangle = jnp.zeros((), acc_dtype)
     virial = jnp.zeros((6,), acc_dtype)
 
+    def _w(key, nterm):
+        if eweights is None or eweights.get(key) is None:
+            return None
+        return jnp.asarray(eweights[key], x.dtype)
+
     if len(style.bonds):
         bt = style.bonds[:, 0]
         if bonds_idx is None:
@@ -134,6 +144,7 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
             bj = jnp.asarray(style.bonds[:, 2])
         else:
             bi, bj = bonds_idx[:, 0], bonds_idx[:, 1]
+        w = _w("bonds", len(bt))
         K = jnp.asarray(style.bond_coeffs[bt, 0], x.dtype)
         r0 = jnp.asarray(style.bond_coeffs[bt, 1], x.dtype)
         d = _minimg(x[bi] - x[bj], L)
@@ -146,14 +157,16 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
         f = f.at[bi].add(fv.astype(acc_dtype))
         f = f.at[bj].add(-fv.astype(acc_dtype))
         if eflag:
-            ebond = jnp.sum((rk * dr).astype(acc_dtype))
+            eb = rk * dr if w is None else rk * dr * w
+            ebond = jnp.sum(eb.astype(acc_dtype))
+        vb = fbond if w is None else fbond * w
         virial = virial + jnp.stack([
-            jnp.sum((fbond * d[:, 0] * d[:, 0]).astype(acc_dtype)),
-            jnp.sum((fbond * d[:, 1] * d[:, 1]).astype(acc_dtype)),
-            jnp.sum((fbond * d[:, 2] * d[:, 2]).astype(acc_dtype)),
-            jnp.sum((fbond * d[:, 0] * d[:, 1]).astype(acc_dtype)),
-            jnp.sum((fbond * d[:, 0] * d[:, 2]).astype(acc_dtype)),
-            jnp.sum((fbond * d[:, 1] * d[:, 2]).astype(acc_dtype)),
+            jnp.sum((vb * d[:, 0] * d[:, 0]).astype(acc_dtype)),
+            jnp.sum((vb * d[:, 1] * d[:, 1]).astype(acc_dtype)),
+            jnp.sum((vb * d[:, 2] * d[:, 2]).astype(acc_dtype)),
+            jnp.sum((vb * d[:, 0] * d[:, 1]).astype(acc_dtype)),
+            jnp.sum((vb * d[:, 0] * d[:, 2]).astype(acc_dtype)),
+            jnp.sum((vb * d[:, 1] * d[:, 2]).astype(acc_dtype)),
         ])
 
     if len(style.angles):
@@ -165,6 +178,7 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
         else:
             ai, aj, ak = (angles_idx[:, 0], angles_idx[:, 1],
                           angles_idx[:, 2])
+        w = _w("angles", len(at))
         K = jnp.asarray(style.angle_coeffs[at, 0], x.dtype)
         th0 = jnp.asarray(np.deg2rad(style.angle_coeffs[at, 1]), x.dtype)
         d1 = _minimg(x[ai] - x[aj], L)
@@ -188,14 +202,16 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
         f = f.at[ak].add(f3.astype(acc_dtype))
         f = f.at[aj].add((-(f1 + f3)).astype(acc_dtype))
         if eflag:
-            eangle = jnp.sum((tk * dtheta).astype(acc_dtype))
+            ea = tk * dtheta if w is None else tk * dtheta * w
+            eangle = jnp.sum(ea.astype(acc_dtype))
+        wv = 1.0 if w is None else w
         virial = virial + jnp.stack([
-            jnp.sum((d1[:, 0] * f1[:, 0] + d2[:, 0] * f3[:, 0]).astype(acc_dtype)),
-            jnp.sum((d1[:, 1] * f1[:, 1] + d2[:, 1] * f3[:, 1]).astype(acc_dtype)),
-            jnp.sum((d1[:, 2] * f1[:, 2] + d2[:, 2] * f3[:, 2]).astype(acc_dtype)),
-            jnp.sum((d1[:, 0] * f1[:, 1] + d2[:, 0] * f3[:, 1]).astype(acc_dtype)),
-            jnp.sum((d1[:, 0] * f1[:, 2] + d2[:, 0] * f3[:, 2]).astype(acc_dtype)),
-            jnp.sum((d1[:, 1] * f1[:, 2] + d2[:, 1] * f3[:, 2]).astype(acc_dtype)),
+            jnp.sum((wv * (d1[:, 0] * f1[:, 0] + d2[:, 0] * f3[:, 0])).astype(acc_dtype)),
+            jnp.sum((wv * (d1[:, 1] * f1[:, 1] + d2[:, 1] * f3[:, 1])).astype(acc_dtype)),
+            jnp.sum((wv * (d1[:, 2] * f1[:, 2] + d2[:, 2] * f3[:, 2])).astype(acc_dtype)),
+            jnp.sum((wv * (d1[:, 0] * f1[:, 1] + d2[:, 0] * f3[:, 1])).astype(acc_dtype)),
+            jnp.sum((wv * (d1[:, 0] * f1[:, 2] + d2[:, 0] * f3[:, 2])).astype(acc_dtype)),
+            jnp.sum((wv * (d1[:, 1] * f1[:, 2] + d2[:, 1] * f3[:, 2])).astype(acc_dtype)),
         ])
 
     if (len(style.angles) and style.angle_style == "charmm"
@@ -209,6 +225,7 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
                 ak = jnp.asarray(style.angles[:, 3])
             else:
                 ai, ak = angles_idx[:, 0], angles_idx[:, 2]
+            w = _w("angles", len(at))
             K = jnp.asarray(kub, x.dtype)
             r0 = jnp.asarray(style.angle_coeffs[at, 3], x.dtype)
             d = _minimg(x[ai] - x[ak], L)
@@ -220,14 +237,16 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
             f = f.at[ai].add(fv.astype(acc_dtype))
             f = f.at[ak].add(-fv.astype(acc_dtype))
             if eflag:
-                eangle = eangle + jnp.sum((rk * dr).astype(acc_dtype))
+                eub = rk * dr if w is None else rk * dr * w
+                eangle = eangle + jnp.sum(eub.astype(acc_dtype))
+            vb = fbond if w is None else fbond * w
             virial = virial + jnp.stack([
-                jnp.sum((fbond * d[:, 0] * d[:, 0]).astype(acc_dtype)),
-                jnp.sum((fbond * d[:, 1] * d[:, 1]).astype(acc_dtype)),
-                jnp.sum((fbond * d[:, 2] * d[:, 2]).astype(acc_dtype)),
-                jnp.sum((fbond * d[:, 0] * d[:, 1]).astype(acc_dtype)),
-                jnp.sum((fbond * d[:, 0] * d[:, 2]).astype(acc_dtype)),
-                jnp.sum((fbond * d[:, 1] * d[:, 2]).astype(acc_dtype)),
+                jnp.sum((vb * d[:, 0] * d[:, 0]).astype(acc_dtype)),
+                jnp.sum((vb * d[:, 1] * d[:, 1]).astype(acc_dtype)),
+                jnp.sum((vb * d[:, 2] * d[:, 2]).astype(acc_dtype)),
+                jnp.sum((vb * d[:, 0] * d[:, 1]).astype(acc_dtype)),
+                jnp.sum((vb * d[:, 0] * d[:, 2]).astype(acc_dtype)),
+                jnp.sum((vb * d[:, 1] * d[:, 2]).astype(acc_dtype)),
             ])
 
     z = jnp.zeros((), acc_dtype)
@@ -237,7 +256,8 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
 
         upd, edihed, e14_lj, e14_coul, dvir = dihedral_charmm_forces(
             x, L, style.dihedrals, style.dihedral_coeffs, style.d14,
-            idx=dihedrals_idx, acc_dtype=acc_dtype)
+            idx=dihedrals_idx, acc_dtype=acc_dtype,
+            eweight=_w("dihedrals", len(style.dihedrals)))
         for (ii, fi) in upd.values():
             f = f.at[ii].add(fi.astype(acc_dtype))
         virial = virial + dvir
@@ -246,7 +266,8 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
 
         upd, eimp, ivir = improper_harmonic_forces(
             x, L, style.impropers, style.improper_coeffs,
-            idx=impropers_idx, acc_dtype=acc_dtype)
+            idx=impropers_idx, acc_dtype=acc_dtype,
+            eweight=_w("impropers", len(style.impropers)))
         for (ii, fi) in upd.values():
             f = f.at[ii].add(fi.astype(acc_dtype))
         virial = virial + ivir

@@ -88,22 +88,32 @@ def grid_to_patches_slab(mesh_ext, ps: PatchSpec, nc_loc):
 
 
 def fft3_slab(mesh_loc, axis: str, D: int):
-    """x-sharded brick (nx_loc, ny, nz) -> y-sharded pencils (nx, ny_loc, nz)
-    fully transformed.  The all_to_all IS the reference's Remap."""
-    h = jnp.fft.fft2(mesh_loc, axes=(1, 2))
+    """x-sharded brick (nx_loc, ny, nz) -> y-sharded half-spectrum pencils
+    (nx, ny_loc, nz//2+1).  The all_to_all IS the reference's Remap.
+
+    z uses the REAL transform so the whole pipeline shares the single-chip
+    engine's rfftn convention bit-for-bit (transform order fft_x(fft_y(
+    rfft_z)), matching jnp.fft.rfftn): the even-grid Nyquist planes of the
+    non-Hermitian ik field project differently under real(c2c) vs irfft,
+    a ~1e-5 relative force difference that would break cross-engine
+    parity."""
+    h = jnp.fft.rfft(mesh_loc, axis=2)
+    h = jnp.fft.fft(h, axis=1)
     if D > 1:
         h = jax.lax.all_to_all(h, axis, split_axis=1, concat_axis=0,
                                tiled=True)
     return jnp.fft.fft(h, axis=0)
 
 
-def ifft3_slab(spec, axis: str, D: int):
-    """Inverse of fft3_slab: (nx, ny_loc, nz) -> (nx_loc, ny, nz)."""
+def ifft3_slab(spec, nz: int, axis: str, D: int):
+    """Inverse of fft3_slab: (nx, ny_loc, nz//2+1) -> real (nx_loc, ny, nz)
+    (irfft along z, the jnp.fft.irfftn transform order)."""
     t = jnp.fft.ifft(spec, axis=0)
     if D > 1:
         t = jax.lax.all_to_all(t, axis, split_axis=0, concat_axis=1,
                                tiled=True)
-    return jnp.fft.ifft2(t, axes=(1, 2))
+    t = jnp.fft.ifft(t, axis=1)
+    return jnp.fft.irfft(t, n=nz, axis=2)
 
 
 class SlabCellPPPM:
@@ -132,9 +142,14 @@ class SlabCellPPPM:
         self.nc_loc = (self.ncx_loc, grid.nc[1], grid.nc[2])
 
     def spectral_consts(self) -> dict:
-        """Host numpy spectral tables, FULL size; caller shards them."""
+        """Host numpy spectral tables (z half-spectrum); caller shards."""
         pm = self.pm
-        return dict(G=pm.greensfn, kx=pm.kx, ky=pm.ky, kz=pm.kz)
+        nzh = pm.grid[2] // 2 + 1
+        from .pppm_cells import _half_weights
+
+        return dict(G=pm.greensfn[..., :nzh], kx=pm.kx, ky=pm.ky,
+                    kz=pm.kz[:nzh],
+                    wz=_half_weights(pm.grid[2]))
 
     def shardings(self, mesh, axis: str = "x"):
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -144,12 +159,14 @@ class SlabCellPPPM:
             kx=NamedSharding(mesh, P()),
             ky=NamedSharding(mesh, P(axis)),
             kz=NamedSharding(mesh, P()),
+            wz=NamedSharding(mesh, P()),
         )
 
     def in_specs(self, axis: str = "x"):
         from jax.sharding import PartitionSpec as P
 
-        return dict(G=P(None, axis, None), kx=P(), ky=P(axis), kz=P())
+        return dict(G=P(None, axis, None), kx=P(), ky=P(axis), kz=P(),
+                    wz=P())
 
     # ---- the local (inside-shard_map) pipeline ----
 
@@ -222,8 +239,9 @@ class SlabCellPPPM:
             from_right, from_left = G_ext[:Sx], G_ext[-Sx:]
         mesh = mesh.at[-Sx:].add(from_right).at[:Sx].add(from_left)
 
-        # ---- pencil FFT + spectral solve ----
-        rhat = fft3_slab(mesh.astype(acc), axis, D)   # (nx, ny_loc, nz)
+        # ---- pencil FFT + spectral solve (z half-spectrum) ----
+        nz = pm.grid[2]
+        rhat = fft3_slab(mesh.astype(acc), axis, D)  # (nx, ny_loc, nzh)
         G = kc["G"].astype(acc)
         phi_hat = G * rhat
 
@@ -232,7 +250,8 @@ class SlabCellPPPM:
 
         if eflag or vflag:
             s2 = jnp.real(rhat * jnp.conj(rhat))
-            ek = G * s2
+            # wz doubles the interior z modes the half-spectrum folds away
+            ek = G * s2 * kc["wz"].astype(acc)[None, None, :]
         if eflag:
             elong = allsum((0.5 / V) * jnp.sum(ek.astype(acc))) * qqrd2e
             elong = elong + pm.elong_self
@@ -265,7 +284,7 @@ class SlabCellPPPM:
         out = []
         for kax in (kx, ky, kz):
             ehat = (-1j) * kax * phi_hat
-            em = (jnp.real(ifft3_slab(ehat, axis, D)) * scale).astype(flt)
+            em = (ifft3_slab(ehat, nz, axis, D) * scale).astype(flt)
             if D > 1:
                 left_h = jax.lax.ppermute(em[-Sx:], axis, _perm_right(D))
                 right_h = jax.lax.ppermute(em[:Sx], axis, _perm_left(D))

@@ -21,11 +21,22 @@ decomposition — no re-layout).  Per step:
   sender) drop out as invalid.  Faster drift sets the sticky overflow flag
   (surfaced at thermo, like capacity overflow).
 * scalars: lax.psum (the MPI_Allreduce analog).
+* bonded terms + SHAKE/RATTLE: molecular terms are strictly local —
+  every atom of a term lies within one cell (<< cutoff+skin) of any
+  owned member, so the halo-extended slab always contains the whole
+  term.  The full (replicated, static) term lists are evaluated on
+  every device against a per-rebin aid->extended-slot map; terms with
+  missing atoms are redirected to fake off-manifold rows (their garbage
+  forces land on discarded rows), energies/virials are tallied only by
+  the device owning the term's first atom (psum-exact, no double
+  count), and constraint corrections are sliced to owned rows.  This is
+  the host-LAMMPS contract H3/H7: bonded/SHAKE ride the same ghost
+  exchange the pair pass uses (/root/reference/pppm_intel.cpp:185
+  machinery exists so full decks scale).
 
-Scope: the reference fork's own integrator (FixNVEIntel: NVE, pair + PPPM)
-plus Nose-Hoover NVT — the chain is a replicated global state updated
-identically on every device from the psum'd kinetic energy (deterministic
-by construction).  SHAKE/bonded stay on the single-chip engines.
+Scope: pair + PPPM + NVE/NVT + SHAKE/RATTLE + bonded terms — the full
+in.spce-class deck.  fix npt / rigid/small stay on the single-chip
+engines.
 """
 from __future__ import annotations
 
@@ -38,7 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.state import System
+from ..core.state import System, Topology
 from ..core.units import Units, LJ
 from ..core.precision import Precision, single
 from ..neighbor import cell_slots as cs
@@ -48,6 +59,8 @@ from ..models.pair.styles import PairStyle
 from ..models.kspace.pppm_slab import SlabCellPPPM, _perm_left, _perm_right
 from ..integrate.verlet import NeighborPolicy
 from ..integrate.nvt import NVTConfig, NHChain, nhc_half
+from ..integrate.shake import (ShakeConstraints, shake_positions,
+                               rattle_velocities)
 
 try:
     shard_map = jax.shard_map
@@ -56,7 +69,13 @@ except AttributeError:  # pragma: no cover
 
 
 def slab_mesh(n_devices: int, axis: str = "x") -> Mesh:
-    return Mesh(np.asarray(jax.devices()[:n_devices]), (axis,))
+    devs = jax.devices()
+    if len(devs) < n_devices:
+        raise ValueError(
+            f"slab engine: {n_devices} devices requested, only {len(devs)} "
+            "visible (for CPU testing set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n_devices})")
+    return Mesh(np.asarray(devs[:n_devices]), (axis,))
 
 
 def ext_nbr_table(ncx_loc: int, ncy: int, ncz: int) -> np.ndarray:
@@ -93,6 +112,9 @@ class SlabCellPairSimulation:
         cap: Optional[int] = None,
         kspace_setup: Optional[Callable] = None,
         thermostat: Optional[NVTConfig] = None,
+        topology: Optional[Topology] = None,
+        bonded=None,
+        shake: Optional[ShakeConstraints] = None,
     ):
         """kspace_setup: optional fn (sim) -> SlabCellPPPM called after the
         grid exists (the runner wires setup_pppm through it)."""
@@ -142,20 +164,56 @@ class SlabCellPairSimulation:
         self._minv_per_type = (1.0 / mass).astype(np.dtype(flt))
         self.dtf = float(0.5 * self.dt * units.ftm2v)
         self.dtv = float(self.dt)
-        self.topology = None
+        self.topology = topology
+        self.bonded = bonded if (bonded is not None
+                                 and bonded.has_terms) else None
+        self.shake = shake
         self.kspace: Optional[SlabCellPPPM] = None
         self._kc = {}
         self.thermostat = None
         tchain = 0
         if thermostat is not None:
+            t_dof = 3 * n - 3
+            if shake is not None:
+                t_dof -= shake.n_constraints
             self.thermostat = dataclasses.replace(
-                thermostat, dof=max(3 * n - 3, 1), boltz=units.boltz,
+                thermostat, dof=max(t_dof, 1), boltz=units.boltz,
                 mvv2e=units.mvv2e, dt=self.dt)
             tchain = self.thermostat.tchain
 
+        if topology is not None and topology.special_idx.shape[1] > 0:
+            s_idx = topology.special_idx
+            s_code = topology.special_code
+            # sentinel row for aid == n (empty slots)
+            self._special_idx = np.concatenate(
+                [s_idx, np.full((1, s_idx.shape[1]), -1, np.int32)], 0)
+            self._special_code = np.concatenate(
+                [s_code, np.zeros((1, s_code.shape[1]), np.int8)], 0)
+        else:
+            self._special_idx = None
+            self._special_code = None
+
+        x_np = jax.device_get(system.x)
+        v_np = jax.device_get(system.v)
+        if self.shake is not None:
+            # settle the initial state onto the constraint manifold —
+            # done in atom order on the replicated host arrays (setup
+            # only; per-step SHAKE runs sharded, see _block_local)
+            Lbox = np.asarray(self.box.lengths, np.float64)
+            sc = self.shake
+
+            @jax.jit
+            def settle(xs, vs):
+                xs2, _ = shake_positions(sc, xs, xs, vs, 1.0, Lbox)
+                vs2 = rattle_velocities(sc, xs2, vs, Lbox)
+                return xs2, vs2
+
+            x_np, v_np = (np.asarray(a) for a in settle(
+                jnp.asarray(x_np), jnp.asarray(v_np)))
+
         st = cs.from_atoms(
-            self.grid, self.box, jax.device_get(system.x),
-            jax.device_get(system.v), jax.device_get(system.image),
+            self.grid, self.box, x_np,
+            v_np, jax.device_get(system.image),
             typ_np, jax.device_get(system.q), dtype=flt, tchain=tchain,
         )
         if bool(jax.device_get(st.overflow)):
@@ -163,8 +221,8 @@ class SlabCellPairSimulation:
                 system))
             self._plane = self.grid.nc[1] * self.grid.nc[2] * self.grid.cap
             st = cs.from_atoms(
-                self.grid, self.box, jax.device_get(system.x),
-                jax.device_get(system.v), jax.device_get(system.image),
+                self.grid, self.box, x_np,
+                v_np, jax.device_get(system.image),
                 typ_np, jax.device_get(system.q), dtype=flt, tchain=tchain,
             )
             if bool(jax.device_get(st.overflow)):
@@ -208,42 +266,151 @@ class SlabCellPairSimulation:
         return (self.kspace.in_specs(self.axis) if self.kspace is not None
                 else {})
 
+    def _halo(self, p):
+        """Extend a per-slot plane with the two neighbor boundary planes
+        (ghost exchange; self-halo when D == 1)."""
+        plane = self._plane
+        first, last = p[:plane], p[-plane:]
+        if self.D > 1:
+            left = jax.lax.ppermute(last, self.axis, _perm_right(self.D))
+            right = jax.lax.ppermute(first, self.axis, _perm_left(self.D))
+        else:
+            left, right = last, first
+        return jnp.concatenate([left, p, right])
+
     def _halo_planes(self, state: cs.SlotState) -> dict:
         """j-side planes extended with the two neighbor boundary planes."""
-        plane = self._plane
-        D = self.D
-
-        def halo(p):
-            first, last = p[:plane], p[-plane:]
-            if D > 1:
-                left = jax.lax.ppermute(last, self.axis, _perm_right(D))
-                right = jax.lax.ppermute(first, self.axis, _perm_left(D))
-            else:
-                left, right = last, first
-            return jnp.concatenate([left, p, right])
-
         pl = _state_planes(state)
-        return {k: halo(v) for k, v in pl.items()}
+        return {k: self._halo(v) for k, v in pl.items()}
+
+    # ---------- molecular terms on the halo-extended slab ----------
+    #
+    # Bonded/SHAKE terms are strictly short-ranged (every member atom
+    # within one cell of any other), so a term with >= 1 OWNED atom lies
+    # entirely inside the halo-extended slab.  The full static term lists
+    # are evaluated everywhere against a per-rebin aid -> extended-slot
+    # map; terms with missing atoms are redirected onto 4 fake rows of
+    # non-degenerate geometry (finite garbage forces, discarded with the
+    # ghost rows), and energy/virial carry a per-term ownership weight
+    # (device owning the FIRST atom) so psum totals are exact.
+
+    def _ext_xs(self, x_ext, y_ext, z_ext):
+        """(n_ext + 4, 3) positions: halo-extended slab + 4 dummy rows
+        (non-collinear, non-planar — finite bond/angle/dihedral math)."""
+        lo = np.asarray(jax.device_get(self.box.lo), np.float64)
+        d = np.asarray([[0.05, 0.05, 0.05], [1.02, 0.05, 0.05],
+                        [0.55, 0.85, 0.05], [0.75, 0.45, 0.95]])
+        dummy = jnp.asarray(lo[None, :] + d, x_ext.dtype)
+        xs = jnp.stack([x_ext, y_ext, z_ext], -1)
+        return jnp.concatenate([xs, dummy])
+
+    def _term_ctx(self, state: cs.SlotState) -> dict:
+        """Binning-static per-block context: i-side special-bond slots +
+        bonded/SHAKE index maps into the halo-extended slab."""
+        n = self.n_atoms
+        plane = self._plane
+        ns_loc = self.grid.nslots // self.D
+        ctx = {}
+        if self._special_idx is not None:
+            aid = jnp.minimum(state.aid, n)
+            ctx["sp"] = (jnp.asarray(self._special_idx)[aid],
+                         jnp.asarray(self._special_code)[aid])
+        else:
+            ctx["sp"] = (None, None)
+        if self.bonded is None and self.shake is None:
+            return ctx
+
+        ext_aid = self._halo(state.aid)
+        n_ext = ext_aid.shape[0]
+        rows = jnp.arange(n_ext, dtype=jnp.int32)
+        # ghost rows first, own rows override: with the D == 1 self-halo
+        # (and shared boundary molecules) an owned atom must resolve to
+        # its OWNED copy so scattered forces are kept, not discarded
+        amap = jnp.full((n + 1,), -1, jnp.int32)
+        ghost = jnp.concatenate([rows[:plane], rows[-plane:]])
+        amap = amap.at[jnp.minimum(ext_aid[ghost], n)].set(ghost)
+        own = rows[plane:plane + ns_loc]
+        amap = amap.at[jnp.minimum(ext_aid[own], n)].set(own)
+        amap = amap.at[n].set(-1)
+
+        def owned(r):
+            return (r >= plane) & (r < plane + ns_loc)
+
+        if self.bonded is not None:
+            b = self.bonded
+            idx_kw, ew = {}, {}
+            for key, terms in (("bonds", b.bonds), ("angles", b.angles),
+                               ("dihedrals", b.dihedrals),
+                               ("impropers", b.impropers)):
+                if terms is None or not len(terms):
+                    continue
+                raw = amap[jnp.asarray(terms[:, 1:])]
+                present = jnp.all(raw >= 0, axis=1)
+                k = raw.shape[1]
+                dummy = n_ext + jnp.arange(k, dtype=jnp.int32)
+                idx_kw[f"{key}_idx"] = jnp.where(
+                    present[:, None], raw, dummy[None, :])
+                ew[key] = present & owned(raw[:, 0])
+            ctx["bonded_idx"] = idx_kw
+            ctx["eweights"] = ew
+        if self.shake is not None:
+            raw = amap[jnp.asarray(self.shake.pairs)]
+            present = jnp.all(raw >= 0, axis=1)
+            dummy = n_ext + jnp.arange(2, dtype=jnp.int32)
+            ctx["shake_pairs"] = jnp.where(
+                present[:, None], raw, dummy[None, :])
+        return ctx
+
+    def _bonded_local(self, jp: dict, ctx: dict, eflag: bool):
+        """Bonded forces on owned rows + ownership-weighted energy/virial
+        partials (psum at the consumer)."""
+        from ..models.bonded import compute_bonded
+
+        xs = self._ext_xs(jp["x"], jp["y"], jp["z"])
+        br = compute_bonded(
+            self.bonded, xs, self.box, eflag=eflag,
+            acc_dtype=self.precision.acc,
+            eweights=ctx["eweights"], **ctx["bonded_idx"])
+        plane = self._plane
+        ns_loc = self.grid.nslots // self.D
+        return br.f[plane:plane + ns_loc], br
 
     def _forces_local(self, state: cs.SlotState, kc: dict, eflag: bool,
-                      vflag: bool):
-        """Local forces + energy terms.  evdwl/ecoul/vir_pair are LOCAL
-        partial sums (psum at the consumer); elong/vir_k come back from
-        the k-space pipeline already psum-completed (replicated)."""
+                      vflag: bool, ctx: Optional[dict] = None):
+        """Local forces + energy terms.  evdwl/ecoul/emol/vir_pair are
+        LOCAL partial sums (psum at the consumer); elong/vir_k come back
+        from the k-space pipeline already psum-completed (replicated)."""
+        if ctx is None:
+            ctx = self._term_ctx(state)
         jp = self._halo_planes(state)
+        sp_idx, sp_code = ctx["sp"]
         r = compute_cell_tiles(
             self.pair, self.box.lengths, self.n_atoms, self.grid.cap,
             self._nbr_ext, _state_planes(state), jp,
             eflag=eflag, vflag=vflag, acc_dtype=self.precision.acc,
+            slot_special_idx=sp_idx, slot_special_code=sp_code,
         )
         fx, fy, fz = r.fx, r.fy, r.fz
+        evdwl, ecoul, vir_pair = r.evdwl, r.ecoul, r.virial
+        emol = jnp.zeros((), self.precision.acc)
+        if self.bonded is not None:
+            fb, br = self._bonded_local(jp, ctx, eflag)
+            fx = fx + fb[:, 0]
+            fy = fy + fb[:, 1]
+            fz = fz + fb[:, 2]
+            emol = br.emol
+            # CHARMM 1-4 pair terms tally into the PAIR energies
+            # (dihedral_charmm.cpp ev_tally convention)
+            evdwl = evdwl + br.e14_lj
+            ecoul = ecoul + br.e14_coul
+            vir_pair = vir_pair + br.virial
         elong = jnp.zeros((), self.precision.acc)
         vir_k = jnp.zeros((6,), self.precision.acc)
         if self.kspace is not None:
             kfx, kfy, kfz, elong, vir_k = self.kspace.compute_slots_local(
                 state, kc, eflag, vflag, axis=self.axis)
             fx, fy, fz = fx + kfx, fy + kfy, fz + kfz
-        return (fx, fy, fz), r.evdwl, r.ecoul, elong, r.virial, vir_k
+        return (fx, fy, fz), evdwl, ecoul, elong, emol, vir_pair, vir_k
 
     def _rebin_local(self, state: cs.SlotState) -> cs.SlotState:
         """Wrap + migrate boundary planes + bin by local cell id."""
@@ -335,6 +502,12 @@ class SlabCellPairSimulation:
 
         return jax.jit(self._shmap(local, self._state_spec))
 
+    def _dof(self) -> int:
+        dof = 3 * self.n_atoms - 3
+        if self.shake is not None:
+            dof -= self.shake.n_constraints
+        return max(dof, 1)
+
     def _nhc_scale(self, st: cs.SlotState, th, minv, t_target):
         """Global NH chain half-step: psum'd kinetic energy drives a chain
         update computed identically (replicated) on every device."""
@@ -353,10 +526,21 @@ class SlabCellPairSimulation:
     def _block_local(self, state: cs.SlotState, kc: dict, nsteps: int,
                      t_target=0.0):
         state = self._rebin_local(state)
+        ctx = self._term_ctx(state)
         minv = self._minv(state)
         dtf, dtv = self.dtf, self.dtv
         flt = self.precision.flt
         cfg = self.thermostat
+        sc = self.shake
+        Lbox = np.asarray(self.box.lengths, np.float64)
+        plane = self._plane
+        ns_loc = self.grid.nslots // self.D
+        sl = slice(plane, plane + ns_loc)
+
+        def ext3(a, b, c):
+            # halo-extended 3-vectors + the 4 dummy rows (constraints of
+            # boundary molecules are solved identically on both owners)
+            return self._ext_xs(self._halo(a), self._halo(b), self._halo(c))
 
         def one_step(st, _):
             th = st.therm
@@ -367,15 +551,33 @@ class SlabCellPairSimulation:
             vx = vx + (dtf * minv) * st.fx
             vy = vy + (dtf * minv) * st.fy
             vz = vz + (dtf * minv) * st.fz
-            st = st._replace(
-                x=st.x + dtv * vx, y=st.y + dtv * vy, z=st.z + dtv * vz)
-            (fx, fy, fz), *_ = self._forces_local(st, kc, False, False)
+            x = st.x + dtv * vx
+            y = st.y + dtv * vy
+            z = st.z + dtv * vz
+            if sc is not None:
+                xs_old = ext3(st.x, st.y, st.z)
+                xs_new = ext3(x, y, z)
+                vs = ext3(vx, vy, vz)
+                xs_fix, vs = shake_positions(
+                    sc, xs_old, xs_new, vs, dtv, Lbox,
+                    pairs=ctx["shake_pairs"])
+                x, y, z = xs_fix[sl, 0], xs_fix[sl, 1], xs_fix[sl, 2]
+                vx, vy, vz = vs[sl, 0], vs[sl, 1], vs[sl, 2]
+            st = st._replace(x=x, y=y, z=z)
+            (fx, fy, fz), *_ = self._forces_local(st, kc, False, False,
+                                                  ctx=ctx)
             fx = fx.astype(flt)
             fy = fy.astype(flt)
             fz = fz.astype(flt)
             vx = vx + (dtf * minv) * fx
             vy = vy + (dtf * minv) * fy
             vz = vz + (dtf * minv) * fz
+            if sc is not None:
+                xs = ext3(st.x, st.y, st.z)
+                vs = ext3(vx, vy, vz)
+                vs = rattle_velocities(sc, xs, vs, Lbox,
+                                       pairs=ctx["shake_pairs"])
+                vx, vy, vz = vs[sl, 0], vs[sl, 1], vs[sl, 2]
             if cfg is not None:
                 st2 = st._replace(vx=vx, vy=vy, vz=vz)
                 scale, th = self._nhc_scale(st2, th, minv, t_target)
@@ -412,13 +614,14 @@ class SlabCellPairSimulation:
 
         def local(state, kc):
             state = self._rebin_local(state)
-            _, evdwl, ecoul, elong, vir_pair, vir_k = self._forces_local(
-                state, kc, True, True)
+            _, evdwl, ecoul, elong, emol, vir_pair, vir_k = \
+                self._forces_local(state, kc, True, True)
 
             def allsum(v):
                 return jax.lax.psum(v, self.axis) if D > 1 else v
 
-            evdwl, ecoul = allsum(evdwl), allsum(ecoul)
+            evdwl, ecoul, emol = (allsum(evdwl), allsum(ecoul),
+                                  allsum(emol))
             # vir_pair is a local partial; vir_k/elong arrive replicated
             virial = allsum(vir_pair) + vir_k
             valid = state.aid < self.n_atoms
@@ -429,8 +632,7 @@ class SlabCellPairSimulation:
             vmax2 = jnp.max(jnp.where(valid, v2, 0.0))
             if D > 1:
                 vmax2 = jax.lax.pmax(vmax2, self.axis)
-            dof = max(3 * self.n_atoms - 3, 1)
-            temp = sum_mv2 / (dof * u.boltz)
+            temp = sum_mv2 / (self._dof() * u.boltz)
             ke = 0.5 * sum_mv2
             vir_trace = virial[0] + virial[1] + virial[2]
             press = (sum_mv2 + vir_trace) / (3.0 * self.box.volume) \
@@ -438,8 +640,9 @@ class SlabCellPairSimulation:
             epair = evdwl + ecoul + elong
             return dict(
                 temp=temp, evdwl=evdwl, ecoul=ecoul, elong=elong,
-                emol=jnp.zeros((), acc), epair=epair, ke=ke,
-                etotal=epair + ke, press=press, overflow=state.overflow,
+                emol=emol, epair=epair, ke=ke,
+                etotal=epair + emol + ke, press=press,
+                overflow=state.overflow,
                 vmax=jnp.sqrt(vmax2), virial=virial,
             )
 

@@ -322,6 +322,14 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     angle_style_name = cfg.get("angle_style", {}).get("name", "harmonic")
     have_bonded = (cfg.get("bond_style") or cfg.get("angle_style")
                    or cfg.get("dihedral_style") or cfg.get("improper_style"))
+    # compute_bonded hard-codes one formula per term; reject styles whose
+    # coeff columns it would silently misread (advisor r2 medium finding).
+    for _kind, _ok in (("bond", {"harmonic"}), ("angle", {"harmonic", "charmm"}),
+                       ("dihedral", {"charmm"}), ("improper", {"harmonic"})):
+        _name = cfg.get(f"{_kind}_style", {}).get("name")
+        if _name is not None and _name not in _ok:
+            raise NotImplementedError(
+                f"{_kind}_style {_name!r}: only {sorted(_ok)} implemented")
     d14 = None
     dc = ic = None
     if have_bonded:
@@ -466,6 +474,73 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                          mass=mass, molecule=mol, dtype=prec.flt)
 
     engine = cfg.get("engine", "nlist")
+
+    # ---- multi-chip slab engine (`engine: slab` or `devices: N`) ----
+    # Spatial decomposition over a 1-D device mesh (SURVEY.md H3/H10):
+    # ppermute ghost planes, all_to_all pencil FFT, psum scalars.
+    n_dev_req = int(cfg.get("devices", 0) or 0)
+    if engine == "slab" or n_dev_req > 1:
+        from .parallel.slab import SlabCellPairSimulation, slab_mesh
+        from .models.kspace.pppm_slab import SlabCellPPPM
+
+        n_dev = n_dev_req or len(jax.devices())
+        if box.is_triclinic:
+            raise NotImplementedError("slab engine: triclinic box")
+        if npt_fix is not None:
+            raise NotImplementedError("slab engine: fix npt")
+        if rigid_fix is not None:
+            raise NotImplementedError("slab engine: fix rigid/small")
+        if exclude_intra:
+            raise NotImplementedError("slab engine: exclude_intra")
+        if prec.compensated:
+            raise NotImplementedError(
+                "slab engine: compensated precision (use single/double)")
+        ks_ok = not ks or (ks.get("name") == "pppm"
+                           and style.cfg.coul == "long"
+                           and not ks.get("slab")
+                           and ks.get("diff", "ik") == "ik")
+        if not ks_ok:
+            raise NotImplementedError(
+                "slab engine kspace: plain pppm (ik, no slab correction) "
+                f"only — got {ks.get('name')!r}")
+        kset = None
+        if ks:
+            def kset(sim):
+                # size the mesh to the sim's cell grid so every cell holds
+                # a spline patch (same recipe as the CellPPPM branch) and
+                # ny tiles the device axis (the pencil-FFT all_to_all)
+                import math as _math
+
+                order = ks.get("order", 5)
+                nc = np.asarray(sim.grid.nc)
+                L = np.asarray(box.lengths)
+                smin = []
+                for ax in range(3):
+                    s = (order + 1) // 2 + 2
+                    while True:
+                        h = L[ax] / (s * nc[ax])
+                        m = max(2, int(_math.ceil(0.5 * policy.skin / h
+                                                  - 1e-9)))
+                        if s >= (order + 1) // 2 + m:
+                            break
+                        s += 1
+                    smin.append(s)
+                mof = (int(nc[0]),
+                       int(np.lcm(int(nc[1]), n_dev)), int(nc[2]))
+                grid_min = tuple(int(s * c) for s, c in zip(smin, nc))
+                pm2 = setup_pppm(
+                    box, q, cutoff=ps.get("cut_coul", ps["cut"]),
+                    accuracy_rel=ks.get("accuracy", 1e-4), qqrd2e=u.qqrd2e,
+                    order=order, g_ewald=style.g_ewald, diff="ik",
+                    multiple_of=mof, grid_min=grid_min, acc_dtype=prec.acc)
+                sim.pair = sim.pair.replace(g_ewald=pm2.g_ewald)
+                return SlabCellPPPM(pm2, sim.grid, n_dev, skin=policy.skin)
+        return SlabCellPairSimulation(
+            system, style, mesh=slab_mesh(n_dev), units=u, precision=prec,
+            dt=dt, neighbor=policy, thermostat=thermostat,
+            kspace_setup=kset, shake=shake, bonded=bonded,
+            topology=topo)
+
     if box.is_triclinic and engine == "cellpair":
         # the dense cell-slot engine assumes orthogonal component-plane
         # minimum image; tilted cells run on the neighbor-list engine
@@ -485,21 +560,29 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         from .integrate import NPTSimulation
 
         if kspace is not None and not hasattr(kspace, "compute_traced"):
-            # PPPM's Green's function is box-baked by design; the
-            # variable-cell engine needs a traced solver.  Substitute
-            # Ewald at the deck accuracy (loudly) so literal decks like
-            # in.rhodo (`fix npt` + `kspace_style pppm`) still run.
-            import sys
+            # kspace_style pppm under a variable cell: host LAMMPS re-runs
+            # PPPM::setup() on box change; the TPU equivalent rebuilds the
+            # box-baked tables from the TRACED box at reneighbor cadence
+            # (models/kspace/pppm_npt.py).  ad/slab PPPM variants fall
+            # back to Ewald at the deck accuracy (loudly).
+            from .models.kspace.pppm_npt import TracedPPPM
 
-            print("# fix npt: kspace_style pppm is box-baked; "
-                  "substituting ewald at the same accuracy "
-                  "(kspace_modify has no effect on the substitute)",
-                  file=sys.stderr)
-            ew = setup_ewald(box, q, cutoff=ps.get("cut_coul", ps["cut"]),
-                             accuracy_rel=ks.get("accuracy", 1e-4),
-                             qqrd2e=u.qqrd2e, acc_dtype=prec.acc)
-            style = style.replace(g_ewald=ew.g_ewald)
-            kspace = ew
+            L0 = np.asarray(box.lengths, np.float64)
+            center = np.asarray(box.lo, np.float64) + 0.5 * L0
+            try:
+                kspace = TracedPPPM(kspace, center)
+            except NotImplementedError:
+                import sys
+
+                print("# fix npt: this pppm variant (ad/slab/triclinic) "
+                      "is box-baked; substituting ewald at the same "
+                      "accuracy", file=sys.stderr)
+                ew = setup_ewald(box, q,
+                                 cutoff=ps.get("cut_coul", ps["cut"]),
+                                 accuracy_rel=ks.get("accuracy", 1e-4),
+                                 qqrd2e=u.qqrd2e, acc_dtype=prec.acc)
+                style = style.replace(g_ewald=ew.g_ewald)
+                kspace = ew
         return NPTSimulation(
             system, style, npt_fix, thermostat, kspace=kspace,
             bonded=bonded, units=u, precision=prec, dt=dt,
