@@ -299,3 +299,44 @@ def rotational_ke(rb: RigidBodies, bs: BodyState, mvv2e: float = 1.0):
     """Diagnostic: 0.5 omega . L summed over bodies (energy units)."""
     om = body_omega(rb, bs.q, bs.L)
     return 0.5 * mvv2e * jnp.sum(om * bs.L)
+
+
+def constraint_virial(rb: RigidBodies, bs: BodyState, d, f,
+                      ftm2v: float, acc_dtype=jnp.float64):
+    """Rigid constraint virial (6,): the pressure contribution of the
+    internal forces holding each body rigid — the fix_rigid virial-tally
+    contract implied by in.hexane's thermo pressure
+    (/root/reference/examples/in.hexane:31,36).
+
+    The constraint force on atom i is f_c = m a_rigid/ftm2v - f, with
+    a_rigid = alpha x d + w x (w x d) the rotational acceleration about
+    the COM (the COM part A_b contributes sum_i m_i d_i (x) A_b = 0 and
+    is dropped).  Tallied against the body-relative offsets d (LAMMPS
+    component convention [xx yy zz xy xz yz], v_ab = d_a f_b): per body
+    sum_i f_c,i = -F_b only because the COM part is dropped, but the
+    d-contraction makes the tally origin-independent regardless.  Trace
+    identity: W_c = -2 KE_rot - sum d.f, so the molecular pressure
+    (sum_b M V_b^2 + sum_b X_b.F_b)/3V is recovered exactly."""
+    bo = jnp.asarray(rb.body_of)
+    iinv = jnp.asarray(rb.iinv, d.dtype)
+    _, T = force_torque(rb, d, f)
+    Lb = quat_rotate_inv(bs.q, bs.L)
+    wb = iinv * Lb
+    # body-frame Euler: wdot_b = Iinv (ftm2v tau_b - w_b x L_b); L carries
+    # the integrator's ftm2v-scaled units (dtf kick), so torque is scaled
+    wdotb = iinv * (ftm2v * quat_rotate_inv(bs.q, T) - jnp.cross(wb, Lb))
+    alpha = quat_rotate(bs.q, wdotb)
+    om = quat_rotate(bs.q, wb)
+    omi, ali = om[bo], alpha[bo]
+    a = jnp.cross(ali, d) + jnp.cross(omi, jnp.cross(omi, d))
+    m = jnp.asarray(rb.mass_per_atom, d.dtype)[:, None]
+    fc = (m / ftm2v) * a - f.astype(d.dtype)
+    acc = acc_dtype
+    return jnp.stack([
+        jnp.sum((d[:, 0] * fc[:, 0]).astype(acc)),
+        jnp.sum((d[:, 1] * fc[:, 1]).astype(acc)),
+        jnp.sum((d[:, 2] * fc[:, 2]).astype(acc)),
+        jnp.sum((d[:, 0] * fc[:, 1]).astype(acc)),
+        jnp.sum((d[:, 0] * fc[:, 2]).astype(acc)),
+        jnp.sum((d[:, 1] * fc[:, 2]).astype(acc)),
+    ])

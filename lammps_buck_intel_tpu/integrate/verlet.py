@@ -427,7 +427,15 @@ class Simulation:
         temp = sum_mv2 / (dof * u.boltz)
         ke = 0.5 * sum_mv2
         vol = self.box.volume
-        vir_trace = fr.virial[0] + fr.virial[1] + fr.virial[2]
+        virial = fr.virial
+        if self.rigid is not None and state.body is not None:
+            from .rigid import atom_positions, constraint_virial
+
+            _, d = atom_positions(self.rigid, state.body)
+            virial = virial + constraint_virial(
+                self.rigid, state.body, d, fr.f, u.ftm2v,
+                acc_dtype=self.precision.acc)
+        vir_trace = virial[0] + virial[1] + virial[2]
         press = (sum_mv2 + vir_trace) / (3.0 * vol) * u.nktv2p
         epair = fr.evdwl + fr.ecoul + fr.elong
         emol = fr.ebond + fr.eangle
@@ -439,7 +447,7 @@ class Simulation:
             ebond=fr.ebond, eangle=fr.eangle, emol=emol,
             epair=epair, ke=ke, etotal=epair + emol + ke, press=press,
             overflow=state.overflow | nl.overflow, vmax=vmax,
-            virial=fr.virial,
+            virial=virial,
         )
 
     def thermo(self) -> dict:

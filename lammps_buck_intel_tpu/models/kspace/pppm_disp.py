@@ -158,6 +158,12 @@ class PPPMDisp:
     A: Optional[np.ndarray] = None       # (nch, ntypes)
     P: Optional[np.ndarray] = None       # (nch, nch)
     vfac: Optional[np.ndarray] = None    # (nx, ny, nz) virial factor
+    # differentiation mode — "ik" (3 inverse FFTs/channel) or "ad" (one
+    # potential mesh/channel + derivative-spline gather + measured
+    # self-force series), the poisson_2s_ad / fieldforce_a_ad dispatch of
+    # /root/reference/pppm_disp_intel.cpp:193-241
+    diff: str = "ik"
+    sf_sine: Optional[np.ndarray] = None  # (3, J) ad self-field series
 
     @property
     def w0(self) -> float:
@@ -181,6 +187,17 @@ class PPPMDisp:
         a_atoms = jnp.asarray(self.A, x.dtype)[:, typ]   # (nch, N)
         return _disp_compute_multi(self, x, a_atoms, self.P, eflag, vflag)
 
+    def compute_peratom(self, x, typ=None, b_per_atom=None):
+        """Per-atom dispersion energy/virial — the per-atom correction
+        contract of /root/reference/pppm_disp_intel.cpp:512-537."""
+        if b_per_atom is not None:
+            a_atoms = b_per_atom[None, :]
+            P = np.ones((1, 1))
+        else:
+            a_atoms = jnp.asarray(self.A, x.dtype)[:, typ]
+            P = self.P
+        return _disp_peratom_multi(self, x, a_atoms, P)
+
 
 def setup_pppm_disp(
     box: Box,
@@ -197,6 +214,7 @@ def setup_pppm_disp(
     epsilon=None,
     sigma=None,
     C6=None,
+    diff: str = "ik",
 ) -> PPPMDisp:
     L = np.asarray(box.lengths, np.float64)
     volume = float(np.prod(L))
@@ -223,6 +241,11 @@ def setup_pppm_disp(
     else:
         A, P = mixing_channels(mix, B=B_per_type, epsilon=epsilon,
                                sigma=sigma, C6=C6)
+    sf_sine = None
+    if diff == "ad":
+        # the measured self-force series is kernel-agnostic: it depends
+        # only on (grid, L, greensfn, order)
+        sf_sine = _pppm._sf_sine_fit(grid, L, greensfn, order)
     return PPPMDisp(
         g_ewald_6=float(g_ewald_6), grid=grid, order=order,
         greensfn=greensfn,
@@ -232,6 +255,7 @@ def setup_pppm_disp(
         h=tuple(float(L[i] / grid[i]) for i in range(3)),
         acc_dtype=acc_dtype, mix=mix, A=A, P=P,
         vfac=dispersion_vfac(g_ewald_6, grid, L),
+        diff=diff, sf_sine=sf_sine,
     )
 
 
@@ -300,14 +324,59 @@ def _disp_compute_multi(pm: PPPMDisp, x, a_atoms, P, eflag: bool,
     else:
         virial = jnp.zeros((6,), acc)
 
-    # fields: one batched inverse real FFT over (nch, 3) spectral slabs
+    phi = G[None] * chi                                   # (nch, ...)
+    scale = 1.0 / V
+
+    if pm.diff == "ad":
+        # ONE potential mesh per channel + derivative-spline gather
+        # minus the measured self-force (poisson_2s_ad/fieldforce_a_ad,
+        # /root/reference/pppm_disp_intel.cpp:193-241)
+        u_fields = jnp.real(
+            jnp.fft.irfftn(phi, s=pm.grid, axes=(1, 2, 3))
+        ) * (scale * ngrid)                               # (nch, grid)
+        wx_ = _pppm._particle_weights(shim, x, deriv=True)
+        bases = [w[0] for w in wx_]
+        ws = [w[1] for w in wx_]
+        dws = [w[2] for w in wx_]
+        ix, iy, iz = _pppm._stencil_indices(shim, bases)
+        flat = (
+            (ix[:, :, None, None] * ny + iy[:, None, :, None]) * nz
+            + iz[:, None, None, :]
+        ).reshape(x.shape[0], -1)
+        combos = (
+            (dws[0], ws[1], ws[2]),
+            (ws[0], dws[1], ws[2]),
+            (ws[0], ws[1], dws[2]),
+        )
+        w3d = [
+            (aw[:, :, None, None] * bw[:, None, :, None]
+             * cw[:, None, None, :]).reshape(x.shape[0], -1)
+            for (aw, bw, cw) in combos
+        ]
+        fvec = jnp.zeros((x.shape[0], 3), acc)
+        for ci in range(nch):
+            uv = u_fields[ci].reshape(-1)[flat]
+            cols = [
+                -jnp.sum(w3d[ax] * uv, axis=1) * (1.0 / pm.h[ax])
+                for ax in range(3)
+            ]
+            fvec = fvec + (jnp.stack(cols, axis=-1).astype(acc)
+                           * a_atoms[ci][:, None].astype(acc))
+        # self-force: the series depends only on the grid geometry; the
+        # per-atom strength is the paired self-coupling sum_cc' P a a
+        shim_sf = dataclasses.replace(shim, sf_sine=pm.sf_sine)
+        e_self_f = jnp.stack(
+            [_pppm.sf_axis_series(shim_sf, x[:, ax], ax)
+             for ax in range(3)], axis=-1)
+        fvec = fvec - (c6_self[:, None] * e_self_f).astype(acc)
+        return KSpaceResult(f=fvec, elong=elong, virial=virial)
+
+    # ik fields: one batched inverse real FFT over (nch, 3) spectral slabs
     kxv = jnp.asarray(pm.kx, acc)[:, None, None]
     kyv = jnp.asarray(pm.ky, acc)[None, :, None]
     kzv = jnp.asarray(pm.kz[:nzh], acc)[None, None, :]
-    phi = G[None] * chi                                   # (nch, ...)
     ehat = jnp.stack([(-1j) * kax * phi for kax in (kxv, kyv, kzv)],
                      axis=1)                              # (nch, 3, ...)
-    scale = 1.0 / V
     e_fields = jnp.real(
         jnp.fft.irfftn(ehat, s=pm.grid, axes=(2, 3, 4))
     ) * (scale * ngrid)                                   # (nch, 3, grid)
@@ -332,3 +401,88 @@ def _disp_compute_multi(pm: PPPMDisp, x, a_atoms, P, eflag: bool,
         fvec = fvec + (jnp.stack(cols, axis=-1).astype(acc)
                        * a_atoms[ci][:, None].astype(acc))
     return KSpaceResult(f=fvec, elong=elong, virial=virial)
+
+
+def _disp_peratom_multi(pm: PPPMDisp, x, a_atoms, P):
+    """Per-atom dispersion energy and virial (eatom (N,), vatom (N, 6)).
+
+    The eflag_atom/vflag_atom dispersion corrections of
+    /root/reference/pppm_disp_intel.cpp:512-537: per-atom shares of the
+    mesh sum plus the k=0 and self corrections, pinned EXACTLY to the
+    global sums (sum eatom == elong, sum vatom == virial) by the Parseval
+    + deposit identities the Coulomb compute_peratom uses."""
+    acc = pm.acc_dtype
+    nx, ny, nz = pm.grid
+    nzh = nz // 2 + 1
+    ngrid = nx * ny * nz
+    V = float(pm.volume)
+    nch = a_atoms.shape[0]
+    Pm = np.asarray(P, np.float64)
+
+    shim = _pppm.PPPM(
+        g_ewald=pm.g_ewald_6, grid=pm.grid, order=pm.order,
+        greensfn=pm.greensfn, kx=pm.kx, ky=pm.ky, kz=pm.kz,
+        qsum=0.0, qsqsum=0.0, qqrd2e=1.0, volume=V,
+        box_lo=pm.box_lo, h=pm.h, acc_dtype=acc,
+    )
+    meshes = jnp.stack([
+        _pppm.deposit_rho(shim, x, a_atoms[c]) for c in range(nch)
+    ])
+    S = jnp.fft.rfftn(meshes.astype(acc), axes=(1, 2, 3))
+    G = jnp.asarray(pm.greensfn[..., :nzh], acc)
+    chi = jnp.einsum("cd,dxyz->cxyz", jnp.asarray(Pm, acc), S)
+    phi = G[None] * chi
+
+    wx_ = _pppm._particle_weights(shim, x)
+    bases = [w[0] for w in wx_]
+    ws = [w[1] for w in wx_]
+    ix, iy, iz = _pppm._stencil_indices(shim, bases)
+    w3 = (ws[0][:, :, None, None] * ws[1][:, None, :, None]
+          * ws[2][:, None, None, :]).reshape(x.shape[0], -1)
+    flat = (
+        (ix[:, :, None, None] * ny + iy[:, None, :, None]) * nz
+        + iz[:, None, None, :]
+    ).reshape(x.shape[0], -1)
+
+    def interp(m):
+        return jnp.sum(w3 * m.reshape(-1)[flat], axis=1)
+
+    scale = ngrid / V
+    asum = jnp.sum(a_atoms.astype(acc), axis=1)
+    a_P_asum = jnp.einsum("cn,cd,d->n", a_atoms.astype(acc),
+                          jnp.asarray(Pm, acc), asum)
+    c6_self = jnp.einsum("cn,cd,dn->n", a_atoms.astype(acc),
+                         jnp.asarray(Pm, acc), a_atoms.astype(acc))
+
+    eatom = jnp.zeros((x.shape[0],), acc)
+    for ci in range(nch):
+        u = jnp.real(jnp.fft.irfftn(phi[ci], s=pm.grid)) * scale
+        eatom = eatom + 0.5 * a_atoms[ci].astype(acc) * interp(u)
+    # k=0 share (0.5/V w0 a_i.P.asum sums to e0) + self correction
+    eatom = eatom + (0.5 / V) * pm.w0 * a_P_asum \
+        + pm.g_ewald_6**6 / 12.0 * c6_self
+    eatom = eatom.astype(acc)
+
+    kx = jnp.asarray(pm.kx, acc)[:, None, None]
+    ky = jnp.asarray(pm.ky, acc)[None, :, None]
+    kz = jnp.asarray(pm.kz[:nzh], acc)[None, None, :]
+    vf = jnp.asarray(pm.vfac[..., :nzh], acc)
+    comps = (
+        1.0 + vf * kx * kx,
+        1.0 + vf * ky * ky,
+        1.0 + vf * kz * kz,
+        vf * kx * ky,
+        vf * kx * kz,
+        vf * ky * kz,
+    )
+    vcols = []
+    for ic, cfac in enumerate(comps):
+        col = jnp.zeros((x.shape[0],), acc)
+        for ci in range(nch):
+            vm = jnp.real(
+                jnp.fft.irfftn(cfac * phi[ci], s=pm.grid)) * scale
+            col = col + 0.5 * a_atoms[ci].astype(acc) * interp(vm)
+        if ic < 3:  # e0 is a pure diagonal (k=0) term
+            col = col + (0.5 / V) * pm.w0 * a_P_asum
+        vcols.append(col.astype(acc))
+    return eatom, jnp.stack(vcols, axis=-1)
