@@ -291,7 +291,8 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                     kw_mix = dict(C6=np.asarray(style.tables)[:, :, 3])
                 pmd = setup_pppm_disp(box, B, typ, cutoff=ps["cut"],
                                       g_ewald_6=g6, acc_dtype=prec.acc,
-                                      mix=mix, **kw_mix)
+                                      mix=mix, diff=ks.get("diff", "ik"),
+                                      **kw_mix)
                 if mix == "geometric":
                     solvers.append(BoundKSpace(pmd, B[typ]))
                 else:

@@ -217,3 +217,102 @@ def test_disp_anisotropic_virial_vs_direct_sum():
     assert np.abs(v_direct[3:]).max() > 1e-3 * scale
     np.testing.assert_allclose(v_total / scale, v_direct / scale,
                                atol=3e-3)
+
+
+def test_disp_ad_vs_direct_sum():
+    """ad differentiation (1 inverse FFT/channel + derivative-spline
+    gather + measured self-force) against the direct lattice sum — the
+    poisson_2s_ad/fieldforce dispatch of pppm_disp_intel.cpp:193-241."""
+    x, typ, L = _disp_system()
+    n = len(x)
+    box = make_box([0, 0, 0], [L] * 3)
+    eps = np.array([0.30, 0.18])
+    sig = np.array([1.10, 1.25])
+    cut = 3.2
+    g6 = solve_g6(cut, 1e-5)
+    style = build_lj(
+        2, {0: (eps[0], sig[0]), 1: (eps[1], sig[1])},
+        cut_global=cut, disp="long", dtype=jnp.float64,
+    ).replace(g_ewald_6=g6)
+    t = np.array(style.tables)
+    t[..., 0] = 0.0
+    t[..., 2] = 0.0
+    style = style.replace(tables=t)
+
+    B = np.sqrt(4.0 * eps) * sig**3
+    pm = setup_pppm_disp(box, B, typ, cutoff=cut, tol_real=1e-5,
+                         g_ewald_6=g6, grid=(32, 32, 32),
+                         acc_dtype=jnp.float64, diff="ad")
+    assert pm.diff == "ad" and pm.sf_sine is not None
+    spec = make_spec(n, [L] * 3, cut + 0.3, dense=True)
+    nl = build(jnp.asarray(x), box, spec)
+    pr = compute_pair(style, jnp.asarray(x), jnp.asarray(typ),
+                      jnp.zeros(n), box, nl, eflag=True, vflag=False,
+                      acc_dtype=jnp.float64)
+    kr = pm.compute(jnp.asarray(x), jnp.asarray(B[typ]))
+
+    e_direct, f_direct = golden.dispersion_direct(x, B[typ], [L] * 3,
+                                                  images=3)
+    np.testing.assert_allclose(float(pr.evdwl) + float(kr.elong),
+                               e_direct, rtol=2e-4)
+    f_total = np.asarray(pr.f) + np.asarray(kr.f)
+    scale = np.abs(f_direct).max()
+    np.testing.assert_allclose(f_total / scale, f_direct / scale,
+                               atol=4e-3)
+    # net force ~solver accuracy (ad interpolation is not exactly
+    # momentum-conserving; the sf series removes the per-atom self term,
+    # not the cross-interpolation residual — same as host LAMMPS ad)
+    np.testing.assert_allclose(np.asarray(kr.f).sum(0) / scale, 0.0,
+                               atol=1e-4)
+
+
+def test_disp_ad_matches_ik_arithmetic():
+    """ad == ik on the 7-channel arithmetic pipeline (solver-accuracy
+    agreement; both interpolate the same spectral field)."""
+    x, typ, L = _disp_system(seed=5)
+    box = make_box([0, 0, 0], [L] * 3)
+    eps = np.array([0.30, 0.18])
+    sig = np.array([1.10, 1.25])
+    cut = 3.0
+    g6 = solve_g6(cut, 1e-5)
+    kw = dict(cutoff=cut, tol_real=1e-5, g_ewald_6=g6, grid=(32, 32, 32),
+              acc_dtype=jnp.float64, mix="arithmetic", epsilon=eps,
+              sigma=sig)
+    B = np.sqrt(4.0 * eps) * sig**3
+    pm_ik = setup_pppm_disp(box, B, typ, **kw)
+    pm_ad = setup_pppm_disp(box, B, typ, diff="ad", **kw)
+    r_ik = pm_ik.compute_typed(jnp.asarray(x), jnp.asarray(typ))
+    r_ad = pm_ad.compute_typed(jnp.asarray(x), jnp.asarray(typ))
+    np.testing.assert_allclose(float(r_ad.elong), float(r_ik.elong),
+                               rtol=1e-10)  # identical energy path
+    scale = np.abs(np.asarray(r_ik.f)).max()
+    np.testing.assert_allclose(np.asarray(r_ad.f) / scale,
+                               np.asarray(r_ik.f) / scale, atol=5e-3)
+
+
+@pytest.mark.parametrize("mix", ["geometric", "arithmetic"])
+def test_disp_peratom_pins_to_global(mix):
+    """Per-atom dispersion e/v (pppm_disp_intel.cpp:512-537): sums pin
+    EXACTLY to the global elong/virial."""
+    x, typ, L = _disp_system(seed=8)
+    box = make_box([0, 0, 0], [L] * 3)
+    eps = np.array([0.30, 0.18])
+    sig = np.array([1.10, 1.25])
+    B = np.sqrt(4.0 * eps) * sig**3
+    kw = dict(cutoff=3.0, tol_real=1e-5, grid=(24, 24, 24),
+              acc_dtype=jnp.float64)
+    if mix == "arithmetic":
+        kw.update(mix="arithmetic", epsilon=eps, sigma=sig)
+    pm = setup_pppm_disp(box, B, typ, **kw)
+    xj = jnp.asarray(x)
+    if mix == "geometric":
+        kr = pm.compute(xj, jnp.asarray(B[typ]))
+        ea, va = pm.compute_peratom(xj, b_per_atom=jnp.asarray(B[typ]))
+    else:
+        kr = pm.compute_typed(xj, jnp.asarray(typ))
+        ea, va = pm.compute_peratom(xj, typ=jnp.asarray(typ))
+    np.testing.assert_allclose(float(jnp.sum(ea)), float(kr.elong),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(jnp.sum(va, axis=0)),
+                               np.asarray(kr.virial), rtol=1e-9,
+                               atol=1e-11)
