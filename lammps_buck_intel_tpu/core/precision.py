@@ -26,9 +26,10 @@ class Precision:
     # compensated=True: positions/velocities integrate with Neumaier
     # two-float accumulation (integrate/nve.py two_sum_acc) — the
     # on-hardware analog of f64 accumulation where no f64 exists (TPU).
-    # Honored by the neighbor-list engine; the cell-slot engine runs plain
-    # single — measured drift there is per-pair f32 force noise, which
-    # accumulation compensation cannot remove (tests/test_precision.py)
+    # Honored by BOTH the neighbor-list and the production cell-slot
+    # engine (residual planes ride the rebin permutation,
+    # neighbor/cell_slots.py SlotState.comp); triclinic cellpair falls
+    # back to nlist (the lamda wrap would destroy the two-float split).
     compensated: bool = False
 
     def __post_init__(self):

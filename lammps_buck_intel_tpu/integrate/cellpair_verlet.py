@@ -58,8 +58,17 @@ class CellPairSimulation:
         self.n_atoms = n
         flt = self.precision.flt
 
+        if self.box.is_triclinic and (shake is not None or bonded is not
+                                      None or kspace is not None and
+                                      hasattr(kspace, "compute_slots")):
+            raise NotImplementedError(
+                "triclinic cell-pair engine: pair + NVE/NVT + generic "
+                "kspace only (SHAKE/bonded min-image is orthogonal)")
         cutneigh = float(np.sqrt(pair.cutsq_max)) + self.neighbor.skin
-        L = np.asarray(self.box.lengths)
+        # cell sizing bounds cutoffs by the PERPENDICULAR face widths —
+        # equal to lengths when orthogonal (lamda-space cells of a tilted
+        # box are slabs of perpendicular extent W/nc)
+        L = np.asarray(self.box.perp_widths)
         grid = cs.make_grid(n, L, cutneigh, cap=cap)
         if grid is None:
             raise ValueError(
@@ -118,10 +127,16 @@ class CellPairSimulation:
             self._special_idx = None
             self._special_code = None
 
+        comp = self.precision.compensated
+        if comp and self.box.is_triclinic:
+            raise NotImplementedError(
+                "compensated precision on a triclinic box (the lamda wrap "
+                "reconstructs positions, destroying the two-float split)")
         st = cs.from_atoms(
             self.grid, self.box, jax.device_get(system.x),
             jax.device_get(system.v), jax.device_get(system.image),
             typ_np, jax.device_get(system.q), dtype=flt, tchain=tchain,
+            compensated=comp,
         )
         # one host round-trip at setup to right-size the capacity
         if bool(jax.device_get(st.overflow)):
@@ -131,6 +146,7 @@ class CellPairSimulation:
                 self.grid, self.box, jax.device_get(system.x),
                 jax.device_get(system.v), jax.device_get(system.image),
                 typ_np, jax.device_get(system.q), dtype=flt, tchain=tchain,
+                compensated=comp,
             )
             if bool(jax.device_get(st.overflow)):
                 raise RuntimeError("cell capacity sizing failed")
@@ -163,9 +179,14 @@ class CellPairSimulation:
     def _occupancy(self, system, typ_np) -> int:
         x = np.asarray(jax.device_get(system.x))
         lo = np.asarray(self.box.lo)
-        L = np.asarray(self.box.lengths)
         nc = np.asarray(self.grid.nc)
-        ci = np.clip(((x - lo) / L * nc).astype(int), 0, nc - 1)
+        if self.box.is_triclinic:
+            s = (x - lo) @ self.box.h_inv.T      # lamda coordinates
+            s = s - np.floor(s)
+            ci = np.clip((s * nc).astype(int), 0, nc - 1)
+        else:
+            L = np.asarray(self.box.lengths)
+            ci = np.clip(((x - lo) / L * nc).astype(int), 0, nc - 1)
         cid = (ci[:, 0] * nc[1] + ci[:, 1]) * nc[2] + ci[:, 2]
         return int(np.bincount(cid, minlength=self.grid.ncell).max())
 
@@ -284,21 +305,37 @@ class CellPairSimulation:
             mass_col = jnp.where(minv > 0, 1.0 / jnp.maximum(minv, 1e-30),
                                  0.0)[:, None]
 
+        comp = self.precision.compensated
+        from .nve import two_sum_acc
+
         def one_step(st: cs.SlotState, _):
             th = st.therm
             vx, vy, vz = st.vx, st.vy, st.vz
+            if comp:
+                ccx, ccy, ccz = st.comp[0], st.comp[1], st.comp[2]
+                cvx, cvy, cvz = st.comp[3], st.comp[4], st.comp[5]
             if cfg is not None:
                 vs = jnp.stack([vx, vy, vz], -1)
                 chain = NHChain(eta=th[0], eta_dot=th[1])
                 scale, chain = nhc_half(cfg, chain, vs, mass_col, t_target)
                 vx, vy, vz = vx * scale, vy * scale, vz * scale
+                if comp:
+                    cvx, cvy, cvz = cvx * scale, cvy * scale, cvz * scale
                 th = jnp.stack([chain.eta, chain.eta_dot])
-            vx = vx + (dtf * minv) * st.fx
-            vy = vy + (dtf * minv) * st.fy
-            vz = vz + (dtf * minv) * st.fz
-            x = st.x + dtv * vx
-            y = st.y + dtv * vy
-            z = st.z + dtv * vz
+            if comp:
+                vx, cvx = two_sum_acc(vx, cvx, (dtf * minv) * st.fx)
+                vy, cvy = two_sum_acc(vy, cvy, (dtf * minv) * st.fy)
+                vz, cvz = two_sum_acc(vz, cvz, (dtf * minv) * st.fz)
+                x, ccx = two_sum_acc(st.x, ccx, dtv * (vx + cvx))
+                y, ccy = two_sum_acc(st.y, ccy, dtv * (vy + cvy))
+                z, ccz = two_sum_acc(st.z, ccz, dtv * (vz + cvz))
+            else:
+                vx = vx + (dtf * minv) * st.fx
+                vy = vy + (dtf * minv) * st.fy
+                vz = vz + (dtf * minv) * st.fz
+                x = st.x + dtv * vx
+                y = st.y + dtv * vy
+                z = st.z + dtv * vz
             if sc is not None:
                 xs_old = jnp.stack([st.x, st.y, st.z], -1)
                 xs_new = jnp.stack([x, y, z], -1)
@@ -315,9 +352,14 @@ class CellPairSimulation:
                 fy = fy + br.f[:, 1]
                 fz = fz + br.f[:, 2]
             fx = fx.astype(flt); fy = fy.astype(flt); fz = fz.astype(flt)
-            vx = vx + (dtf * minv) * fx
-            vy = vy + (dtf * minv) * fy
-            vz = vz + (dtf * minv) * fz
+            if comp:
+                vx, cvx = two_sum_acc(vx, cvx, (dtf * minv) * fx)
+                vy, cvy = two_sum_acc(vy, cvy, (dtf * minv) * fy)
+                vz, cvz = two_sum_acc(vz, cvz, (dtf * minv) * fz)
+            else:
+                vx = vx + (dtf * minv) * fx
+                vy = vy + (dtf * minv) * fy
+                vz = vz + (dtf * minv) * fz
             if sc is not None:
                 xs = jnp.stack([x, y, z], -1)
                 vs = jnp.stack([vx, vy, vz], -1)
@@ -328,9 +370,14 @@ class CellPairSimulation:
                 chain = NHChain(eta=th[0], eta_dot=th[1])
                 scale, chain = nhc_half(cfg, chain, vs, mass_col, t_target)
                 vx, vy, vz = vx * scale, vy * scale, vz * scale
+                if comp:
+                    cvx, cvy, cvz = cvx * scale, cvy * scale, cvz * scale
                 th = jnp.stack([chain.eta, chain.eta_dot])
+            kw = {}
+            if comp:
+                kw["comp"] = jnp.stack([ccx, ccy, ccz, cvx, cvy, cvz])
             return st._replace(vx=vx, vy=vy, vz=vz, fx=fx, fy=fy, fz=fz,
-                               therm=th), None
+                               therm=th, **kw), None
 
         state, _ = jax.lax.scan(one_step, state, None, length=nsteps)
         return state

@@ -122,6 +122,9 @@ class NPTSimulation:
 
         self.typ = np.asarray(jax.device_get(system.type), np.int32)
         self.q = np.asarray(jax.device_get(system.q), np.float64)
+        # kept for IO: write_data/checkpoint read sim.topology (bonds/
+        # angles sections would silently vanish from NPT decks otherwise)
+        self.topology = topology
         if topology is not None and topology.special_idx.shape[1] > 0:
             self.special_idx = topology.special_idx
             self.special_code = topology.special_code
@@ -384,8 +387,8 @@ class NPTSimulation:
                for k, v in row.items()}
         out["step"] = self.step_count
         out["overflow"] = bool(row["overflow"])
-        if not np.isfinite(out["temp"]) or not np.isfinite(out["press"]):
-            raise RuntimeError(f"non-finite thermo at step {out['step']}")
+        # overflow first: dropped pairs CAUSE the non-finite dynamics, so
+        # report the cause, not the symptom
         if out["overflow"]:
             raise RuntimeError(
                 "NPT neighbor overflow: per-atom neighbor count exceeded "
@@ -401,6 +404,8 @@ class NPTSimulation:
                 f"box shrank to {shrink.min():.3f} of its initial length, "
                 f"beyond the bin-geometry bound 1/{self._headroom}; "
                 "rebuild the simulation from the compressed state")
+        if not np.isfinite(out["temp"]) or not np.isfinite(out["press"]):
+            raise RuntimeError(f"non-finite thermo at step {out['step']}")
         return out
 
     # ---------- IO ----------

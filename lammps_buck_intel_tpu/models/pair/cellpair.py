@@ -238,6 +238,7 @@ def compute_cell_tiles_newton(
     acc_dtype=jnp.float32,
     slot_special_idx: Optional[jnp.ndarray] = None,
     slot_special_code: Optional[jnp.ndarray] = None,
+    h_matrix: Optional[np.ndarray] = None,
 ) -> CellPairResult:
     """Half-stencil form of the dense kernel (Newton's 3rd law).
 
@@ -266,6 +267,13 @@ def compute_cell_tiles_newton(
 
     half = np.ascontiguousarray(nbr_np[:, 13:27])          # (ncell, 14)
     shifts = _half_shift_tables(grid.nc)                   # (ncell, 14, 3)
+    # cartesian shift per (cell, half-offset, axis): orthogonal boxes use
+    # diag(L); a triclinic h mixes lamda shifts into all three axes
+    # (cells are uniform in lamda space, so the {-1,0,+1} table is the
+    # fractional shift — cart = h @ s_frac)
+    h_cart = (np.diag(np.asarray(L, np.float64)) if h_matrix is None
+              else np.asarray(h_matrix, np.float64))
+    shift_cart = np.einsum("ckb,ab->cka", shifts, h_cart)
 
     # temporaries are (tile, cap, 14*cap): half the full-stencil footprint
     tile = _cell_tile_size(cap, ncell, budget_bytes=1.8e8)
@@ -280,7 +288,7 @@ def compute_cell_tiles_newton(
     def jv(p, shift_ax=None):
         a = p.reshape(ncell, cap)[half_j]                  # (ncell, 14, cap)
         if shift_ax is not None:
-            s = shifts[:, :, shift_ax] * L[shift_ax]
+            s = shift_cart[:, :, shift_ax]
             a = a + jnp.asarray(s, flt)[:, :, None]
         return a.reshape(ncell, 14 * cap)
 
@@ -442,14 +450,18 @@ def compute_cellpair(
 
     newton=True uses the half-stencil kernel (~1.9x less pair physics);
     newton=False keeps the full 27-tile form (reference comparison and
-    the slab engine's halo semantics)."""
+    the slab engine's halo semantics).  Triclinic boxes run the Newton
+    kernel (its static per-(cell, offset) shifts generalize to h @ s;
+    the full kernel's per-axis rounding does not)."""
     planes = _state_planes(state)
-    if newton:
+    h = box.h_matrix if box.is_triclinic else None
+    if newton or h is not None:
         return compute_cell_tiles_newton(
             style, box.lengths, grid, planes,
             eflag=eflag, vflag=vflag, acc_dtype=acc_dtype,
             slot_special_idx=slot_special_idx,
             slot_special_code=slot_special_code,
+            h_matrix=h,
         )
     return compute_cell_tiles(
         style, box.lengths, grid.n_atoms, grid.cap, grid.nbr_array(),

@@ -126,6 +126,11 @@ class SlotState(NamedTuple):
     aid: jnp.ndarray  # int32 original atom index; n_atoms = empty
     overflow: jnp.ndarray  # () bool, sticky
     therm: jnp.ndarray     # (2, M) Nose-Hoover chain ((2,0) when NVE)
+    # (6, NS) Neumaier two-float residual planes [cx cy cz cvx cvy cvz]
+    # for compensated (mixed-precision) integration; None when plain.
+    # Residuals are position/velocity DELTAS: wraps and periodic shifts
+    # apply to the hi planes only, rebins permute them with their slots.
+    comp: jnp.ndarray = None
 
 
 def _wrap_plane(p, i, lo, L):
@@ -134,8 +139,38 @@ def _wrap_plane(p, i, lo, L):
     return p - nshift * L, i + nshift.astype(i.dtype)
 
 
+def _lamda_planes(box: Box, x, y, z):
+    """Fractional (lamda) coordinates of plane triplets under the
+    upper-triangular h_inv (host constants baked at trace time)."""
+    hi_ = box.h_inv
+    lo = np.asarray(box.lo, np.float64)
+    dx, dy, dz = x - lo[0], y - lo[1], z - lo[2]
+    sx = hi_[0, 0] * dx + hi_[0, 1] * dy + hi_[0, 2] * dz
+    sy = hi_[1, 1] * dy + hi_[1, 2] * dz
+    sz = hi_[2, 2] * dz
+    return sx, sy, sz
+
+
 def wrap_state(box: Box, state: SlotState) -> SlotState:
-    """Wrap positions into the box, updating image flags (pure)."""
+    """Wrap positions into the box, updating image flags (pure).
+
+    Triclinic boxes wrap in lamda space (the LAMMPS convention: image
+    flags count lamda-axis shifts, x = lo + h @ lamda)."""
+    if box.is_triclinic:
+        sx, sy, sz = _lamda_planes(box, state.x, state.y, state.z)
+        nx_, ny_, nz_ = jnp.floor(sx), jnp.floor(sy), jnp.floor(sz)
+        sx, sy, sz = sx - nx_, sy - ny_, sz - nz_
+        h = box.h_matrix
+        lo = np.asarray(box.lo, np.float64)
+        x = lo[0] + h[0, 0] * sx + h[0, 1] * sy + h[0, 2] * sz
+        y = lo[1] + h[1, 1] * sy + h[1, 2] * sz
+        z = lo[2] + h[2, 2] * sz
+        return state._replace(
+            x=x.astype(state.x.dtype), y=y.astype(state.y.dtype),
+            z=z.astype(state.z.dtype),
+            ix=state.ix + nx_.astype(state.ix.dtype),
+            iy=state.iy + ny_.astype(state.iy.dtype),
+            iz=state.iz + nz_.astype(state.iz.dtype))
     lo = [float(v) for v in np.asarray(box.lo)]
     L = [float(v) for v in np.asarray(box.lengths)]
     x, ix = _wrap_plane(state.x, state.ix, lo[0], L[0])
@@ -173,6 +208,9 @@ def bin_to_slots(state: SlotState, cid, ncell: int, cap: int,
         out = jnp.full((ns,), fill, field.dtype)
         return out.at[target].set(field[order], mode="drop")
 
+    comp = None
+    if state.comp is not None:
+        comp = jnp.stack([scat(state.comp[i], 0.0) for i in range(6)])
     return SlotState(
         x=scat(state.x, 0.0), y=scat(state.y, 0.0), z=scat(state.z, 0.0),
         vx=scat(state.vx, 0.0), vy=scat(state.vy, 0.0), vz=scat(state.vz, 0.0),
@@ -182,19 +220,30 @@ def bin_to_slots(state: SlotState, cid, ncell: int, cap: int,
         aid=scat(state.aid, n),
         overflow=overflow,
         therm=state.therm,
+        comp=comp,
     )
 
 
 def _slot_cid(grid: CellGrid, box: Box, state: SlotState):
-    """(M,) current cell id of every entry (== ncell when invalid)."""
+    """(M,) current cell id of every entry (== ncell when invalid).
+
+    Triclinic: cells are uniform in LAMDA space (the lamda-space binning
+    of host LAMMPS' triclinic neighbor grid, the contract behind
+    /root/reference/pppm_intel.cpp:153-157)."""
     n = grid.n_atoms
     ncx, ncy, ncz = grid.nc
-    lo = [float(v) for v in np.asarray(box.lo)]
-    L = [float(v) for v in np.asarray(box.lengths)]
     valid = state.aid < n
-    cx = cell_index(state.x, lo[0], L[0], ncx)
-    cy = cell_index(state.y, lo[1], L[1], ncy)
-    cz = cell_index(state.z, lo[2], L[2], ncz)
+    if box.is_triclinic:
+        sx, sy, sz = _lamda_planes(box, state.x, state.y, state.z)
+        cx = jnp.clip(jnp.floor(sx * ncx).astype(jnp.int32), 0, ncx - 1)
+        cy = jnp.clip(jnp.floor(sy * ncy).astype(jnp.int32), 0, ncy - 1)
+        cz = jnp.clip(jnp.floor(sz * ncz).astype(jnp.int32), 0, ncz - 1)
+    else:
+        lo = [float(v) for v in np.asarray(box.lo)]
+        L = [float(v) for v in np.asarray(box.lengths)]
+        cx = cell_index(state.x, lo[0], L[0], ncx)
+        cy = cell_index(state.y, lo[1], L[1], ncy)
+        cz = cell_index(state.z, lo[2], L[2], ncz)
     cid = (cx * ncy + cy) * ncz + cz
     return jnp.where(valid, cid, grid.ncell)
 
@@ -265,6 +314,7 @@ def rebin_incremental(grid: CellGrid, box: Box, state: SlotState,
         tgt_cid = jnp.where(buf_ok, cid[src_c], ncell)
         # mover payloads, gathered BEFORE vacating clobbers aid/q
         mover_vals = {f: getattr(st, f)[src_c] for f in _MOVE_FIELDS}
+        mover_comp = st.comp[:, src_c] if st.comp is not None else None
 
         # 2) vacate mover slots (stale q must be zeroed: PPPM deposition
         #    reads the q plane without an aid mask)
@@ -312,6 +362,9 @@ def rebin_incremental(grid: CellGrid, box: Box, state: SlotState,
                                              mode="drop")
             for f in _MOVE_FIELDS
         }
+        if st.comp is not None:
+            upd["comp"] = st.comp.at[:, target].set(
+                mover_comp[:, order], mode="drop")
         return st._replace(overflow=overflow, **upd)
 
     def full(st: SlotState) -> SlotState:
@@ -321,7 +374,8 @@ def rebin_incremental(grid: CellGrid, box: Box, state: SlotState,
 
 
 def from_atoms(grid: CellGrid, box: Box, x, v, image, typ, q,
-               dtype=jnp.float32, tchain: int = 0) -> SlotState:
+               dtype=jnp.float32, tchain: int = 0,
+               compensated: bool = False) -> SlotState:
     """Initial binning from (N, 3)/(N,) atom-ordered arrays."""
     n = grid.n_atoms
     x = jnp.asarray(x, dtype)
@@ -338,6 +392,7 @@ def from_atoms(grid: CellGrid, box: Box, x, v, image, typ, q,
         aid=jnp.arange(n, dtype=jnp.int32),
         overflow=jnp.zeros((), bool),
         therm=jnp.zeros((2, tchain), dtype),
+        comp=jnp.zeros((6, n), dtype) if compensated else None,
     )
     return rebin(grid, box, st)
 

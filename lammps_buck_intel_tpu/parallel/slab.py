@@ -237,8 +237,11 @@ class SlabCellPairSimulation:
 
         self._state_spec = cs.SlotState(
             **{f: P(self.axis) for f in cs.SlotState._fields
-               if f not in ("overflow", "therm")},
+               if f not in ("overflow", "therm", "comp")},
             overflow=P(), therm=P(),
+            # (6, NS) residual planes shard along slots when present;
+            # the slab engine currently runs plain precision (comp=None)
+            comp=None if st.comp is None else P(None, self.axis),
         )
         self._state_sharding = jax.tree.map(
             lambda s: NamedSharding(self.mesh, s), self._state_spec,
@@ -438,7 +441,7 @@ class SlabCellPairSimulation:
                 if p.ndim and p.shape[0] == grid.nslots // D else p,
                 state)
             merged = cs.SlotState(*[
-                (jnp.concatenate([a, b, c]) if a.ndim
+                (jnp.concatenate([a, b, c]) if a is not None and a.ndim
                  and a.shape[0] == grid.nslots // D else a)
                 for a, b, c in zip(state, from_left, from_right)
             ])

@@ -542,13 +542,16 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             kspace_setup=kset, shake=shake, bonded=bonded,
             topology=topo)
 
-    if box.is_triclinic and engine == "cellpair":
-        # the dense cell-slot engine assumes orthogonal component-plane
-        # minimum image; tilted cells run on the neighbor-list engine
+    if box.is_triclinic and engine == "cellpair" and (
+            shake is not None or (bonded is not None and bonded.has_terms)):
+        # molecular terms (SHAKE/bonded) min-image orthogonally; tilted
+        # molecular decks stay on the neighbor-list engine.  Atomic tilted
+        # decks run the production cell-slot engine (lamda-space binning
+        # + h-matrix shift tables; pppm via the generic triclinic solver).
         engine = "nlist"
-    if prec.compensated and engine == "cellpair":
-        # two-float integration planes are carried by the nlist engine
-        # only (core/precision.py); honor the requested precision there
+    if prec.compensated and engine == "cellpair" and box.is_triclinic:
+        # the triclinic lamda wrap reconstructs positions, destroying the
+        # two-float split — compensated tilted decks use the nlist engine
         engine = "nlist"
     if rigid_fix is not None and engine == "cellpair":
         # the quaternion rigid integrator lives in the nlist engine
@@ -599,8 +602,14 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             and style.cfg.coul == "long"
             and not ks.get("slab")  # slab grids are z-extended past
             # the cell grid; the generic pipeline handles them
+            and not box.is_triclinic  # cell-patch pipeline is orthogonal;
+            # tilted pppm runs the generic triclinic solver on slot planes
         )
         kw2 = dict(common)
+        if cfg.get("cap"):
+            # manual slot capacity (the overflow error's escape hatch —
+            # systems that densify locally outgrow the occupancy-sized cap)
+            kw2["cap"] = int(cfg["cap"])
         if use_cellpppm:
             kw2["kspace"] = None
         try:

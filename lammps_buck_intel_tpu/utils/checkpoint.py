@@ -32,7 +32,7 @@ def save(path: str, sim) -> None:
         # restores the exact slot permutation -> bit-exact continuation
         st = jax.device_get(sim.state)
         extra = {f"slot_{k}": np.asarray(p)
-                 for k, p in st._asdict().items()}
+                 for k, p in st._asdict().items() if p is not None}
     else:
         st = jax.device_get(sim.state)
         x, v, image, therm = st.x, st.v, st.image, st.therm
@@ -95,8 +95,12 @@ def resume(sim, ckpt: dict) -> None:
             # same grid geometry: restore slot planes verbatim (bit-exact)
             st = cs.SlotState(**{
                 k: jnp.asarray(ckpt[f"slot_{k}"])
-                for k in cs.SlotState._fields
+                for k in cs.SlotState._fields if f"slot_{k}" in ckpt
             })
+            if st.comp is None and sim.state.comp is not None:
+                # resumed from a plain-precision checkpoint into a
+                # compensated sim: residuals restart at zero
+                st = st._replace(comp=jnp.zeros_like(sim.state.comp))
         else:  # geometry changed: re-bin from atom order
             atoms = sim.get_atoms()  # current typ/q in atom order
             typ = ckpt["typ"] if len(ckpt.get("typ", ())) else atoms["typ"]
@@ -105,6 +109,7 @@ def resume(sim, ckpt: dict) -> None:
                 sim.grid, sim.box, ckpt["x"], ckpt["v"], ckpt["image"],
                 np.asarray(typ, np.int32), q, dtype=flt,
                 tchain=sim._tchain,
+                compensated=sim.state.comp is not None,
             )
             therm = ckpt["therm"]
             if therm.shape != tuple(np.asarray(st.therm).shape):
