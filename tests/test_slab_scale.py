@@ -1,0 +1,166 @@
+"""Slab engine at production scale: the 259,200-atom north-star silica
+deck (buck/coul/long + PPPM, NVE) on the 8-virtual-device mesh vs the
+single-device cell-pair engine — the round-1 'done' criterion
+(VERDICT r2 next-round #2).
+
+Costs ~30 CPU-minutes at this scale, so it is gated behind RUN_SLOW=1;
+the recorded result of the last run lives in tests/goldens/
+slab_scale_259k.json and is checked cheaply by test_slab_scale_recorded.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+DECKS = os.path.join(os.path.dirname(__file__), "..", "examples", "decks")
+RECORD = os.path.join(os.path.dirname(__file__), "goldens",
+                      "slab_scale_259k.json")
+
+# thermo fields compared between the engines and their relative
+# tolerances (f64; differing reduction orders + the slab engine's
+# coarser 8-plane cell grid only reorder accumulation)
+FIELDS = {"temp": 1e-9, "evdwl": 1e-8, "ecoul": 1e-8, "elong": 1e-6,
+          "press": 1e-6, "etotal": 1e-8}
+
+
+def _cfg():
+    with open(os.path.join(DECKS, "silica_pppm.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    for k in ("dump", "write_data", "write_restart", "run", "thermo"):
+        cfg.pop(k, None)
+    cfg["precision"] = "double"
+    return cfg
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="259k-atom x 2 engines: set RUN_SLOW=1")
+def test_slab_silica_259k_matches_single_device(reference_dir):
+    import jax
+    from lammps_buck_intel_tpu.run import build_simulation
+    from lammps_buck_intel_tpu.parallel import SlabCellPairSimulation
+
+    assert len(jax.devices()) >= 8
+    steps = 4
+
+    cfg = _cfg()
+    ref_sim = build_simulation(cfg)
+    ref_rows = [ref_sim.thermo()]
+    ref_sim.run(steps, log=False)
+    ref_rows.append(ref_sim.thermo())
+
+    cfg2 = _cfg()
+    cfg2["engine"] = "slab"
+    cfg2["devices"] = 8
+    slab_sim = build_simulation(cfg2)
+    assert isinstance(slab_sim, SlabCellPairSimulation)
+    assert slab_sim.D == 8
+    rows = [slab_sim.thermo()]
+    slab_sim.run(steps, log=False)
+    rows.append(slab_sim.thermo())
+
+    out = {"n_atoms": int(ref_sim.n_atoms), "steps": steps, "rows": []}
+    for r_ref, r_slab in zip(ref_rows, rows):
+        rec = {}
+        for key, rtol in FIELDS.items():
+            a, b = float(r_ref[key]), float(r_slab[key])
+            scale = max(abs(a), 1.0)
+            assert abs(a - b) <= rtol * scale, (key, a, b)
+            rec[key] = {"single": a, "slab8": b,
+                        "rel": abs(a - b) / scale}
+        out["rows"].append(rec)
+    with open(RECORD, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+def test_slab_scale_recorded():
+    """Cheap gate on the recorded 259k parity artifact: every field met
+    its tolerance when last run (re-run with RUN_SLOW=1 after slab or
+    engine changes)."""
+    if not os.path.exists(RECORD):
+        pytest.skip("no recorded slab-scale run yet (RUN_SLOW=1)")
+    with open(RECORD) as f:
+        rec = json.load(f)
+    assert rec["n_atoms"] == 259200
+    for row in rec["rows"]:
+        for key, rtol in FIELDS.items():
+            assert row[key]["rel"] <= rtol, (key, row[key])
+
+
+SPCE_FIELDS = {"temp": 1e-8, "evdwl": 1e-8, "ecoul": 1e-8, "elong": 1e-6,
+               "emol": 1e-6, "etotal": 1e-8}
+SPCE_RECORD = os.path.join(os.path.dirname(__file__), "goldens",
+                           "slab_spce_multichip.json")
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="72k-atom x 2 engines: set RUN_SLOW=1")
+def test_slab_spce_shake_multichip(reference_dir):
+    """The in.spce fix set (SHAKE + NVT + PPPM + special bonds) at
+    production scale on the 8-virtual-device slab mesh vs single-device —
+    VERDICT r2 item 3's done-criterion."""
+    import jax
+    from lammps_buck_intel_tpu.run import build_simulation
+    from lammps_buck_intel_tpu.parallel import SlabCellPairSimulation
+
+    assert len(jax.devices()) >= 8
+
+    def cfg():
+        with open(os.path.join(DECKS, "spce.yaml")) as f:
+            c = yaml.safe_load(f)
+        for k in ("dump", "write_data", "write_restart", "run", "thermo"):
+            c.pop(k, None)
+        c["precision"] = "double"
+        c["replicate"] = [4, 2, 2]     # 72,000 atoms; ncx 12 -> 8 planes
+        return c
+
+    ref_sim = build_simulation(cfg())
+    r_ref = ref_sim.thermo()
+
+    c2 = cfg()
+    c2["engine"] = "slab"
+    c2["devices"] = 8
+    slab_sim = build_simulation(c2)
+    assert isinstance(slab_sim, SlabCellPairSimulation)
+    assert slab_sim.shake is not None and slab_sim.bonded is None
+    r_slab = slab_sim.thermo()
+
+    out = {"n_atoms": int(ref_sim.n_atoms), "rows": []}
+    rec = {}
+    for key, rtol in SPCE_FIELDS.items():
+        a, b = float(r_ref[key]), float(r_slab[key])
+        scale = max(abs(a), 1.0)
+        assert abs(a - b) <= rtol * scale, (key, a, b)
+        rec[key] = {"single": a, "slab8": b, "rel": abs(a - b) / scale}
+    out["rows"].append(rec)
+
+    # a few steps of real dynamics through rebins + SHAKE + NH chain
+    steps = 4
+    ref_sim.run(steps, log=False)
+    slab_sim.run(steps, log=False)
+    r_ref = ref_sim.thermo()
+    r_slab = slab_sim.thermo()
+    rec = {}
+    for key, rtol in SPCE_FIELDS.items():
+        a, b = float(r_ref[key]), float(r_slab[key])
+        scale = max(abs(a), 1.0)
+        assert abs(a - b) <= 100 * rtol * scale, (key, a, b)
+        rec[key] = {"single": a, "slab8": b, "rel": abs(a - b) / scale}
+    out["rows"].append(rec)
+    out["steps"] = steps
+    with open(SPCE_RECORD, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+def test_slab_spce_recorded():
+    """Cheap gate on the recorded spce multichip parity artifact."""
+    if not os.path.exists(SPCE_RECORD):
+        pytest.skip("no recorded spce multichip run yet (RUN_SLOW=1)")
+    with open(SPCE_RECORD) as f:
+        rec = json.load(f)
+    assert rec["n_atoms"] == 72000
+    for i, row in enumerate(rec["rows"]):
+        for key, rtol in SPCE_FIELDS.items():
+            lim = rtol if i == 0 else 100 * rtol
+            assert row[key]["rel"] <= lim, (key, row[key])
