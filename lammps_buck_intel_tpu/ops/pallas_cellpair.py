@@ -264,6 +264,103 @@ def make_pallas_cellpair_v2(style: PairStyle, grid: CellGrid, box,
     return fn
 
 
+def make_pallas_cellpair_v3(style: PairStyle, grid: CellGrid, box,
+                            interpret: bool = False, group: int = 9):
+    """Pipelined lane-fused variant: v2's neighbor-group fori_loop becomes
+    the MINOR grid dimension, so the Pallas pipeline double-buffers each
+    (CB, group*cap) j block's HBM->VMEM DMA against the previous group's
+    physics (the module docstring's remaining candidate fix), and forces
+    accumulate in the output block, which stays VMEM-resident across the
+    inner grid steps (its index map ignores g).  VMEM working set also
+    drops ngroup-fold vs v2, which helps Mosaic's register scheduling at
+    big caps.
+    """
+    assert 27 % group == 0
+    ngroup = 27 // group
+    cap = grid.cap
+    ncell = grid.ncell
+    n = grid.n_atoms
+    ntypes = style.tables.shape[0]
+    flat_tables = np.asarray(style.tables).reshape(ntypes * ntypes, -1)
+    L = [float(v) for v in np.asarray(box.lengths)]
+    nbr = grid.nbr_array()
+
+    CB = 8
+    ncell_p = ((ncell + CB - 1) // CB) * CB
+
+    def kernel(xi_r, yi_r, zi_r, qi_r, ti_r, ai_r,
+               xj_r, yj_r, zj_r, qj_r, tj_r, aj_r,
+               fx_r, fy_r, fz_r):
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _init():
+            fx_r[...] = jnp.zeros_like(fx_r)
+            fy_r[...] = jnp.zeros_like(fy_r)
+            fz_r[...] = jnp.zeros_like(fz_r)
+
+        for c in range(CB):
+            fs, d = _tile_physics(
+                style, L, n, ntypes, flat_tables,
+                xi_r[c, :], yi_r[c, :], zi_r[c, :],
+                qi_r[c, :], ti_r[c, :], ai_r[c, :],
+                xj_r[c, 0, :], yj_r[c, 0, :], zj_r[c, 0, :],
+                qj_r[c, 0, :], tj_r[c, 0, :], aj_r[c, 0, :],
+            )
+            fx_r[c, :] += jnp.sum(fs * d[0], axis=1)
+            fy_r[c, :] += jnp.sum(fs * d[1], axis=1)
+            fz_r[c, :] += jnp.sum(fs * d[2], axis=1)
+
+    ispec = pl.BlockSpec((CB, cap), lambda c, g: (c, 0),
+                         memory_space=pltpu.VMEM)
+    jspec = pl.BlockSpec((CB, 1, group * cap), lambda c, g: (c, g, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((CB, cap), lambda c, g: (c, 0),
+                         memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(ncell_p // CB, ngroup),
+        in_specs=[ispec] * 6 + [jspec] * 6,
+        out_specs=[ospec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((ncell_p, cap), jnp.float32)] * 3,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )
+
+    nbr_j = jnp.asarray(nbr)
+    padc = ncell_p - ncell
+
+    def fn(state: SlotState):
+        def cv(p, fill=0):
+            a = p.reshape(ncell, cap)
+            if padc:
+                a = jnp.concatenate(
+                    [a, jnp.full((padc, cap), fill, a.dtype)])
+            return a
+
+        def jv(p, fill=0):
+            a = p.reshape(ncell, cap)[nbr_j]          # (ncell, 27, cap)
+            a = a.reshape(ncell, ngroup, group * cap)
+            if padc:
+                a = jnp.concatenate(
+                    [a, jnp.full((padc, ngroup, group * cap), fill,
+                                 a.dtype)])
+            return a
+
+        fx, fy, fz = call(
+            cv(state.x), cv(state.y), cv(state.z), cv(state.q),
+            cv(state.typ), cv(state.aid, fill=n),
+            jv(state.x), jv(state.y), jv(state.z), jv(state.q),
+            jv(state.typ), jv(state.aid, fill=n),
+        )
+        return (fx[:ncell].reshape(-1), fy[:ncell].reshape(-1),
+                fz[:ncell].reshape(-1))
+
+    return fn
+
+
 def _time_force(fn, state, nscan: int = 10, reps: int = 3) -> float:
     """Honest ms/step for a force fn over SlotState: chained data
     dependencies inside one jit + a final value fetch (the tunneled TPU
@@ -323,7 +420,8 @@ def benchmark_vs_xla(deck: str = "silica_pppm.yaml", nscan: int = 10,
                                          nscan, reps)
     out["xla_full27"] = _time_force(xla_variant(False), state, nscan, reps)
     for name, builder in (("pallas_full27", make_pallas_cellpair),
-                          ("pallas_v2_lanefused", make_pallas_cellpair_v2)):
+                          ("pallas_v2_lanefused", make_pallas_cellpair_v2),
+                          ("pallas_v3_pipelined", make_pallas_cellpair_v3)):
         try:
             out[name] = _time_force(builder(style, grid, box), state,
                                     nscan, reps)

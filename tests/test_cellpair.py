@@ -332,6 +332,31 @@ def test_pallas_cellpair_matches_xla():
     assert float(jnp.max(jnp.abs(fz - ref.fz))) / scale < 1e-5
 
 
+def test_pallas_cellpair_v3_matches_xla():
+    """Pipelined lane-fused Pallas variant == XLA dense kernel
+    (interpret mode): the group loop lives in the grid and the output
+    block accumulates across the inner grid steps."""
+    from lammps_buck_intel_tpu.ops.pallas_cellpair import (
+        make_pallas_cellpair_v3,
+    )
+
+    xs, v, box, n, u = _melt(6)
+    rng = np.random.RandomState(2)
+    xs = xs + rng.uniform(-0.1, 0.1, xs.shape)
+    grid = cs.make_grid(n, box.lengths, 2.8)
+    st = cs.from_atoms(grid, box, xs, np.zeros_like(xs),
+                       np.zeros((n, 3), np.int32), np.zeros(n, np.int32),
+                       np.zeros(n), dtype=jnp.float32)
+    style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5)
+    ref = compute_cellpair(style, grid, box, st, newton=False)
+    fn = make_pallas_cellpair_v3(style, grid, box, interpret=True)
+    fx, fy, fz = fn(st)
+    scale = float(jnp.max(jnp.abs(ref.fx)))
+    assert float(jnp.max(jnp.abs(fx - ref.fx))) / scale < 1e-5
+    assert float(jnp.max(jnp.abs(fy - ref.fy))) / scale < 1e-5
+    assert float(jnp.max(jnp.abs(fz - ref.fz))) / scale < 1e-5
+
+
 def test_pallas_cellpair_v2_matches_xla():
     """Lane-fused Pallas variant == XLA dense kernel (interpret mode)."""
     from lammps_buck_intel_tpu.ops.pallas_cellpair import (
