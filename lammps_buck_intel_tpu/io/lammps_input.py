@@ -20,9 +20,11 @@ the PPM/lammpstrj writers), dump_modify (ignored), replicate,
 delete_atoms region, read_data, run.  Unknown commands raise — silent
 skips would fake coverage.
 
-Deviations (documented): velocity RNG streams differ from LAMMPS
-(statistics match, per-atom values don't — io/velocity.py), and
-`thermo_style one/multi` both print our thermo table.
+Deviations (documented): `thermo_style one/multi` both print our thermo
+table.  Translated velocities use the host-LAMMPS RanPark stream
+(loop all AND loop geom — io/velocity.py `rng="lammps"`) for per-atom
+value parity; geom parity additionally requires bit-identical f64
+coordinates with the host run (lattice-generated decks).
 """
 from __future__ import annotations
 
@@ -159,12 +161,16 @@ def translate(path: str) -> dict:
             cfg["replicate"] = [int(v) for v in a[:3]]
         elif cmd == "velocity":
             # velocity all create T seed [dist uniform|gaussian]
-            # [loop geom]  (RNG stream differs; see module docstring)
+            # [loop all|geom] — literal scripts get the host-LAMMPS
+            # RanPark stream (io/velocity.py) for per-atom value parity
             if a[1] != "create":
                 raise TranslateError(f"velocity {a[1]!r}")
-            v = {"temp": float(a[2]), "seed": int(a[3])}
+            v = {"temp": float(a[2]), "seed": int(a[3]),
+                 "rng": "lammps", "dist": "uniform"}  # host default dist
             if "dist" in a:
                 v["dist"] = a[a.index("dist") + 1]
+            if "loop" in a:
+                v["loop"] = a[a.index("loop") + 1]
             cfg["velocity"] = v
         elif cmd == "pair_style":
             name = a[0]

@@ -158,6 +158,13 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         v0 = velocity.create(
             n, vel["temp"], vel.get("seed", 12345), mass_per_atom, u,
             dist=vel.get("dist", "gaussian"),
+            # rng: lammps = host-LAMMPS RanPark stream (per-atom value
+            # parity); the translator emits it for literal in.* scripts.
+            # YAML decks default to the numpy stream (goldens recorded
+            # against it).
+            rng=vel.get("rng", "numpy"),
+            loop=vel.get("loop", "all"),
+            coords=x,
         )
 
     box = make_box(lo, hi, tilt=tilt)

@@ -70,6 +70,72 @@ def test_velocity_create():
     np.testing.assert_allclose(p, 0.0, atol=1e-10)
 
 
+def test_ranpark_park_miller_fixed_point():
+    """The LCG core is the Park-Miller minimal standard: from seed 1,
+    the 10,000th iterate is 1043618065 (Park & Miller, CACM 1988) —
+    pins the host-LAMMPS RanPark stream bit-for-bit."""
+    g = velocity.RanPark(1)
+    for _ in range(10000):
+        g.uniform()
+    assert g.seed == 1043618065
+
+
+def test_velocity_create_lammps_loop_all():
+    u = get_units("real")
+    m = np.full(3000, 18.0)
+    v = velocity.create(3000, 300.0, 432567, m, u, dist="uniform",
+                        rng="lammps")
+    t = velocity.temperature(v, m, u)
+    np.testing.assert_allclose(t, 300.0, rtol=1e-10)
+    p = (m[:, None] * v).sum(axis=0)
+    np.testing.assert_allclose(p, 0.0, atol=1e-8)
+    # deterministic stream
+    v2 = velocity.create(3000, 300.0, 432567, m, u, dist="uniform",
+                         rng="lammps")
+    np.testing.assert_array_equal(v, v2)
+    # gaussian path exercises the odd-draw carry
+    vg = velocity.create(3001, 300.0, 87287, m[:3001] if len(m) >= 3001
+                         else np.full(3001, 18.0), u, dist="gaussian",
+                         rng="lammps")
+    np.testing.assert_allclose(
+        velocity.temperature(vg, np.full(3001, 18.0), u), 300.0,
+        rtol=1e-10)
+
+
+def test_velocity_create_lammps_loop_geom_order_independent():
+    """loop geom: each atom's draw depends only on its coordinates, so
+    shuffling the atom array permutes the velocities identically — the
+    decomposition-independence the host documents for this mode."""
+    u = get_units("lj")
+    n = 500
+    rng = np.random.RandomState(7)
+    x = rng.uniform(0.0, 10.0, (n, 3))
+    m = np.ones(n)
+    v = velocity.create(n, 1.44, 87287, m, u, dist="uniform",
+                        rng="lammps", loop="geom", coords=x)
+    perm = rng.permutation(n)
+    vp = velocity.create(n, 1.44, 87287, m, u, dist="uniform",
+                         rng="lammps", loop="geom", coords=x[perm])
+    # pre-rescale values follow atoms exactly; post-rescale the momentum
+    # zeroing + temperature factor are permutation-invariant too
+    np.testing.assert_allclose(vp, v[perm], rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(velocity.temperature(v, m, u), 1.44,
+                               rtol=1e-10)
+
+
+def test_translator_emits_lammps_rng(reference_dir):
+    from lammps_buck_intel_tpu.io.lammps_input import translate
+
+    cfg = translate(f"{reference_dir}/examples/in.buck")
+    assert cfg["velocity"] == {"temp": 1.44, "seed": 87287,
+                               "rng": "lammps", "dist": "uniform",
+                               "loop": "geom"}
+    cfg = translate(f"{reference_dir}/examples/in.spce")
+    v = cfg["velocity"]
+    assert v["rng"] == "lammps" and v["dist"] == "uniform"
+    assert "loop" not in v
+
+
 def test_native_reader_matches_python(reference_dir):
     """The C++ fastdata parser and the Python parser must agree exactly."""
     from lammps_buck_intel_tpu.io.fastdata import _load
