@@ -45,6 +45,8 @@ class CellPairSimulation:
         bonded=None,
         shake: Optional[ShakeConstraints] = None,
         thermostat: Optional[NVTConfig] = None,
+        rigid=None,
+        exclude_intra: bool = False,
     ):
         self.units = units
         self.precision = precision or single()
@@ -59,11 +61,20 @@ class CellPairSimulation:
         flt = self.precision.flt
 
         if self.box.is_triclinic and (shake is not None or bonded is not
-                                      None or kspace is not None and
+                                      None or rigid is not None
+                                      or kspace is not None and
                                       hasattr(kspace, "compute_slots")):
             raise NotImplementedError(
                 "triclinic cell-pair engine: pair + NVE/NVT + generic "
                 "kspace only (SHAKE/bonded min-image is orthogonal)")
+        if rigid is not None and shake is not None:
+            raise ValueError("fix rigid/small and fix shake are exclusive")
+        self.rigid = rigid
+        # fix rigid/small derives positions from UNWRAPPED body COMs; the
+        # Newton kernel's static per-(cell, offset) shifts need in-box
+        # coordinates, so rigid decks run the full 27-stencil kernel
+        # (per-pair minimum-image rounding is magnitude-agnostic)
+        self._newton = rigid is None
         cutneigh = float(np.sqrt(pair.cutsq_max)) + self.neighbor.skin
         # cell sizing bounds cutoffs by the PERPENDICULAR face widths —
         # equal to lengths when orthogonal (lamda-space cells of a tilted
@@ -100,12 +111,25 @@ class CellPairSimulation:
         self.bonded = bonded if (bonded is not None
                                  and bonded.has_terms) else None
         self.shake = shake
+        # same-molecule pair exclusion (neigh_modify exclude molecule/
+        # intra): padded atom-order mol table, gathered per slot in
+        # _forces.  fix rigid/small always excludes (intramolecular pairs
+        # exert no force on rigid motion — README deviation note).
+        if exclude_intra or rigid is not None:
+            if self._mol is None or self._mol.ndim == 0:
+                raise ValueError("exclude_intra needs molecule ids")
+            self._excl_mol = np.concatenate(
+                [self._mol.astype(np.int32), [-1]])
+        else:
+            self._excl_mol = None
         self.thermostat = None
         tchain = 0
         if thermostat is not None:
             t_dof = 3 * n - 3
             if shake is not None:
                 t_dof -= shake.n_constraints
+            if rigid is not None:
+                t_dof -= rigid.n_constraints
             self.thermostat = dataclasses.replace(
                 thermostat, dof=max(t_dof, 1), boltz=units.boltz,
                 mvv2e=units.mvv2e, dt=self.dt,
@@ -170,6 +194,27 @@ class CellPairSimulation:
                 )
 
             st = settle(st)
+        self.body = None
+        if rigid is not None:
+            if comp:
+                raise NotImplementedError(
+                    "compensated precision with fix rigid/small (positions "
+                    "are derived from body state, not integrated)")
+            from .rigid import (init_body_state, atom_positions,
+                                atom_velocities)
+
+            bs = init_body_state(rigid, jax.device_get(system.v),
+                                 dtype=flt)
+            xa, d = atom_positions(rigid, bs)
+            va = atom_velocities(rigid, bs, d)
+            # projecting out non-rigid velocity components IS the settle
+            st = cs.from_atoms(
+                self.grid, self.box, jax.device_get(xa),
+                jax.device_get(va), jax.device_get(system.image),
+                typ_np, jax.device_get(system.q), dtype=flt,
+                tchain=tchain, compensated=False,
+            )
+            self.body = bs
         self.state = self._init_force_fn()(st)
         self.step_count = 0
         self._chunk_fns: dict[int, Callable] = {}
@@ -208,12 +253,19 @@ class CellPairSimulation:
             jnp.asarray(self._special_code)[aid],
         )
 
+    def _slot_mol(self, state: cs.SlotState):
+        if self._excl_mol is None:
+            return None
+        return jnp.asarray(self._excl_mol)[
+            jnp.minimum(state.aid, self.n_atoms)]
+
     def _forces(self, state: cs.SlotState, sp, eflag: bool, vflag: bool):
         sp_idx, sp_code = sp
         r = compute_cellpair(
             self.pair, self.grid, self.box, state,
             eflag=eflag, vflag=vflag, acc_dtype=self.precision.acc,
             slot_special_idx=sp_idx, slot_special_code=sp_code,
+            newton=self._newton, slot_mol=self._slot_mol(state),
         )
         fx, fy, fz = r.fx, r.fy, r.fz
         elong = jnp.zeros((), self.precision.acc)
@@ -228,8 +280,14 @@ class CellPairSimulation:
                 virial = virial + kvir
             else:
                 xs = jnp.stack([state.x, state.y, state.z], axis=-1)
-                kr = self.kspace.compute(xs, state.q, eflag=eflag,
-                                         vflag=vflag)
+                if hasattr(self.kspace, "compute_slot"):
+                    # atom-order-baked inputs (dispersion B) gather by aid
+                    kr = self.kspace.compute_slot(
+                        xs, jnp.minimum(state.aid, self.n_atoms), state.q,
+                        eflag=eflag, vflag=vflag)
+                else:
+                    kr = self.kspace.compute(xs, state.q, eflag=eflag,
+                                             vflag=vflag)
                 fx = fx + kr.f[:, 0]
                 fy = fy + kr.f[:, 1]
                 fz = fz + kr.f[:, 2]
@@ -382,26 +440,109 @@ class CellPairSimulation:
         state, _ = jax.lax.scan(one_step, state, None, length=nsteps)
         return state
 
+    def _block_rigid(self, state: cs.SlotState, body, nsteps: int,
+                     t_target):
+        """fix rigid/small block: rebin once, then nsteps of batched
+        quaternion rigid-body velocity-Verlet (integrate/rigid.py) —
+        the nlist engine's _block_rigid on the slot layout.  Body math
+        runs in ATOM order (reusing the validated kernels verbatim);
+        slot<->atom conversion is one aid gather + one aid scatter per
+        step.  Slot x planes are DERIVED from the body state (unwrapped;
+        the full-stencil kernel min-images, see __init__ note); slot v
+        planes are refreshed at block end for thermo/IO."""
+        from .rigid import (atom_positions, atom_velocities,
+                            initial_integrate_rigid, final_integrate_rigid)
+
+        rg = self.rigid
+        state = cs.rebin_incremental(self.grid, self.box, state)
+        sp = self._slot_specials(state)
+        aid = jnp.minimum(state.aid, self.n_atoms)
+        flt = self.precision.flt
+        dtf, dtv = self.dtf, self.dtv
+        cfg = self.thermostat
+        if cfg is not None:
+            mass_col = jnp.asarray(rg.mass_per_atom, flt)[:, None]
+
+        def to_planes(arr3):
+            p = jnp.concatenate([arr3.astype(flt),
+                                 jnp.zeros((1, 3), flt)])
+            g = p[aid]
+            return g[:, 0], g[:, 1], g[:, 2]
+
+        def atom_forces(fx, fy, fz):
+            f = jnp.zeros((self.n_atoms + 1, 3), flt)
+            f = f.at[aid].set(jnp.stack(
+                [fx.astype(flt), fy.astype(flt), fz.astype(flt)], -1))
+            return f[:self.n_atoms]
+
+        def one_step(carry, _):
+            st, bs, fa = carry
+            th = st.therm
+            if cfg is not None:
+                _, d0 = atom_positions(rg, bs)
+                va = atom_velocities(rg, bs, d0)
+                chain = NHChain(eta=th[0], eta_dot=th[1])
+                scale, chain = nhc_half(cfg, chain, va, mass_col,
+                                        t_target)
+                bs = bs._replace(V=bs.V * scale, L=bs.L * scale)
+                th = jnp.stack([chain.eta, chain.eta_dot])
+            _, d = atom_positions(rg, bs)
+            bs = initial_integrate_rigid(rg, bs, fa, d, dtv, dtf)
+            xa, d2 = atom_positions(rg, bs)
+            x, y, z = to_planes(xa)
+            st = st._replace(x=x, y=y, z=z)
+            (fx, fy, fz), *_ = self._forces(st, sp, False, False)
+            fa = atom_forces(fx, fy, fz)
+            bs = final_integrate_rigid(rg, bs, fa, d2, dtf)
+            if cfg is not None:
+                va = atom_velocities(rg, bs, d2)
+                chain = NHChain(eta=th[0], eta_dot=th[1])
+                scale, chain = nhc_half(cfg, chain, va, mass_col,
+                                        t_target)
+                bs = bs._replace(V=bs.V * scale, L=bs.L * scale)
+                th = jnp.stack([chain.eta, chain.eta_dot])
+            st = st._replace(fx=fx.astype(flt), fy=fy.astype(flt),
+                             fz=fz.astype(flt), therm=th)
+            return (st, bs, fa), None
+
+        fa0 = atom_forces(state.fx, state.fy, state.fz)
+        (state, body, _), _ = jax.lax.scan(
+            one_step, (state, body, fa0), None, length=nsteps)
+        _, d = atom_positions(rg, body)
+        va = atom_velocities(rg, body, d)
+        vx, vy, vz = to_planes(va)
+        return state._replace(vx=vx, vy=vy, vz=vz), body
+
     def _repeat_blocks(self, size: int):
         # t_target is a traced argument (not baked): a thermostat ramp
         # re-dispatches per segment without recompiling (see verlet.py)
         fn = self._chunk_fns.get(size)
         if fn is None:
-            def chunk(state, n_blocks, t_target):
-                return jax.lax.fori_loop(
-                    0, n_blocks,
-                    lambda i, s: self._block(s, size, t_target), state
-                )
+            if self.rigid is not None:
+                def chunk(state, body, n_blocks, t_target):
+                    return jax.lax.fori_loop(
+                        0, n_blocks,
+                        lambda i, sb: self._block_rigid(
+                            sb[0], sb[1], size, t_target),
+                        (state, body),
+                    )
+            else:
+                def chunk(state, n_blocks, t_target):
+                    return jax.lax.fori_loop(
+                        0, n_blocks,
+                        lambda i, s: self._block(s, size, t_target), state
+                    )
             fn = jax.jit(chunk)
             self._chunk_fns[size] = fn
         return fn
 
     # ---------- thermo ----------
 
-    def _thermo_device(self, state: cs.SlotState) -> dict:
+    def _thermo_device(self, state: cs.SlotState, body=None) -> dict:
         state = cs.rebin_incremental(self.grid, self.box, state)
         sp = self._slot_specials(state)
-        _, evdwl, ecoul, elong, virial = self._forces(state, sp, True, True)
+        (tfx, tfy, tfz), evdwl, ecoul, elong, virial = self._forces(
+            state, sp, True, True)
         emol = jnp.zeros((), self.precision.acc)
         if self.bonded is not None:
             inv = self._inv_map(state)
@@ -426,7 +567,24 @@ class CellPairSimulation:
         dof = 3 * self.n_atoms - 3
         if self.shake is not None:
             dof -= self.shake.n_constraints
+        if self.rigid is not None:
+            dof -= self.rigid.n_constraints
         dof = max(dof, 1)
+        if self.rigid is not None and body is not None:
+            # rigid constraint virial (same contract as the nlist engine):
+            # tally against atom-order total forces derived via aid scatter
+            from .rigid import atom_positions, constraint_virial
+
+            aid = jnp.minimum(state.aid, self.n_atoms)
+            f = jnp.zeros((self.n_atoms + 1, 3), self.precision.flt)
+            f = f.at[aid].set(jnp.stack(
+                [tfx.astype(self.precision.flt),
+                 tfy.astype(self.precision.flt),
+                 tfz.astype(self.precision.flt)], -1))
+            _, d = atom_positions(self.rigid, body)
+            virial = virial + constraint_virial(
+                self.rigid, body, d, f[:self.n_atoms], u.ftm2v,
+                acc_dtype=self.precision.acc)
         temp = sum_mv2 / (dof * u.boltz)
         ke = 0.5 * sum_mv2
         vol = self.box.volume
@@ -441,7 +599,7 @@ class CellPairSimulation:
         )
 
     def thermo(self) -> dict:
-        row = jax.device_get(self._thermo_jit(self.state))
+        row = jax.device_get(self._thermo_jit(self.state, self.body))
         out = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v))
                for k, v in row.items()}
         out["step"] = self.step_count
@@ -492,6 +650,14 @@ class CellPairSimulation:
     def _advance(self, total: int, cadence: int):
         tt = jnp.asarray(self._t_target(ahead=total), self.precision.flt)
         n_full, rem = divmod(total, cadence)
+        if self.rigid is not None:
+            if n_full:
+                self.state, self.body = self._repeat_blocks(cadence)(
+                    self.state, self.body, n_full, tt)
+            if rem:
+                self.state, self.body = self._repeat_blocks(rem)(
+                    self.state, self.body, 1, tt)
+            return
         if n_full:
             self.state = self._repeat_blocks(cadence)(self.state, n_full, tt)
         if rem:

@@ -236,11 +236,10 @@ def richardson(rb: RigidBodies, q, L, dt: float, iters: int = 2):
     return quat_normalize(q + dt * qdot(q_half))
 
 
-def initial_integrate_rigid(rb: RigidBodies, bs: BodyState, f, d,
-                            dtv: float, dtf: float) -> BodyState:
-    """Half kick + drift: v/L kicks use dtf = 0.5 dt ftm2v (force-to-
-    velocity units, the NVEParams convention); X drifts by dtv."""
-    F, T = force_torque(rb, d, f)
+def initial_integrate_rigid_ft(rb: RigidBodies, bs: BodyState, F, T,
+                               dtv: float, dtf: float) -> BodyState:
+    """Half kick + drift from PRE-REDUCED body force/torque (the slab
+    engine psums per-device partials into these)."""
     V = bs.V + (dtf * jnp.asarray(rb.minv, bs.V.dtype))[:, None] * F
     L = bs.L + dtf * T
     X = bs.X + dtv * V
@@ -248,12 +247,25 @@ def initial_integrate_rigid(rb: RigidBodies, bs: BodyState, f, d,
     return BodyState(X=X, V=V, q=q, L=L)
 
 
-def final_integrate_rigid(rb: RigidBodies, bs: BodyState, f, d,
-                          dtf: float) -> BodyState:
-    F, T = force_torque(rb, d, f)
+def final_integrate_rigid_ft(rb: RigidBodies, bs: BodyState, F, T,
+                             dtf: float) -> BodyState:
     V = bs.V + (dtf * jnp.asarray(rb.minv, bs.V.dtype))[:, None] * F
     L = bs.L + dtf * T
     return bs._replace(V=V, L=L)
+
+
+def initial_integrate_rigid(rb: RigidBodies, bs: BodyState, f, d,
+                            dtv: float, dtf: float) -> BodyState:
+    """Half kick + drift: v/L kicks use dtf = 0.5 dt ftm2v (force-to-
+    velocity units, the NVEParams convention); X drifts by dtv."""
+    F, T = force_torque(rb, d, f)
+    return initial_integrate_rigid_ft(rb, bs, F, T, dtv, dtf)
+
+
+def final_integrate_rigid(rb: RigidBodies, bs: BodyState, f, d,
+                          dtf: float) -> BodyState:
+    F, T = force_torque(rb, d, f)
+    return final_integrate_rigid_ft(rb, bs, F, T, dtf)
 
 
 def body_state_from_atoms(rb: RigidBodies, x, v, L_box,

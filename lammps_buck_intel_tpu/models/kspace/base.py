@@ -130,6 +130,26 @@ class BoundKSpace:
         b = jnp.asarray(self.per_atom, x.dtype)
         return self.solver.compute(x, b, eflag=eflag, vflag=vflag)
 
+    def compute_slot(self, x, aid, q, eflag=True, vflag=True):
+        """Slot-order form for the cell-pair engine: x is (NS, 3) slot
+        positions, aid (NS,) atom ids CLAMPED to N for empty slots.  The
+        baked atom-order inputs gather through aid with a zero pad row,
+        so empty slots carry zero dispersion charge and contribute
+        nothing (q is ignored; it rides the runner signature)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        if self.typed:
+            A = np.asarray(self.solver.A)
+            af = A[:, self.per_atom]                       # (nch, N)
+            af = np.concatenate([af, np.zeros((af.shape[0], 1))], 1)
+            a_slot = jnp.asarray(af, x.dtype)[:, aid]
+            return self.solver.compute_channels(x, a_slot, self.solver.P,
+                                                eflag=eflag, vflag=vflag)
+        b = np.concatenate([self.per_atom, [0.0]])
+        b_slot = jnp.asarray(b, x.dtype)[aid]
+        return self.solver.compute(x, b_slot, eflag=eflag, vflag=vflag)
+
 
 class CombinedKSpace:
     """Sums several kspace solvers (e.g. coulomb PPPM + dispersion PPPM,
@@ -142,6 +162,25 @@ class CombinedKSpace:
         out = None
         for s in self.solvers:
             r = s.compute(x, q, eflag=eflag, vflag=vflag)
+            if out is None:
+                out = r
+            else:
+                out = KSpaceResult(
+                    f=out.f + r.f, elong=out.elong + r.elong,
+                    virial=out.virial + r.virial,
+                )
+        return out
+
+    def compute_slot(self, x, aid, q, eflag=True, vflag=True):
+        """Slot-order dispatch: charge solvers take slot q directly
+        (empty slots have q = 0); atom-order-baked solvers gather
+        through aid (BoundKSpace.compute_slot)."""
+        out = None
+        for s in self.solvers:
+            if hasattr(s, "compute_slot"):
+                r = s.compute_slot(x, aid, q, eflag=eflag, vflag=vflag)
+            else:
+                r = s.compute(x, q, eflag=eflag, vflag=vflag)
             if out is None:
                 out = r
             else:

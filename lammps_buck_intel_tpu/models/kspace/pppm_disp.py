@@ -187,6 +187,13 @@ class PPPMDisp:
         a_atoms = jnp.asarray(self.A, x.dtype)[:, typ]   # (nch, N)
         return _disp_compute_multi(self, x, a_atoms, self.P, eflag, vflag)
 
+    def compute_channels(self, x, a_atoms, P=None, eflag: bool = True,
+                         vflag: bool = True) -> KSpaceResult:
+        """Explicit channel-charge form: a_atoms (nch, M) — slot-order
+        callers pad empty rows with zeros (BoundKSpace.compute_slot)."""
+        P = self.P if P is None else P
+        return _disp_compute_multi(self, x, a_atoms, P, eflag, vflag)
+
     def compute_peratom(self, x, typ=None, b_per_atom=None):
         """Per-atom dispersion energy/virial — the per-atom correction
         contract of /root/reference/pppm_disp_intel.cpp:512-537."""

@@ -116,17 +116,28 @@ def compute_cell_tiles(
             slot_special_code.reshape(ncell, cap, -1).astype(jnp.int32))
     else:
         sp_i_t = sp_c_t = jnp.zeros((nt, tile, 0), jnp.int32)
+    has_mol = "mol" in i_planes
+    if has_mol:
+        # same-molecule exclusion (neigh_modify exclude molecule/intra —
+        # fix rigid/small's pair semantics): one compare per tile
+        mi_t = tiled(cellv(i_planes["mol"]), fill=-1)
+        mj_t = tiled(jv(j_planes["mol"]), fill=-2)
+    else:
+        mi_t = jnp.zeros((nt, tile, 0), jnp.int32)
+        mj_t = jnp.zeros((nt, tile, 0), jnp.int32)
 
     flat_tables = np.asarray(style.tables).reshape(ntypes * ntypes, -1)
 
     def one_tile(args):
         (xi, yi, zi, xj, yj, zj, aid_i, aid_j, ti, tj, qi, qj,
-         sp_i, sp_c) = args
+         sp_i, sp_c, mi, mj) = args
         mask = (
             (aid_i[:, :, None] != aid_j[:, None, :])
             & (aid_i[:, :, None] < n)
             & (aid_j[:, None, :] < n)
         )
+        if has_mol:
+            mask = mask & (mi[:, :, None] != mj[:, None, :])
         d = []
         rsq = None
         for ax, (ci, cj) in enumerate(((xi, xj), (yi, yj), (zi, zj))):
@@ -186,7 +197,8 @@ def compute_cell_tiles(
     fx_t, fy_t, fz_t, ev_t, ec_t, vir_t = jax.lax.map(
         one_tile,
         (xi_t[0], xi_t[1], xi_t[2], xj_t[0], xj_t[1], xj_t[2],
-         aid_i_t, aid_j_t, ti_t, tj_t, qi_t, qj_t, sp_i_t, sp_c_t),
+         aid_i_t, aid_j_t, ti_t, tj_t, qi_t, qj_t, sp_i_t, sp_c_t,
+         mi_t, mj_t),
     )
     fx = fx_t.reshape(nt * tile, cap)[:ncell].reshape(-1)
     fy = fy_t.reshape(nt * tile, cap)[:ncell].reshape(-1)
@@ -321,6 +333,14 @@ def compute_cell_tiles_newton(
             slot_special_code.reshape(ncell, cap, -1).astype(jnp.int32))
     else:
         sp_i_t = sp_c_t = jnp.zeros((nt, tile, 0), jnp.int32)
+    has_mol = "mol" in planes
+    if has_mol:
+        # same-molecule exclusion (fix rigid/small pair semantics)
+        mi_t = tiled(cellv(planes["mol"]), fill=-1)
+        mj_t = tiled(jv(planes["mol"]), fill=-2)
+    else:
+        mi_t = jnp.zeros((nt, tile, 0), jnp.int32)
+        mj_t = jnp.zeros((nt, tile, 0), jnp.int32)
 
     flat_tables = np.asarray(style.tables).reshape(ntypes * ntypes, -1)
     # static: which of the 14*cap j-columns form the self block
@@ -330,12 +350,14 @@ def compute_cell_tiles_newton(
 
     def one_tile(args):
         (xi, yi, zi, xj, yj, zj, aid_i, aid_j, ti, tj, qi, qj,
-         sp_i, sp_c) = args
+         sp_i, sp_c, mi, mj) = args
         valid = (aid_i[:, :, None] < n) & (aid_j[:, None, :] < n)
         # self tile: count each pair once (i < j); cross tiles: all pairs
         dedup = jnp.where(self_block_j[None, None, :],
                           aid_i[:, :, None] < aid_j[:, None, :], True)
         mask = valid & dedup
+        if has_mol:
+            mask = mask & (mi[:, :, None] != mj[:, None, :])
         d = []
         rsq = None
         for ci, cj in ((xi, xj), (yi, yj), (zi, zj)):
@@ -398,7 +420,8 @@ def compute_cell_tiles_newton(
     fx_t, fy_t, fz_t, gx_t, gy_t, gz_t, ev_t, ec_t, vir_t = jax.lax.map(
         one_tile,
         (xi_t[0], xi_t[1], xi_t[2], xj_t[0], xj_t[1], xj_t[2],
-         aid_i_t, aid_j_t, ti_t, tj_t, qi_t, qj_t, sp_i_t, sp_c_t),
+         aid_i_t, aid_j_t, ti_t, tj_t, qi_t, qj_t, sp_i_t, sp_c_t,
+         mi_t, mj_t),
     )
 
     def uncell(a):   # (nt, tile, cap) -> (ncell, cap)
@@ -445,6 +468,7 @@ def compute_cellpair(
     slot_special_idx: Optional[jnp.ndarray] = None,   # (NS, S) atom ids
     slot_special_code: Optional[jnp.ndarray] = None,  # (NS, S) int8
     newton: bool = True,
+    slot_mol: Optional[jnp.ndarray] = None,           # (NS,) mol ids >= 0
 ) -> CellPairResult:
     """Single-device form: i == j == the full grid, periodic 27-table.
 
@@ -452,8 +476,14 @@ def compute_cellpair(
     newton=False keeps the full 27-tile form (reference comparison and
     the slab engine's halo semantics).  Triclinic boxes run the Newton
     kernel (its static per-(cell, offset) shifts generalize to h @ s;
-    the full kernel's per-axis rounding does not)."""
+    the full kernel's per-axis rounding does not).
+
+    slot_mol: optional per-slot molecule ids (>= 0; empty slots already
+    masked by aid) — same-molecule pairs are fully excluded, the
+    `neigh_modify exclude molecule/intra` contract fix rigid/small needs."""
     planes = _state_planes(state)
+    if slot_mol is not None:
+        planes["mol"] = slot_mol
     h = box.h_matrix if box.is_triclinic else None
     if newton or h is not None:
         return compute_cell_tiles_newton(

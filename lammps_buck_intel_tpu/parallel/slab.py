@@ -115,6 +115,8 @@ class SlabCellPairSimulation:
         topology: Optional[Topology] = None,
         bonded=None,
         shake: Optional[ShakeConstraints] = None,
+        rigid=None,
+        exclude_intra: bool = False,
     ):
         """kspace_setup: optional fn (sim) -> SlabCellPPPM called after the
         grid exists (the runner wires setup_pppm through it)."""
@@ -168,6 +170,25 @@ class SlabCellPairSimulation:
         self.bonded = bonded if (bonded is not None
                                  and bonded.has_terms) else None
         self.shake = shake
+        if rigid is not None and shake is not None:
+            raise ValueError("fix rigid/small and fix shake are exclusive")
+        self.rigid = rigid
+        # same-molecule pair exclusion (fix rigid/small pair semantics):
+        # padded atom-order table, gathered per slot + halo in _forces_local
+        if exclude_intra or rigid is not None:
+            if self._mol is None or self._mol.ndim == 0:
+                raise ValueError("exclude_intra needs molecule ids")
+            self._excl_mol = np.concatenate(
+                [self._mol.astype(np.int32), [-1]])
+        else:
+            self._excl_mol = None
+        if rigid is not None:
+            # static padded body maps (aid -> body id / body-frame offset;
+            # row n -> body B sentinel, segment-dropped)
+            self._bof_pad = np.concatenate(
+                [rigid.body_of.astype(np.int32), [rigid.nbody]])
+            self._rbody_pad = np.concatenate(
+                [rigid.r_body, np.zeros((1, 3))]).astype(np.dtype(flt))
         self.kspace: Optional[SlabCellPPPM] = None
         self._kc = {}
         self.thermostat = None
@@ -176,6 +197,8 @@ class SlabCellPairSimulation:
             t_dof = 3 * n - 3
             if shake is not None:
                 t_dof -= shake.n_constraints
+            if rigid is not None:
+                t_dof -= rigid.n_constraints
             self.thermostat = dataclasses.replace(
                 thermostat, dof=max(t_dof, 1), boltz=units.boltz,
                 mvv2e=units.mvv2e, dt=self.dt)
@@ -210,6 +233,19 @@ class SlabCellPairSimulation:
 
             x_np, v_np = (np.asarray(a) for a in settle(
                 jnp.asarray(x_np), jnp.asarray(v_np)))
+
+        self.body = None
+        if rigid is not None:
+            from ..integrate.rigid import (init_body_state, atom_positions,
+                                           atom_velocities)
+
+            bs = init_body_state(rigid, v_np, dtype=flt)
+            xa, d = atom_positions(rigid, bs)
+            va = atom_velocities(rigid, bs, d)
+            # projecting out non-rigid velocity components IS the settle
+            x_np = np.asarray(jax.device_get(xa))
+            v_np = np.asarray(jax.device_get(va))
+            self.body = bs
 
         st = cs.from_atoms(
             self.grid, self.box, x_np,
@@ -248,6 +284,15 @@ class SlabCellPairSimulation:
             is_leaf=lambda v: isinstance(v, P),
         )
         self.state = jax.device_put(st, self._state_sharding)
+        if self.body is not None:
+            from ..integrate.rigid import BodyState
+
+            # body state is REPLICATED (B << N): per-device partial
+            # force/torque psums drive an identical update everywhere
+            self._body_spec = BodyState(X=P(), V=P(), q=P(), L=P())
+            rep = NamedSharding(self.mesh, P())
+            self.body = jax.tree.map(
+                lambda a: jax.device_put(a, rep), self.body)
         self.step_count = 0
         self._chunk_fns: dict[int, Callable] = {}
         self.timings = {"run": 0.0}
@@ -386,10 +431,16 @@ class SlabCellPairSimulation:
         if ctx is None:
             ctx = self._term_ctx(state)
         jp = self._halo_planes(state)
+        ip = _state_planes(state)
+        if self._excl_mol is not None:
+            mol_slot = jnp.asarray(self._excl_mol)[
+                jnp.minimum(state.aid, self.n_atoms)]
+            ip["mol"] = mol_slot
+            jp["mol"] = self._halo(mol_slot)
         sp_idx, sp_code = ctx["sp"]
         r = compute_cell_tiles(
             self.pair, self.box.lengths, self.n_atoms, self.grid.cap,
-            self._nbr_ext, _state_planes(state), jp,
+            self._nbr_ext, ip, jp,
             eflag=eflag, vflag=vflag, acc_dtype=self.precision.acc,
             slot_special_idx=sp_idx, slot_special_code=sp_code,
         )
@@ -509,6 +560,8 @@ class SlabCellPairSimulation:
         dof = 3 * self.n_atoms - 3
         if self.shake is not None:
             dof -= self.shake.n_constraints
+        if self.rigid is not None:
+            dof -= self.rigid.n_constraints
         return max(dof, 1)
 
     def _nhc_scale(self, st: cs.SlotState, th, minv, t_target):
@@ -591,21 +644,146 @@ class SlabCellPairSimulation:
         state, _ = jax.lax.scan(one_step, state, None, length=nsteps)
         return state
 
+    # ---------- fix rigid/small on the slab mesh ----------
+    #
+    # Body state (B, ...) is REPLICATED: each device reduces its owned
+    # slots into per-body force/torque partials, one psum completes them
+    # (a body straddling a slab boundary needs no ghost machinery — the
+    # partial sums ARE the decomposition), and every device advances all
+    # bodies identically.  Slot x/v planes are DERIVED from the body
+    # state each step through local aid gathers; migration/rebin moves
+    # slot rows only, never body state.
+
+    def _rigid_maps(self, state: cs.SlotState):
+        """Per-block (binning-static) local body maps."""
+        aid = jnp.minimum(state.aid, self.n_atoms)
+        bof = jnp.asarray(self._bof_pad)[aid]          # (NS_loc,), B=empty
+        rb_s = jnp.asarray(self._rbody_pad)[aid]       # (NS_loc, 3)
+        return bof, rb_s
+
+    def _body_ft(self, bs, bof, rb_s, fx, fy, fz):
+        """psum-completed body force/torque from local slot forces."""
+        from ..integrate.rigid import quat_rotate
+
+        B = self.rigid.nbody
+        qp = jnp.concatenate(
+            [bs.q, jnp.asarray([[1.0, 0, 0, 0]], bs.q.dtype)])
+        d = quat_rotate(qp[bof], rb_s.astype(bs.q.dtype))
+        f = jnp.stack([fx, fy, fz], -1).astype(bs.V.dtype)
+        F = jax.ops.segment_sum(f, bof, num_segments=B + 1)[:B]
+        T = jax.ops.segment_sum(jnp.cross(d, f), bof,
+                                num_segments=B + 1)[:B]
+        if self.D > 1:
+            F = jax.lax.psum(F, self.axis)
+            T = jax.lax.psum(T, self.axis)
+        return F, T, d
+
+    def _derive_xv(self, bs, bof, rb_s, want_x=True):
+        """Local slot planes from the replicated body state."""
+        from ..integrate.rigid import (quat_rotate, quat_rotate_inv)
+
+        rg = self.rigid
+        flt = self.precision.flt
+        qp = jnp.concatenate(
+            [bs.q, jnp.asarray([[1.0, 0, 0, 0]], bs.q.dtype)])
+        d = quat_rotate(qp[bof], rb_s.astype(bs.q.dtype))
+        z1 = jnp.zeros((1, 3), bs.X.dtype)
+        out = []
+        if want_x:
+            Xp = jnp.concatenate([bs.X, z1])
+            xs = Xp[bof] + d
+            out += [xs[:, 0].astype(flt), xs[:, 1].astype(flt),
+                    xs[:, 2].astype(flt)]
+        iinv = jnp.asarray(rg.iinv, bs.q.dtype)
+        om = quat_rotate(bs.q, iinv * quat_rotate_inv(bs.q, bs.L))
+        omp = jnp.concatenate([om, z1])
+        Vp = jnp.concatenate([bs.V, z1])
+        vs = Vp[bof] + jnp.cross(omp[bof], d)
+        out += [vs[:, 0].astype(flt), vs[:, 1].astype(flt),
+                vs[:, 2].astype(flt)]
+        return out
+
+    def _block_rigid_local(self, state: cs.SlotState, body, kc: dict,
+                           nsteps: int, t_target=0.0):
+        from ..integrate.rigid import (initial_integrate_rigid_ft,
+                                       final_integrate_rigid_ft)
+
+        rg = self.rigid
+        state = self._rebin_local(state)
+        ctx = self._term_ctx(state)
+        bof, rb_s = self._rigid_maps(state)
+        minv = self._minv(state)
+        dtf, dtv = self.dtf, self.dtv
+        flt = self.precision.flt
+        cfg = self.thermostat
+
+        def one_step(carry, _):
+            st, bs = carry
+            th = st.therm
+            if cfg is not None:
+                # v planes are current (derived after the last kick)
+                scale, th = self._nhc_scale(st, th, minv, t_target)
+                bs = bs._replace(V=bs.V * scale, L=bs.L * scale)
+                st = st._replace(vx=st.vx * scale, vy=st.vy * scale,
+                                 vz=st.vz * scale)
+            F, T, _ = self._body_ft(bs, bof, rb_s, st.fx, st.fy, st.fz)
+            bs = initial_integrate_rigid_ft(rg, bs, F, T, dtv, dtf)
+            x, y, z, _, _, _ = self._derive_xv(bs, bof, rb_s)
+            st = st._replace(x=x, y=y, z=z)
+            (fx, fy, fz), *_ = self._forces_local(st, kc, False, False,
+                                                  ctx=ctx)
+            fx = fx.astype(flt)
+            fy = fy.astype(flt)
+            fz = fz.astype(flt)
+            F, T, _ = self._body_ft(bs, bof, rb_s, fx, fy, fz)
+            bs = final_integrate_rigid_ft(rg, bs, F, T, dtf)
+            vx, vy, vz = self._derive_xv(bs, bof, rb_s, want_x=False)
+            st = st._replace(vx=vx, vy=vy, vz=vz)
+            if cfg is not None:
+                scale, th = self._nhc_scale(st, th, minv, t_target)
+                bs = bs._replace(V=bs.V * scale, L=bs.L * scale)
+                st = st._replace(vx=st.vx * scale, vy=st.vy * scale,
+                                 vz=st.vz * scale)
+            st = st._replace(fx=fx, fy=fy, fz=fz, therm=th)
+            return (st, bs), None
+
+        (state, body), _ = jax.lax.scan(one_step, (state, body), None,
+                                        length=nsteps)
+        return state, body
+
     def _repeat_blocks(self, size: int):
         fn = self._chunk_fns.get(size)
         if fn is None:
-            def local(state, kc, n_blocks, t_target):
-                return jax.lax.fori_loop(
-                    0, n_blocks,
-                    lambda i, s: self._block_local(s, kc, size, t_target),
-                    state)
+            if self.rigid is not None:
+                def local(state, body, kc, n_blocks, t_target):
+                    return jax.lax.fori_loop(
+                        0, n_blocks,
+                        lambda i, sb: self._block_rigid_local(
+                            sb[0], sb[1], kc, size, t_target),
+                        (state, body))
 
-            sharded = shard_map(
-                local, mesh=self.mesh,
-                in_specs=(self._state_spec, self._kc_in_specs(), P(), P()),
-                out_specs=self._state_spec,
-                check_vma=False,
-            )
+                sharded = shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=(self._state_spec, self._body_spec,
+                              self._kc_in_specs(), P(), P()),
+                    out_specs=(self._state_spec, self._body_spec),
+                    check_vma=False,
+                )
+            else:
+                def local(state, kc, n_blocks, t_target):
+                    return jax.lax.fori_loop(
+                        0, n_blocks,
+                        lambda i, s: self._block_local(s, kc, size,
+                                                       t_target),
+                        state)
+
+                sharded = shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=(self._state_spec, self._kc_in_specs(),
+                              P(), P()),
+                    out_specs=self._state_spec,
+                    check_vma=False,
+                )
             fn = jax.jit(sharded)
             self._chunk_fns[size] = fn
         return fn
@@ -615,9 +793,9 @@ class SlabCellPairSimulation:
         acc = self.precision.acc
         D = self.D
 
-        def local(state, kc):
+        def local(state, body, kc):
             state = self._rebin_local(state)
-            _, evdwl, ecoul, elong, emol, vir_pair, vir_k = \
+            (tfx, tfy, tfz), evdwl, ecoul, elong, emol, vir_pair, vir_k = \
                 self._forces_local(state, kc, True, True)
 
             def allsum(v):
@@ -627,6 +805,45 @@ class SlabCellPairSimulation:
                                   allsum(emol))
             # vir_pair is a local partial; vir_k/elong arrive replicated
             virial = allsum(vir_pair) + vir_k
+            if self.rigid is not None:
+                # rigid constraint virial (integrate/rigid.py
+                # constraint_virial, decomposed): psum-completed torque
+                # drives a replicated body-frame Euler; the d (x) fc tally
+                # runs on owned slots and psums.  fc = (m/ftm2v) a - f.
+                from ..integrate.rigid import quat_rotate, quat_rotate_inv
+
+                rg = self.rigid
+                bof, rb_s = self._rigid_maps(state)
+                F, T, d = self._body_ft(body, bof, rb_s,
+                                        tfx.astype(self.precision.flt),
+                                        tfy.astype(self.precision.flt),
+                                        tfz.astype(self.precision.flt))
+                iinv = jnp.asarray(rg.iinv, body.q.dtype)
+                Lb = quat_rotate_inv(body.q, body.L)
+                wb = iinv * Lb
+                wdotb = iinv * (u.ftm2v * quat_rotate_inv(body.q, T)
+                                - jnp.cross(wb, Lb))
+                alpha = quat_rotate(body.q, wdotb)
+                om = quat_rotate(body.q, wb)
+                z1 = jnp.zeros((1, 3), body.q.dtype)
+                alp = jnp.concatenate([alpha, z1])[bof]
+                omp = jnp.concatenate([om, z1])[bof]
+                a = (jnp.cross(alp, d)
+                     + jnp.cross(omp, jnp.cross(omp, d)))
+                minv_s = self._minv(state)
+                m_s = jnp.where(state.aid < self.n_atoms,
+                                1.0 / jnp.maximum(minv_s, 1e-30), 0.0)
+                f = jnp.stack([tfx, tfy, tfz], -1).astype(d.dtype)
+                fc = (m_s / u.ftm2v)[:, None] * a - f
+                vir_c = jnp.stack([
+                    jnp.sum((d[:, 0] * fc[:, 0]).astype(acc)),
+                    jnp.sum((d[:, 1] * fc[:, 1]).astype(acc)),
+                    jnp.sum((d[:, 2] * fc[:, 2]).astype(acc)),
+                    jnp.sum((d[:, 0] * fc[:, 1]).astype(acc)),
+                    jnp.sum((d[:, 0] * fc[:, 2]).astype(acc)),
+                    jnp.sum((d[:, 1] * fc[:, 2]).astype(acc)),
+                ])
+                virial = virial + allsum(vir_c)
             valid = state.aid < self.n_atoms
             minv = self._minv(state)
             mass = jnp.where(valid, 1.0 / jnp.maximum(minv, 1e-30), 0.0)
@@ -654,12 +871,20 @@ class SlabCellPairSimulation:
             ke=P(), etotal=P(), press=P(), overflow=P(), vmax=P(),
             virial=P(),
         )
-        return jax.jit(self._shmap(local, scalar_specs))
+        body_spec = self._body_spec if self.rigid is not None else None
+        sharded = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(self._state_spec, body_spec, self._kc_in_specs()),
+            out_specs=scalar_specs,
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
     # ---------- host API (mirrors CellPairSimulation) ----------
 
     def thermo(self) -> dict:
-        row = jax.device_get(self._thermo_jit(self.state, self._kc))
+        row = jax.device_get(
+            self._thermo_jit(self.state, self.body, self._kc))
         out = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v))
                for k, v in row.items()}
         out["step"] = self.step_count
@@ -735,12 +960,20 @@ class SlabCellPairSimulation:
                 tt_val = cfg.t_start + (cfg.t_stop - cfg.t_start) * frac
             tt = jnp.asarray(tt_val, self.precision.flt)
             n_full, rem = divmod(total, cadence)
-            if n_full:
-                self.state = self._repeat_blocks(cadence)(
-                    self.state, self._kc, n_full, tt)
-            if rem:
-                self.state = self._repeat_blocks(rem)(
-                    self.state, self._kc, 1, tt)
+            if self.rigid is not None:
+                if n_full:
+                    self.state, self.body = self._repeat_blocks(cadence)(
+                        self.state, self.body, self._kc, n_full, tt)
+                if rem:
+                    self.state, self.body = self._repeat_blocks(rem)(
+                        self.state, self.body, self._kc, 1, tt)
+            else:
+                if n_full:
+                    self.state = self._repeat_blocks(cadence)(
+                        self.state, self._kc, n_full, tt)
+                if rem:
+                    self.state = self._repeat_blocks(rem)(
+                        self.state, self._kc, 1, tt)
             self.step_count = target
             if thermo_every and self.step_count % thermo_every == 0:
                 emit()

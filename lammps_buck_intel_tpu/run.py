@@ -496,10 +496,6 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             raise NotImplementedError("slab engine: triclinic box")
         if npt_fix is not None:
             raise NotImplementedError("slab engine: fix npt")
-        if rigid_fix is not None:
-            raise NotImplementedError("slab engine: fix rigid/small")
-        if exclude_intra:
-            raise NotImplementedError("slab engine: exclude_intra")
         if prec.compensated:
             raise NotImplementedError(
                 "slab engine: compensated precision (use single/double)")
@@ -547,6 +543,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             system, style, mesh=slab_mesh(n_dev), units=u, precision=prec,
             dt=dt, neighbor=policy, thermostat=thermostat,
             kspace_setup=kset, shake=shake, bonded=bonded,
+            rigid=rigid_fix, exclude_intra=exclude_intra,
             topology=topo)
 
     if box.is_triclinic and engine == "cellpair" and (
@@ -560,8 +557,11 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         # the triclinic lamda wrap reconstructs positions, destroying the
         # two-float split — compensated tilted decks use the nlist engine
         engine = "nlist"
-    if rigid_fix is not None and engine == "cellpair":
-        # the quaternion rigid integrator lives in the nlist engine
+    if rigid_fix is not None and engine == "cellpair" and (
+            box.is_triclinic or prec.compensated):
+        # rigid on the production engine is orthogonal + plain-precision
+        # (positions derive from unwrapped body COMs); other rigid decks
+        # run the cell-pair engine with same-molecule pair exclusion
         engine = "nlist"
     common = dict(topology=topo, kspace=kspace, units=u, precision=prec,
                   dt=dt, neighbor=policy)
@@ -598,11 +598,6 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             system, style, npt_fix, thermostat, kspace=kspace,
             bonded=bonded, units=u, precision=prec, dt=dt,
             neighbor=policy, shake=shake, topology=topo)
-    if engine == "cellpair" and exclude_intra:
-        raise ValueError(
-            "cellpair engine does not support exclude_intra yet; "
-            "use engine: nlist"
-        )
     if engine == "cellpair":
         use_cellpppm = (
             ks and ks.get("name") == "pppm"
@@ -622,7 +617,8 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         try:
             sim = CellPairSimulation(
                 system, style, bonded=bonded, shake=shake,
-                thermostat=thermostat, **kw2)
+                thermostat=thermostat, rigid=rigid_fix,
+                exclude_intra=exclude_intra, **kw2)
         except ValueError:
             # box too small for a 3^3 cell grid — fall through to nlist
             sim = None

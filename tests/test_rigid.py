@@ -250,3 +250,91 @@ def test_rigid_constraint_virial_pressure_fd():
     dV = ((1 + h) ** 3 - (1 - h) ** 3) * L**3
     p_fd = -(U_up - U_dn) / dV  # lj units: nktv2p = 1
     assert abs(press - p_fd) < 1e-6 * max(abs(p_fd), 1.0), (press, p_fd)
+
+
+def _rigid_melt(n_side=3):
+    """Lattice of rigid triatomic ions big enough for the cell grid."""
+    u = get_units("lj")
+    base = np.array([[0.0, 0, 0], [1.0, 0, 0], [0, 1.2, 0]])
+    rng = np.random.default_rng(11)
+    xs, mols = [], []
+    m = 0
+    for i in range(n_side):
+        for j in range(n_side):
+            for k in range(n_side):
+                org = np.array([2.0 + 4.0 * i, 2.0 + 4.0 * j,
+                                2.0 + 4.0 * k])
+                xs.append(base + org + rng.uniform(-0.05, 0.05, 3))
+                mols += [m] * 3
+                m += 1
+    x = np.concatenate(xs)
+    mol = np.asarray(mols, np.int32)
+    nm = m
+    typ = np.tile(np.array([0, 1, 1], np.int32), nm)
+    q = np.tile(np.array([-0.8, 0.4, 0.4]), nm)
+    mass = np.array([16.0, 1.0])
+    box = make_box([0] * 3, [4.0 * n_side] * 3, dtype=jnp.float64)
+    v0 = rng.normal(scale=0.05, size=(3 * nm, 3))
+    rb = make_rigid_bodies(x, mol, mass[typ], box.lengths)
+    style = build_buck(
+        2, {(0, 0): (2000.0, 0.3, 1.0), (0, 1): (1500.0, 0.3, 0.5),
+            (1, 1): (1000.0, 0.3, 0.2)},
+        cut_global=3.0, coul="cut", dtype=jnp.float64, qqrd2e=1.0,
+    )
+    system = make_system(x, box, type=typ, v=v0, q=q, molecule=mol,
+                         mass=mass, dtype=jnp.float64)
+    return system, style, rb, u
+
+
+def test_rigid_cellpair_matches_nlist():
+    """fix rigid/small on the production cell-pair engine == the nlist
+    engine (f64): same quaternion dynamics, same mol-excluded pair
+    forces, same constraint-virial pressure."""
+    from lammps_buck_intel_tpu.integrate import CellPairSimulation
+
+    kw = dict(dt=0.002, neighbor=NeighborPolicy(skin=0.5, every=5,
+                                                delay=0, check=False))
+    fields = ("temp", "evdwl", "ecoul", "etotal", "press")
+
+    system, style, rb, u = _rigid_melt()
+    ref = Simulation(system, style, units=u, precision=double(),
+                     rigid=rb, exclude_intra=True, **kw)
+    system, style, rb, u = _rigid_melt()
+    cp = CellPairSimulation(system, style, units=u, precision=double(),
+                            rigid=rb, **kw)
+    for label, engines in (("step0", (ref, cp)),):
+        a, b = [e.thermo() for e in engines]
+        for f in fields:
+            scale = max(abs(a[f]), 1.0)
+            assert abs(a[f] - b[f]) <= 1e-9 * scale, (label, f, a[f], b[f])
+    ref.run(25, log=False)
+    cp.run(25, log=False)
+    a, b = ref.thermo(), cp.thermo()
+    for f in fields:
+        scale = max(abs(a[f]), 1.0)
+        assert abs(a[f] - b[f]) <= 1e-7 * scale, (f, a[f], b[f])
+
+
+def test_rigid_cellpair_nvt_conserves_rigidity():
+    """Cell-pair rigid + NVT: finite dynamics, bodies stay rigid through
+    rebins, thermostat couples to rotation."""
+    from lammps_buck_intel_tpu.integrate import CellPairSimulation
+
+    system, style, rb, u = _rigid_melt()
+    sim = CellPairSimulation(
+        system, style, units=u, precision=double(), dt=0.002, rigid=rb,
+        thermostat=NVTConfig(t_start=0.3, t_stop=0.3, t_damp=0.2),
+        neighbor=NeighborPolicy(skin=0.5, every=5, delay=0, check=False))
+    rows = sim.run(400, thermo_every=100, log=False)
+    assert all(np.isfinite(r["temp"]) for r in rows)
+    atoms = sim.get_atoms()
+    xa = np.asarray(atoms["x"])
+    Lb = np.asarray(sim.box.lengths)
+    for b in range(rb.nbody):
+        idx = np.nonzero(rb.body_of == b)[0]
+        d01 = xa[idx[1]] - xa[idx[0]]
+        d01 -= np.round(d01 / Lb) * Lb
+        d02 = xa[idx[2]] - xa[idx[0]]
+        d02 -= np.round(d02 / Lb) * Lb
+        assert abs(np.linalg.norm(d01) - 1.0) < 1e-8
+        assert abs(np.linalg.norm(d02) - 1.2) < 1e-8

@@ -260,3 +260,67 @@ def test_engine_slab_deck(tmp_path):
             1e-3 * abs(ra["etotal"]) + 1.0
         assert abs(ra["elong"] - rb["elong"]) < 1e-2 * abs(ra["elong"])
     assert rowsB[-1]["step"] == 10
+
+
+def test_slab_rigid_matches_single():
+    """fix rigid/small on the slab mesh: replicated body state driven by
+    psum'd per-body force/torque partials vs the single-device cell-pair
+    rigid engine.  Bodies straddling slab boundaries need no ghost
+    machinery — the partial sums ARE the decomposition."""
+    from lammps_buck_intel_tpu.core import double
+    from lammps_buck_intel_tpu.integrate import make_rigid_bodies
+    from lammps_buck_intel_tpu.models.pair import build_buck
+
+    n_dev = 8
+    u = get_units("lj")
+    base = np.array([[0.0, 0, 0], [1.0, 0, 0], [0, 1.2, 0]])
+    rng = np.random.default_rng(23)
+    xs, mols = [], []
+    m = 0
+    for i in range(8):
+        for j in range(3):
+            for k in range(3):
+                org = np.array([2.0 + 4.0 * i, 2.0 + 4.0 * j,
+                                2.0 + 4.0 * k])
+                xs.append(base + org + rng.uniform(-0.05, 0.05, 3))
+                mols += [m] * 3
+                m += 1
+    x = np.concatenate(xs)
+    mol = np.asarray(mols, np.int32)
+    typ = np.tile(np.array([0, 1, 1], np.int32), m)
+    q = np.tile(np.array([-0.8, 0.4, 0.4]), m)
+    mass = np.array([16.0, 1.0])
+    box = make_box([0] * 3, [32.0, 12.0, 12.0], dtype=jnp.float64)
+    v0 = rng.normal(scale=0.05, size=(3 * m, 3))
+    rb = make_rigid_bodies(x, mol, mass[typ], box.lengths)
+    style = build_buck(
+        2, {(0, 0): (2000.0, 0.3, 1.0), (0, 1): (1500.0, 0.3, 0.5),
+            (1, 1): (1000.0, 0.3, 0.2)},
+        cut_global=3.0, coul="cut", dtype=jnp.float64, qqrd2e=1.0,
+    )
+    system = make_system(x, box, type=typ, v=v0, q=q, molecule=mol,
+                         mass=mass, dtype=jnp.float64)
+    kw = dict(units=u, precision=double(), dt=0.002,
+              thermostat=NVTConfig(t_start=0.3, t_stop=0.3, t_damp=0.2),
+              neighbor=NeighborPolicy(skin=0.5, every=5, delay=0,
+                                      check=False))
+    simA = CellPairSimulation(system, style, rigid=rb, **kw)
+    simB = SlabCellPairSimulation(system, style, rigid=rb,
+                                  mesh=slab_mesh(n_dev), **kw)
+    assert simB.D == n_dev
+
+    rowsA = simA.run(20, thermo_every=10, log=False)
+    rowsB = simB.run(20, thermo_every=10, log=False)
+    for ra, rb_ in zip(rowsA, rowsB):
+        for key in ("temp", "evdwl", "ecoul", "etotal", "press"):
+            assert abs(ra[key] - rb_[key]) <= 1e-8 * (abs(ra[key]) + 1.0), (
+                key, ra[key], rb_[key])
+
+    xa = simA.get_atoms()["x"]
+    xb = simB.get_atoms()["x"]
+    # both derive positions from body state; images may differ by a box
+    # period for boundary molecules -> compare modulo L
+    L = np.asarray(box.lengths)
+    dd = xb - xa
+    dd -= np.round(dd / L) * L
+    np.testing.assert_allclose(dd, 0.0, atol=1e-8)
