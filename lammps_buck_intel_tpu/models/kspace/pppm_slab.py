@@ -306,3 +306,60 @@ class SlabCellPPPM:
         qf = (qqrd2e * state.q).astype(acc)
         return (out[0].astype(acc) * qf, out[1].astype(acc) * qf,
                 out[2].astype(acc) * qf, elong, virial)
+
+
+class GatheredKSpace:
+    """Slab-mesh adapter for long-range solvers WITHOUT a pencil pipeline
+    (dispersion PPPM, Ewald, slab-corrected/ad coulomb PPPM): all_gather
+    the sharded slot planes, run the single-device solver REPLICATED on
+    every device, slice the local force rows back out.
+
+    Rationale: the reference's dispersion workloads are small (in.hexane
+    ~5k atoms; pppm_disp_intel.cpp:183-313 dual pipeline), so a
+    replicated spectral solve costs less than a distributed one until N
+    is far past their scale — and it reuses the exact single-device
+    solver, so the slab run matches single-device physics bit-for-bit
+    up to reduction order.  The coulomb production path stays on the
+    scalable pencil pipeline (SlabCellPPPM)."""
+
+    def __init__(self, solver, n_atoms: int, D: int, nslots: int):
+        self.solver = solver     # PPPM / Ewald / BoundKSpace / Combined
+        self.n_atoms = n_atoms
+        self.D = D
+        self.ns_loc = nslots // D
+
+    # kc-constants protocol (nothing to shard)
+    def spectral_consts(self) -> dict:
+        return {}
+
+    def shardings(self, mesh, axis: str = "x") -> dict:
+        return {}
+
+    def in_specs(self, axis: str = "x") -> dict:
+        return {}
+
+    def compute_slots_local(self, state: SlotState, kc: dict,
+                            eflag: bool, vflag: bool, axis: str = "x"):
+        def ag(p):
+            if self.D > 1:
+                return jax.lax.all_gather(p, axis, tiled=True)
+            return p
+
+        x, y, z = ag(state.x), ag(state.y), ag(state.z)
+        q, aid = ag(state.q), ag(state.aid)
+        xs = jnp.stack([x, y, z], -1)
+        aidc = jnp.minimum(aid, self.n_atoms)
+        if hasattr(self.solver, "compute_slot"):
+            kr = self.solver.compute_slot(xs, aidc, q, eflag=eflag,
+                                          vflag=vflag)
+        else:
+            kr = self.solver.compute(xs, q, eflag=eflag, vflag=vflag)
+        if self.D > 1:
+            d = jax.lax.axis_index(axis)
+            f = jax.lax.dynamic_slice_in_dim(
+                kr.f, d * self.ns_loc, self.ns_loc)
+        else:
+            f = kr.f
+        # elong/virial computed identically everywhere -> replicated,
+        # the SlabCellPPPM contract (no psum at the consumer)
+        return (f[:, 0], f[:, 1], f[:, 2], kr.elong, kr.virial)

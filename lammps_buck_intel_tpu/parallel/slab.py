@@ -34,9 +34,17 @@ decomposition — no re-layout).  Per step:
   exchange the pair pass uses (/root/reference/pppm_intel.cpp:185
   machinery exists so full decks scale).
 
-Scope: pair + PPPM + NVE/NVT + SHAKE/RATTLE + bonded terms — the full
-in.spce-class deck.  fix npt / rigid/small stay on the single-chip
-engines.
+* rigid bodies (``fix rigid/small``): body state (B << N) is REPLICATED;
+  each device segment-sums its owned slots into per-body force/torque
+  partials, one psum completes them (a body straddling a slab boundary
+  needs no ghost machinery — the partial sums ARE the decomposition),
+  and every device advances all bodies identically.  Slot x/v planes are
+  derived from the body state through local aid gathers.
+
+Scope: pair + PPPM (pencil, or gathered for dispersion/ewald) + NVE/NVT
++ SHAKE/RATTLE + bonded terms + rigid/small + same-molecule exclusion —
+the in.spce- and in.hexane-class decks.  fix npt stays on the
+single-chip traced-box engine (the dense kernels bake the box).
 """
 from __future__ import annotations
 

@@ -499,16 +499,29 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         if prec.compensated:
             raise NotImplementedError(
                 "slab engine: compensated precision (use single/double)")
-        ks_ok = not ks or (ks.get("name") == "pppm"
-                           and style.cfg.coul == "long"
-                           and not ks.get("slab")
-                           and ks.get("diff", "ik") == "ik")
-        if not ks_ok:
-            raise NotImplementedError(
-                "slab engine kspace: plain pppm (ik, no slab correction) "
-                f"only — got {ks.get('name')!r}")
+        pencil_ok = bool(ks) and (ks.get("name") == "pppm"
+                                  and style.cfg.coul == "long"
+                                  and not ks.get("slab")
+                                  and ks.get("diff", "ik") == "ik")
         kset = None
-        if ks:
+        if ks and not pencil_ok:
+            # no pencil pipeline for this solver family (dispersion PPPM,
+            # ewald, slab-corrected/ad coulomb): run the single-device
+            # solver REPLICATED via all_gather'd planes — exact same
+            # physics as single-chip, right-sized for the reference's
+            # small-N dispersion workloads (in.hexane ~5k atoms)
+            if kspace is None:
+                raise NotImplementedError(
+                    f"slab engine kspace: {ks.get('name')!r} built no "
+                    "solver")
+            _gk = kspace
+
+            def kset(sim):
+                from .models.kspace.pppm_slab import GatheredKSpace
+
+                return GatheredKSpace(_gk, sim.n_atoms, sim.D,
+                                      sim.grid.nslots)
+        if pencil_ok:
             def kset(sim):
                 # size the mesh to the sim's cell grid so every cell holds
                 # a spline patch (same recipe as the CellPPPM branch) and

@@ -324,3 +324,47 @@ def test_slab_rigid_matches_single():
     dd = xb - xa
     dd -= np.round(dd / L) * L
     np.testing.assert_allclose(dd, 0.0, atol=1e-8)
+
+
+def test_slab_hexane_disp_matches_single():
+    """The literal in.hexane deck (fix rigid/small + dispersion PPPM) on
+    the 8-device slab mesh vs the single-device cell-pair engine.  The
+    gathered kspace adapter reuses the SAME single-device solver, so
+    parity is reduction-order tight even after steps."""
+    import os
+    import yaml
+    from lammps_buck_intel_tpu.run import build_simulation
+
+    decks = os.path.join(os.path.dirname(__file__), "..", "examples",
+                         "decks")
+
+    def cfg():
+        with open(os.path.join(decks, "hexane.yaml")) as f:
+            c = yaml.safe_load(f)
+        for k in ("dump", "write_data", "write_restart", "run", "thermo"):
+            c.pop(k, None)
+        c["precision"] = "double"
+        return c
+
+    simA = build_simulation(cfg())
+    assert isinstance(simA, CellPairSimulation) and simA.rigid is not None
+
+    c2 = cfg()
+    c2["engine"] = "slab"
+    c2["devices"] = 8
+    simB = build_simulation(c2)
+    assert isinstance(simB, SlabCellPairSimulation)
+    assert simB.D == 8 and simB.rigid is not None
+
+    fields = ("temp", "evdwl", "elong", "etotal", "press")
+    ra, rb = simA.thermo(), simB.thermo()
+    for f in fields:
+        scale = max(abs(ra[f]), 1.0)
+        assert abs(ra[f] - rb[f]) <= 1e-9 * scale, (f, ra[f], rb[f])
+
+    simA.run(4, log=False)
+    simB.run(4, log=False)
+    ra, rb = simA.thermo(), simB.thermo()
+    for f in fields:
+        scale = max(abs(ra[f]), 1.0)
+        assert abs(ra[f] - rb[f]) <= 1e-7 * scale, (f, ra[f], rb[f])
