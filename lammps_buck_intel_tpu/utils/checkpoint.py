@@ -115,6 +115,28 @@ def resume(sim, ckpt: dict) -> None:
             if therm.shape != tuple(np.asarray(st.therm).shape):
                 therm = np.zeros(np.asarray(st.therm).shape)
             st = st._replace(therm=jnp.asarray(therm, flt))
+        if getattr(sim, "rigid", None) is not None:
+            # cell-pair rigid: positions/velocities DERIVE from sim.body,
+            # so the body state must be rebuilt from the checkpoint too
+            # (Kabsch), else the first block reverts to the stale build-
+            # time bodies.  Re-bin from the manifold-projected atoms.
+            from ..integrate.rigid import (
+                body_state_from_atoms, atom_positions, atom_velocities,
+            )
+
+            atoms = cs.to_atoms(sim.grid, st)
+            bs = body_state_from_atoms(
+                sim.rigid, np.asarray(atoms["x"]), np.asarray(atoms["v"]),
+                sim.box.lengths, dtype=flt)
+            xa, d = atom_positions(sim.rigid, bs)
+            va = atom_velocities(sim.rigid, bs, d)
+            st2 = cs.from_atoms(
+                sim.grid, sim.box, np.asarray(xa), np.asarray(va),
+                np.asarray(atoms["image"], np.int32),
+                np.asarray(atoms["typ"], np.int32), atoms["q"],
+                dtype=flt, tchain=sim._tchain)
+            st = st2._replace(therm=st.therm)
+            sim.body = bs
         sim.state = sim._init_force_fn()(st)
     else:
         st = sim.state

@@ -338,3 +338,42 @@ def test_rigid_cellpair_nvt_conserves_rigidity():
         d02 -= np.round(d02 / Lb) * Lb
         assert abs(np.linalg.norm(d01) - 1.0) < 1e-8
         assert abs(np.linalg.norm(d02) - 1.2) < 1e-8
+
+
+def test_rigid_cellpair_checkpoint_resume():
+    """Resume on the cell-pair rigid engine rebuilds the BODY state from
+    the checkpoint (Kabsch) — without it the first block would revert to
+    the stale build-time bodies.  Kabsch reconstruction is exact to
+    ~1e-10 in f64 (not bit-exact; same contract as the nlist engine)."""
+    import os
+    import tempfile
+
+    from lammps_buck_intel_tpu.integrate import CellPairSimulation
+    from lammps_buck_intel_tpu.utils import checkpoint
+
+    kw = dict(dt=0.002, neighbor=NeighborPolicy(skin=0.5, every=5,
+                                                delay=0, check=False))
+
+    def build():
+        system, style, rb, u = _rigid_melt()
+        return CellPairSimulation(system, style, units=u,
+                                  precision=double(), rigid=rb, **kw)
+
+    simA = build()
+    simA.run(10, log=False)
+    simA.run(10, log=False)
+
+    simB = build()
+    simB.run(10, log=False)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ck.npz")
+        checkpoint.save(p, simB)
+        ck = checkpoint.load(p)
+        simC = build()
+        checkpoint.resume(simC, ck)
+        assert simC.step_count == 10
+        simC.run(10, log=False)
+
+    xa = simA.get_atoms()["x"]
+    xc = simC.get_atoms()["x"]
+    np.testing.assert_allclose(xc, xa, rtol=0, atol=1e-8)
