@@ -97,8 +97,11 @@ def test_slab_scale_recorded():
             assert row[key]["rel"] <= rtol, (i, key, row[key])
 
 
-SPCE_FIELDS = {"temp": 1e-8, "evdwl": 1e-8, "ecoul": 1e-8, "elong": 1e-6,
-               "emol": 1e-6, "etotal": 1e-8}
+# elong/etotal compare to SOLVER accuracy (the slab pencil mesh must
+# tile the device axis, so the k-meshes differ; measured step-0 elong
+# rel 1.1e-6 on 72k atoms); real-space fields stay reduction-tight.
+SPCE_FIELDS = {"temp": 1e-8, "evdwl": 1e-8, "ecoul": 1e-8, "elong": 1e-5,
+               "emol": 1e-6, "etotal": 1e-5}
 SPCE_RECORD = os.path.join(os.path.dirname(__file__), "goldens",
                            "slab_spce_multichip.json")
 
