@@ -88,10 +88,50 @@ def main():
                         "examples", "decks", "silica_pppm.yaml")
     with open(deck) as f:
         cfg = yaml.safe_load(f)
-    sim = build_simulation(cfg)
+
+    def build(kernel):
+        c = dict(cfg)
+        if kernel != "xla":
+            c["pair_kernel"] = kernel
+        return build_simulation(c)
+
+    # ---- auto-tune the inner-step pair kernel (guarded; the XLA
+    # default always survives a variant failure).  Disable with
+    # BENCH_AUTOTUNE=0 for a single-kernel run. ----
+    candidates = ["xla"]
+    if platform != "cpu" and os.environ.get("BENCH_AUTOTUNE", "1") != "0":
+        candidates += ["pallas_v3", "pallas_v2"]
+    best = None
+    trials = {}
+    ref_etotal = None
+    for kernel in candidates:
+        try:
+            sim = build(kernel)
+            sim.run(20, log=False)              # compile + warm
+            row = sim.thermo()                  # XLA energy pass
+            if ref_etotal is None:
+                ref_etotal = row["etotal"]
+            elif abs(row["etotal"] - ref_etotal) > 1e-3 * abs(ref_etotal):
+                # hardware-only miscompile guard: interpret-mode parity
+                # passes, but a Mosaic regression must not certify a fast
+                # wrong number
+                raise RuntimeError(
+                    f"etotal {row['etotal']:.6g} != ref {ref_etotal:.6g}")
+            t0 = time.perf_counter()
+            sim.run(30, log=False)
+            ms = (time.perf_counter() - t0) / 30 * 1e3
+            trials[kernel] = round(ms, 3)
+            if best is None or ms < best[1]:
+                best = (kernel, ms, sim)
+        except Exception as e:                   # noqa: BLE001
+            trials[kernel] = f"failed: {type(e).__name__}"
+            sys.stderr.write(f"[bench] kernel {kernel} failed: {e}\n")
+        if kernel == "xla" and best is None:
+            _fail("build", f"default kernel failed: {trials}")
+    sys.stderr.write(f"[bench] kernel trials (ms/step): {trials}\n")
+
+    kernel, _, sim = best
     n = sim.n_atoms
-    # warmup: compile the steady-state chunk sizes
-    sim.run(20, log=False)
     steps = 100
     t0 = time.perf_counter()
     sim.run(steps, log=False)
@@ -104,6 +144,8 @@ def main():
         "vs_baseline": rate / BASELINE,
         "platform": platform,
         "ms_per_step": dt / steps * 1e3,
+        "pair_kernel": kernel,
+        "kernel_trials_ms": trials,
     }))
 
 

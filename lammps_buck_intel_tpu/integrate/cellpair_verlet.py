@@ -47,6 +47,7 @@ class CellPairSimulation:
         thermostat: Optional[NVTConfig] = None,
         rigid=None,
         exclude_intra: bool = False,
+        pair_kernel: str = "xla",
     ):
         self.units = units
         self.precision = precision or single()
@@ -156,6 +157,35 @@ class CellPairSimulation:
             raise NotImplementedError(
                 "compensated precision on a triclinic box (the lamda wrap "
                 "reconstructs positions, destroying the two-float split)")
+
+        # optional Pallas force kernel for the INNER steps (force-only;
+        # thermo/energy passes keep the XLA kernel).  Valid for plain-f32
+        # atomic orthogonal decks — the hot-bench configuration.
+        self._pallas_fn = None
+        if pair_kernel != "xla":
+            if (self._special_idx is not None or self._excl_mol is not None
+                    or self.box.is_triclinic or comp
+                    or np.dtype(flt) != np.dtype(np.float32)):
+                raise NotImplementedError(
+                    f"pair_kernel {pair_kernel!r}: plain-f32 atomic "
+                    "orthogonal decks only (specials/mol-exclusion/"
+                    "triclinic/compensated use the XLA kernel)")
+            from ..ops.pallas_cellpair import (
+                make_pallas_cellpair, make_pallas_cellpair_v2,
+                make_pallas_cellpair_v3,
+            )
+
+            builders = {"pallas": make_pallas_cellpair,
+                        "pallas_v2": make_pallas_cellpair_v2,
+                        "pallas_v3": make_pallas_cellpair_v3}
+            if pair_kernel not in builders:
+                raise ValueError(f"unknown pair_kernel {pair_kernel!r}; "
+                                 f"one of {['xla'] + sorted(builders)}")
+            self._pallas_fn = builders[pair_kernel](
+                self.pair, self.grid, self.box,
+                # the TPU kernel runs interpreted on the CPU test backend
+                interpret=jax.default_backend() == "cpu")
+        self.pair_kernel = pair_kernel
         st = cs.from_atoms(
             self.grid, self.box, jax.device_get(system.x),
             jax.device_get(system.v), jax.device_get(system.image),
@@ -261,15 +291,21 @@ class CellPairSimulation:
 
     def _forces(self, state: cs.SlotState, sp, eflag: bool, vflag: bool):
         sp_idx, sp_code = sp
-        r = compute_cellpair(
-            self.pair, self.grid, self.box, state,
-            eflag=eflag, vflag=vflag, acc_dtype=self.precision.acc,
-            slot_special_idx=sp_idx, slot_special_code=sp_code,
-            newton=self._newton, slot_mol=self._slot_mol(state),
-        )
-        fx, fy, fz = r.fx, r.fy, r.fz
+        if self._pallas_fn is not None and not eflag and not vflag:
+            # VMEM-fused Pallas pair kernel on the force-only inner steps
+            fx, fy, fz = self._pallas_fn(state)
+            r = None
+            virial = jnp.zeros((6,), self.precision.acc)
+        else:
+            r = compute_cellpair(
+                self.pair, self.grid, self.box, state,
+                eflag=eflag, vflag=vflag, acc_dtype=self.precision.acc,
+                slot_special_idx=sp_idx, slot_special_code=sp_code,
+                newton=self._newton, slot_mol=self._slot_mol(state),
+            )
+            fx, fy, fz = r.fx, r.fy, r.fz
+            virial = r.virial
         elong = jnp.zeros((), self.precision.acc)
-        virial = r.virial
         if self.kspace is not None:
             if hasattr(self.kspace, "compute_slots"):
                 kfx, kfy, kfz, elong, kvir = self.kspace.compute_slots(
@@ -293,7 +329,9 @@ class CellPairSimulation:
                 fz = fz + kr.f[:, 2]
                 elong = kr.elong
                 virial = virial + kr.virial
-        return (fx, fy, fz), r.evdwl, r.ecoul, elong, virial
+        z = jnp.zeros((), self.precision.acc)
+        return ((fx, fy, fz), z if r is None else r.evdwl,
+                z if r is None else r.ecoul, elong, virial)
 
     def _minv(self, state: cs.SlotState):
         m = _select_small(self._minv_per_type, state.typ, state.typ.shape,

@@ -625,6 +625,10 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             # manual slot capacity (the overflow error's escape hatch —
             # systems that densify locally outgrow the occupancy-sized cap)
             kw2["cap"] = int(cfg["cap"])
+        if cfg.get("pair_kernel"):
+            # xla (default) | pallas | pallas_v2 | pallas_v3 — force-only
+            # inner-step kernel selection (bench.py auto-tunes this)
+            kw2["pair_kernel"] = str(cfg["pair_kernel"])
         if use_cellpppm:
             kw2["kspace"] = None
         try:

@@ -378,3 +378,33 @@ def test_pallas_cellpair_v2_matches_xla():
     assert float(jnp.max(jnp.abs(fx - ref.fx))) / scale < 1e-5
     assert float(jnp.max(jnp.abs(fy - ref.fy))) / scale < 1e-5
     assert float(jnp.max(jnp.abs(fz - ref.fz))) / scale < 1e-5
+
+
+def test_pair_kernel_pallas_production_step():
+    """pair_kernel='pallas_v3' wires the Pallas force kernel into the
+    production inner steps (interpret mode on CPU): dynamics match the
+    XLA-kernel engine to f32 summation noise."""
+    from lammps_buck_intel_tpu.integrate import CellPairSimulation
+    from lammps_buck_intel_tpu.core import make_system, get_units
+
+    xs, v, box, n, u = _melt(6)
+    rng = np.random.RandomState(3)
+    xs = xs + rng.uniform(-0.05, 0.05, xs.shape)
+    style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5)
+    kw = dict(units=u, dt=0.002,
+              neighbor=NeighborPolicy(skin=0.3, every=5, delay=0,
+                                      check=False))
+
+    def build(kernel):
+        system = make_system(xs, box, v=v, mass=np.ones(1),
+                             dtype=jnp.float32)
+        return CellPairSimulation(system, style, pair_kernel=kernel, **kw)
+
+    a = build("xla")
+    b = build("pallas_v3")
+    a.run(10, log=False)
+    b.run(10, log=False)
+    ra, rb = a.thermo(), b.thermo()
+    for f in ("temp", "evdwl", "etotal"):
+        assert abs(ra[f] - rb[f]) <= 2e-4 * max(abs(ra[f]), 1.0), \
+            (f, ra[f], rb[f])
