@@ -6,12 +6,16 @@ working sets, accumulating forces in VMEM.  Physics reuses the exact
 pair_terms formula set, so numerical equivalence with both other engines is
 testable to f32 summation order.
 
-STATUS (measured, TPU v5e, 259k-atom silica, cap=168): 107 ms/step vs
-59 ms for the XLA dense kernel — the XLA path remains the default.  The
-gap is lane padding (168 -> 256) in the (cap, cap) inner tiles plus the
-unpipelined 27-iteration loop; candidate fixes for later rounds are
-128-quantized capacities, (CB*cap, cap) re-tiled physics, and
-double-buffered j-block DMA.
+STATUS: v1 measured 107 ms/step vs 59 ms for the XLA dense kernel
+(TPU v5e, 259k-atom silica, cap=168) — the gap was lane padding
+(168 -> 256) in its (cap, cap) inner tiles plus the unpipelined
+27-iteration loop.  Both diagnosed costs are since fixed: v2 lane-fuses
+9 j-cells per tile (1.6% pad), v3 additionally moves the group loop
+into the grid (double-buffered j DMA, VMEM-resident accumulator).
+All three are selectable in the PRODUCTION step via the deck key
+`pair_kernel:` (integrate/cellpair_verlet.py), and `bench.py`
+auto-tunes across {xla, v2, v3} on the hardware at run time with an
+etotal cross-check — whichever kernel wins gets certified.
 
 The j-side (ncell, 27*cap) planes are pre-gathered by XLA (a static
 row-gather, bandwidth-cheap); Pallas removes only the expensive part — the
