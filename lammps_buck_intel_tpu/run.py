@@ -496,6 +496,11 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             raise NotImplementedError("slab engine: triclinic box")
         if npt_fix is not None:
             raise NotImplementedError("slab engine: fix npt")
+        if cfg.get("pair_kernel"):
+            raise NotImplementedError(
+                "slab engine: pair_kernel selection (the Pallas variants "
+                "are single-device; the slab pair pass is the halo-tile "
+                "XLA kernel)")
         if prec.compensated:
             raise NotImplementedError(
                 "slab engine: compensated precision (use single/double)")
