@@ -91,6 +91,7 @@ def main():
 
     def build(kernel):
         c = dict(cfg)
+        c.pop("pair_kernel", None)   # the xla trial must be really-XLA
         if kernel != "xla":
             c["pair_kernel"] = kernel
         return build_simulation(c)

@@ -71,11 +71,10 @@ class CellPairSimulation:
         if rigid is not None and shake is not None:
             raise ValueError("fix rigid/small and fix shake are exclusive")
         self.rigid = rigid
-        # fix rigid/small derives positions from UNWRAPPED body COMs; the
-        # Newton kernel's static per-(cell, offset) shifts need in-box
-        # coordinates, so rigid decks run the full 27-stencil kernel
-        # (per-pair minimum-image rounding is magnitude-agnostic)
-        self._newton = rigid is None
+        # rigid positions derive from body COMs but are kept CONTINUOUS
+        # with the binned planes via per-slot wrap offsets (_block_rigid),
+        # so the Newton half-stencil kernel's static shifts stay valid
+        self._newton = True
         cutneigh = float(np.sqrt(pair.cutsq_max)) + self.neighbor.skin
         # cell sizing bounds cutoffs by the PERPENDICULAR face widths —
         # equal to lengths when orthogonal (lamda-space cells of a tilted
@@ -286,8 +285,9 @@ class CellPairSimulation:
     def _slot_mol(self, state: cs.SlotState):
         if self._excl_mol is None:
             return None
-        return jnp.asarray(self._excl_mol)[
-            jnp.minimum(state.aid, self.n_atoms)]
+        from ..models.pair.cellpair import slot_mol_gather
+
+        return slot_mol_gather(self._excl_mol, state.aid, self.n_atoms)
 
     def _forces(self, state: cs.SlotState, sp, eflag: bool, vflag: bool):
         sp_idx, sp_code = sp
@@ -513,6 +513,20 @@ class CellPairSimulation:
                 [fx.astype(flt), fy.astype(flt), fz.astype(flt)], -1))
             return f[:self.n_atoms]
 
+        # per-slot wrap offsets (exact multiples of L): the rebin wrapped
+        # state.x, but atom_positions derives UNWRAPPED coordinates from
+        # body COMs.  Adding the block-static offset keeps stored
+        # positions CONTINUOUS with the binned values, so the fold-free
+        # cell-patch PPPM spline weights stay inside their patches and
+        # image flags don't re-accumulate the same crossing every block
+        # (review findings r3).
+        from .rigid import atom_positions as _ap
+
+        _x0, _y0, _z0 = to_planes(_ap(rg, body)[0])
+        offx = state.x - _x0
+        offy = state.y - _y0
+        offz = state.z - _z0
+
         def one_step(carry, _):
             st, bs, fa = carry
             th = st.therm
@@ -528,7 +542,7 @@ class CellPairSimulation:
             bs = initial_integrate_rigid(rg, bs, fa, d, dtv, dtf)
             xa, d2 = atom_positions(rg, bs)
             x, y, z = to_planes(xa)
-            st = st._replace(x=x, y=y, z=z)
+            st = st._replace(x=x + offx, y=y + offy, z=z + offz)
             (fx, fy, fz), *_ = self._forces(st, sp, False, False)
             fa = atom_forces(fx, fy, fz)
             bs = final_integrate_rigid(rg, bs, fa, d2, dtf)

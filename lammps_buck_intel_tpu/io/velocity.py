@@ -18,6 +18,15 @@ in.spce:33 ``dist uniform``).  Two streams are offered:
   tests/test_io.py); the loop semantics follow the documented
   velocity-create contract, giving per-atom-value parity with LAMMPS
   traces, not just statistical parity.
+
+  Parity scope for ``loop all``: the k-th triplet belongs to tag k+1, so
+  per-atom parity requires array order == ascending-tag order — true for
+  sorted read_data (data_reader sorts by id), lattice generation, and
+  copy-major replicate; callers with a different id layout pass ``tags``.
+  ``delete_atoms`` before ``velocity`` compresses tags preserving
+  relative order (host default), which array-order deletion mirrors.
+  ``loop geom`` is order-free by construction but additionally needs
+  bit-identical f64 coordinates with the host run.
 """
 from __future__ import annotations
 

@@ -451,6 +451,13 @@ def compute_cell_tiles_newton(
     )
 
 
+def slot_mol_gather(excl_mol_pad, aid, n: int):
+    """Padded atom-order molecule table -> slot order (row n is the -1
+    sentinel for empty slots).  Shared by both engines so the exclusion
+    padding convention lives in one place."""
+    return jnp.asarray(excl_mol_pad)[jnp.minimum(aid, n)]
+
+
 def _state_planes(state: SlotState) -> dict:
     return dict(x=state.x, y=state.y, z=state.z, typ=state.typ,
                 q=state.q, aid=state.aid)

@@ -441,8 +441,10 @@ class SlabCellPairSimulation:
         jp = self._halo_planes(state)
         ip = _state_planes(state)
         if self._excl_mol is not None:
-            mol_slot = jnp.asarray(self._excl_mol)[
-                jnp.minimum(state.aid, self.n_atoms)]
+            from ..models.pair.cellpair import slot_mol_gather
+
+            mol_slot = slot_mol_gather(self._excl_mol, state.aid,
+                                       self.n_atoms)
             ip["mol"] = mol_slot
             jp["mol"] = self._halo(mol_slot)
         sp_idx, sp_code = ctx["sp"]
@@ -724,6 +726,14 @@ class SlabCellPairSimulation:
         dtf, dtv = self.dtf, self.dtv
         flt = self.precision.flt
         cfg = self.thermostat
+        # per-slot wrap offsets (exact multiples of L): keep derived
+        # positions CONTINUOUS with the just-rebinned (wrapped) planes so
+        # the fold-free pencil-PPPM patch weights stay valid and image
+        # flags don't double-count crossings (see cellpair _block_rigid)
+        _x0, _y0, _z0, _, _, _ = self._derive_xv(body, bof, rb_s)
+        offx = state.x - _x0
+        offy = state.y - _y0
+        offz = state.z - _z0
 
         def one_step(carry, _):
             st, bs = carry
@@ -737,7 +747,7 @@ class SlabCellPairSimulation:
             F, T, _ = self._body_ft(bs, bof, rb_s, st.fx, st.fy, st.fz)
             bs = initial_integrate_rigid_ft(rg, bs, F, T, dtv, dtf)
             x, y, z, _, _, _ = self._derive_xv(bs, bof, rb_s)
-            st = st._replace(x=x, y=y, z=z)
+            st = st._replace(x=x + offx, y=y + offy, z=z + offz)
             (fx, fy, fz), *_ = self._forces_local(st, kc, False, False,
                                                   ctx=ctx)
             fx = fx.astype(flt)

@@ -581,6 +581,31 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         # (positions derive from unwrapped body COMs); other rigid decks
         # run the cell-pair engine with same-molecule pair exclusion
         engine = "nlist"
+    # ---- optional energy minimization (the `minimize` command) ----
+    # FIRE through a temporary nlist Simulation at deck precision, then
+    # the relaxed coordinates feed whichever engine the deck selected.
+    # Constraints (shake/rigid) are skipped during minimization (host
+    # minimizer contract); velocities are untouched.
+    mincfg = cfg.get("minimize")
+    if mincfg:
+        import dataclasses as _dc
+
+        from .integrate.minimize import fire_minimize
+
+        msim = Simulation(system, style, topology=topo, kspace=kspace,
+                          bonded=bonded, units=u, precision=prec, dt=dt,
+                          neighbor=policy)
+        it, fmax, epot = fire_minimize(
+            msim, maxiter=int(mincfg.get("maxiter", 1000)),
+            ftol=float(mincfg.get("ftol", 1e-4)),
+            dmax=float(mincfg.get("dmax", 0.1)),
+            log=bool(mincfg.get("log", False)))
+        print(f"# minimize: {it} iters, fmax={fmax:.3e}, "
+              f"epot={epot:.6g}")
+        system = _dc.replace(
+            system, x=msim.state.x.astype(system.x.dtype),
+            image=msim.state.image)
+
     common = dict(topology=topo, kspace=kspace, units=u, precision=prec,
                   dt=dt, neighbor=policy)
     if npt_fix is not None:
@@ -641,8 +666,12 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 system, style, bonded=bonded, shake=shake,
                 thermostat=thermostat, rigid=rigid_fix,
                 exclude_intra=exclude_intra, **kw2)
-        except ValueError:
-            # box too small for a 3^3 cell grid — fall through to nlist
+        except ValueError as e:
+            # ONLY the box-too-small geometry case falls through to the
+            # nlist engine; config errors (unknown pair_kernel, missing
+            # molecule ids) must stay loud (review finding r3)
+            if "box too small" not in str(e):
+                raise
             sim = None
         if sim is not None:
             if use_cellpppm:

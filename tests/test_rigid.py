@@ -377,3 +377,85 @@ def test_rigid_cellpair_checkpoint_resume():
     xa = simA.get_atoms()["x"]
     xc = simC.get_atoms()["x"]
     np.testing.assert_allclose(xc, xa, rtol=0, atol=1e-8)
+
+
+def test_rigid_cellpair_pppm_boundary_crossing():
+    """Rigid + coulomb cell-patch PPPM with a body CROSSING the periodic
+    boundary: derived positions must stay continuous with the binned
+    planes (per-slot wrap offsets), else the fold-free patch spline
+    weights silently drop the crossing body's charges (review finding
+    r3) and image flags double-count.  Gate: cellpair+CellPPPM matches
+    nlist+generic-PPPM through the crossing, and image flags stay in
+    {-1, 0, 1}."""
+    from lammps_buck_intel_tpu.models.kspace import setup_pppm, CellPPPM
+    from lammps_buck_intel_tpu.integrate import CellPairSimulation
+
+    u = get_units("lj")
+    base = np.array([[0.0, 0, 0], [1.0, 0, 0], [0, 1.2, 0]])
+    rng = np.random.default_rng(11)
+    xs, mols = [], []
+    m = 0
+    for i in range(3):
+        for j in range(3):
+            for k in range(3):
+                if (i, j, k) == (2, 0, 0):
+                    continue     # vacate the racer's lane near the face
+                org = np.array([2.0 + 4.0 * i, 2.0 + 4.0 * j,
+                                2.0 + 4.0 * k])
+                xs.append(base + org + rng.uniform(-0.05, 0.05, 3))
+                mols += [m] * 3
+                m += 1
+    x = np.concatenate(xs)
+    # park molecule 0 against the +x face in the vacated lane, moving
+    # outward: it crosses at ~step 133 and coasts into its own vacated
+    # (0,0,0) site — free flight, no Buckingham-core collision
+    x[0:3, 0] += (11.2 - x[0, 0])
+    mol = np.asarray(mols, np.int32)
+    typ = np.tile(np.array([0, 1, 1], np.int32), m)
+    q = np.tile(np.array([-0.8, 0.4, 0.4]), m)
+    mass = np.array([16.0, 1.0])
+    box = make_box([0] * 3, [12.0] * 3, dtype=jnp.float64)
+    v0 = rng.normal(scale=0.02, size=(3 * m, 3))
+    # crosses +x at ~step 67 and flies into its OWN vacated lattice site
+    # (free flight — no Buckingham-core collision on the far side)
+    v0[0:3] = [3.0, 0.0, 0.0]
+    rb = make_rigid_bodies(x, mol, mass[typ], box.lengths)
+    style = build_buck(
+        2, {(0, 0): (2000.0, 0.3, 1.0), (0, 1): (1500.0, 0.3, 0.5),
+            (1, 1): (1000.0, 0.3, 0.2)},
+        cut_global=3.0, coul="long", cut_coul=3.0, dtype=jnp.float64,
+        qqrd2e=1.0,
+    )
+    pm = setup_pppm(box, q, cutoff=3.0, accuracy_rel=1e-4, qqrd2e=1.0,
+                    grid=(18, 18, 18), order=5, acc_dtype=jnp.float64)
+    style = style.replace(g_ewald=pm.g_ewald)
+
+    def mksys():
+        return make_system(x, box, type=typ, v=v0, q=q, molecule=mol,
+                           mass=mass, dtype=jnp.float64)
+
+    kw = dict(units=u, precision=double(), dt=0.002,
+              neighbor=NeighborPolicy(skin=0.5, every=5, delay=0,
+                                      check=False))
+    ref = Simulation(mksys(), style, rigid=rb, exclude_intra=True,
+                     kspace=pm, **kw)
+    cp = CellPairSimulation(mksys(), style, rigid=rb, kspace=None, **kw)
+    cp.kspace = CellPPPM(pm, cp.grid, skin=0.5)
+    cp.state = cp._init_force_fn()(cp.state)
+
+    ref.run(170, log=False)   # molecule 0 crosses the +x boundary
+    cp.run(170, log=False)
+    ra, rc = ref.thermo(), cp.thermo()
+    for f in ("temp", "evdwl", "ecoul", "elong", "etotal"):
+        scale = max(abs(ra[f]), 1.0)
+        assert abs(ra[f] - rc[f]) <= 1e-6 * scale, (f, ra[f], rc[f])
+    atoms = cp.get_atoms()
+    # one crossing -> image flag exactly 1 for molecule 0, and NOT > 1
+    assert np.all(np.abs(atoms["image"]) <= 1), atoms["image"].max()
+    assert np.all(atoms["image"][0:3, 0] == 1), atoms["image"][0:3]
+    # unwrapped positions continuous with the nlist engine's unwrapped x
+    import jax as _jax
+    xr = np.asarray(_jax.device_get(ref.state.x))
+    L = np.asarray(box.lengths)
+    xu = atoms["x"] + atoms["image"] * L
+    np.testing.assert_allclose(xu, xr, rtol=0, atol=1e-6)
