@@ -14,6 +14,7 @@ lattice of molecules, charges summing to zero per molecule.
 Run: python examples/gen_rhodo_class.py   (writes examples/data.rhodo_class)
 """
 import os
+import sys
 
 import numpy as np
 
@@ -101,6 +102,60 @@ def write(path, nx=6, ny=6, nz=6):
     print(f"wrote {path}: {n} atoms, box {L}")
 
 
+def equilibrate(path, steps=3000, log=True):
+    """Settle the synthetic lattice into a thermal state and write the
+    result back (the analog of the reference's equilibrated_data.hexane,
+    a write_data product re-read by the deck — in.hexane:6).
+
+    The raw lattice starts at a bonded-energy minimum with random rigid
+    orientations, so the first ~ps converts pair overlap into heat; decks
+    recorded from the raw file never leave the transient.  Equilibrating
+    through the deck's own force field (NVT @ 300 K, SHAKE on C-H) gives
+    the golden traces a stationary start."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    # one-off host job: f64 on the CPU backend (the image pins
+    # JAX_PLATFORMS=axon; plain env overrides do not stick)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import yaml
+
+    from lammps_buck_intel_tpu.run import run_deck
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "decks", "rhodo_class.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg.pop("dump", None)
+    cfg.pop("write_restart", None)
+    cfg["read_data"] = path
+    cfg["precision"] = "double"    # equilibrate in f64 (one-off, host)
+    # the dilute lattice clusters as it cools; manual slot capacity
+    # absorbs the local densification (deck `cap` escape hatch)
+    cfg["cap"] = 160
+    # the raw lattice carries ~3,800 kcal of bonded strain; dumped
+    # straight into dynamics it spikes the temperature past the SHAKE
+    # convergence envelope (observed: NH chain winds up, exp underflows,
+    # the system freezes at T=0).  FIRE-minimize the strain away first.
+    cfg["minimize"] = {"maxiter": 600, "ftol": 5.0, "dmax": 0.05}
+    cfg["run"] = steps
+    cfg["thermo"] = max(steps // 10, 1)
+    # the raw lattice needs a fresh velocity draw; the recorded file then
+    # carries the equilibrated Velocities section and the deck drops its
+    # `velocity:` override
+    cfg.setdefault("velocity", {"temp": 300.0, "seed": 4928459})
+    cfg["write_data"] = path
+    run_deck(cfg, log=log)
+    print(f"equilibrated {path}: {steps} steps NVT @ 300 K (f64)")
+
+
 if __name__ == "__main__":
     here = os.path.dirname(os.path.abspath(__file__))
-    write(os.path.join(here, "data.rhodo_class"))
+    target = os.path.join(here, "data.rhodo_class")
+    write(target)
+    if "--raw" not in sys.argv:
+        equilibrate(target)

@@ -5,3 +5,4 @@ from .nvt import NVTConfig
 from .shake import ShakeConstraints, make_shake, make_rigid_from_molecules
 from .rigid import RigidBodies, BodyState, make_rigid_bodies
 from .npt import NPTConfig, NPTSimulation
+from .minimize import fire_minimize

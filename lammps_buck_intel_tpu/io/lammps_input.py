@@ -286,8 +286,13 @@ def translate(path: str) -> dict:
             deferred_delete.append({"region": a[1], "mol": "mol" in a})
         elif cmd == "run":
             cfg["run"] = cfg.get("run", 0) + int(a[0])
+        elif cmd == "minimize":
+            # minimize etol ftol maxiter maxeval -> FIRE (run.py wires
+            # integrate/minimize.py; etol/maxeval have no FIRE analog —
+            # the ftol force gate is the convergence contract)
+            cfg["minimize"] = {"ftol": float(a[1]), "maxiter": int(a[2])}
         elif cmd in ("log", "echo", "print", "group", "reset_timestep",
-                     "change_box", "min_style", "minimize", "write_data",
+                     "change_box", "min_style", "write_data",
                      "write_restart"):
             if cmd == "write_data":
                 cfg["write_data"] = a[0]    # output: CWD-relative

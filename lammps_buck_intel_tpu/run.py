@@ -361,6 +361,11 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             d14=d14)
 
     # ---- fixes ----
+    # snapshot the FULL bonded table before fix shake strips constrained
+    # types: minimization runs against the complete force field (the
+    # host workflow minimizes before fix shake exists), else constrained
+    # H atoms would relax unbound and the settle re-strains them
+    bonded_full = bonded
     thermostat = None
     shake = None
     npt_fix = None
@@ -593,8 +598,8 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         from .integrate.minimize import fire_minimize
 
         msim = Simulation(system, style, topology=topo, kspace=kspace,
-                          bonded=bonded, units=u, precision=prec, dt=dt,
-                          neighbor=policy)
+                          bonded=bonded_full, units=u, precision=prec,
+                          dt=dt, neighbor=policy)
         it, fmax, epot = fire_minimize(
             msim, maxiter=int(mincfg.get("maxiter", 1000)),
             ftol=float(mincfg.get("ftol", 1e-4)),

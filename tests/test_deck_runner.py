@@ -287,3 +287,36 @@ def test_kspace_modify_mesh_and_gewald_overrides():
     assert pm.grid == (16, 16, 16)
     assert abs(pm.g_ewald - 0.9) < 1e-12
     assert abs(sim.pair.g_ewald - 0.9) < 1e-12
+
+
+def test_minimize_full_ff_before_shake(tmp_path):
+    """`minimize:` + `fix shake`: minimization must run against the FULL
+    force field (host workflow: minimize precedes fix shake), not the
+    constraint-stripped one — else constrained H atoms relax unbound and
+    the settle re-strains them (observed: settle injected ~9,000 kcal of
+    bonded energy and the NH chain froze the system at T=0)."""
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "gen_rhodo_class",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "gen_rhodo_class.py"))
+    gen = ilu.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    data = str(tmp_path / "data.mini")
+    gen.write(data, nx=2, ny=2, nz=2)
+
+    cfg = _load("rhodo_class.yaml")
+    for k in ("dump", "write_restart", "write_data"):
+        cfg.pop(k, None)
+    cfg["read_data"] = data
+    cfg["precision"] = "double"
+    cfg["minimize"] = {"maxiter": 300, "ftol": 5.0, "dmax": 0.05}
+    cfg["velocity"] = {"temp": 300.0, "seed": 4928459}
+    cfg["run"] = 100
+    cfg["thermo"] = 20
+    sim, rows = run_deck(cfg, log=False)
+    temps = [r["temp"] for r in rows]
+    # the failure mode is a freeze to T == 0 (or an explosion); a healthy
+    # equilibration stays within a broad thermal window
+    assert all(40.0 < t < 1200.0 for t in temps[1:]), temps

@@ -121,3 +121,39 @@ def test_thermo_against_initial_lattice():
         np.asarray(hi - lo), {(0, 0): (1.0, 0.2, -0.8)}, cut_lj=2.5,
     )
     np.testing.assert_allclose(row["evdwl"], ev, rtol=1e-10)
+
+
+def test_fire_minimize():
+    """FIRE minimizer (integrate/minimize.py): drives fmax below ftol
+    and strictly lowers the potential energy of a jittered melt."""
+    import jax.numpy as jnp
+    from lammps_buck_intel_tpu.core import make_box, make_system, \
+        get_units, double
+    from lammps_buck_intel_tpu.io import lattice
+    from lammps_buck_intel_tpu.models.pair import build_buck
+    from lammps_buck_intel_tpu.integrate import (Simulation,
+                                                 NeighborPolicy,
+                                                 fire_minimize)
+
+    u = get_units("lj")
+    xs, lo, hi = lattice.create_atoms("fcc", 0.8442, 4, 4, 4)
+    rng = np.random.RandomState(0)
+    xs = xs + rng.uniform(-0.25, 0.25, xs.shape)   # strained
+    n = len(xs)
+    box = make_box(lo, hi, dtype=jnp.float64)
+    style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5,
+                       dtype=jnp.float64)
+    system = make_system(xs, box, v=np.zeros((n, 3)), mass=np.ones(1),
+                         dtype=jnp.float64)
+    sim = Simulation(system, style, units=u, precision=double(),
+                     dt=0.005,
+                     neighbor=NeighborPolicy(skin=0.3, every=5, delay=0,
+                                             check=False))
+    e0 = sim.thermo()["epair"]
+    it, fmax, epot = fire_minimize(sim, maxiter=600, ftol=0.05,
+                                   dmax=0.05)
+    assert fmax < 0.05, (it, fmax)
+    e1 = sim.thermo()["epair"]
+    assert e1 < e0 - 1.0, (e0, e1)
+    # velocities zeroed; positions finite
+    assert float(jnp.max(jnp.abs(sim.state.v))) == 0.0
