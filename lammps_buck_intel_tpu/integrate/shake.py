@@ -121,7 +121,7 @@ def _minimg_cols(d, L):
 
 
 def shake_positions(sc: ShakeConstraints, x_old, x_new, v, dt: float, L,
-                    pairs=None, virial_factor=None):
+                    pairs=None, virial_factor=None, vweights=None):
     """Iteratively correct x_new (and v) so constraints hold.
 
     x_old: positions at the start of the step (reference directions).
@@ -132,6 +132,10 @@ def shake_positions(sc: ShakeConstraints, x_old, x_new, v, dt: float, L,
     multipliers define the equivalent constraint pair force
     f_c = -lam_tot * r_old * virial_factor, tallied as sum r (x) f — the
     fix_shake.cpp virial contribution the barostat pressure needs.
+    vweights: optional (Nc,) per-constraint virial weights (slab engine:
+    1 where this device OWNS the constraint's first atom, else 0 —
+    boundary molecules are solved identically on BOTH owners, so the
+    psum'd virial would double-count without the ownership mask).
     Returns (x_new, v) or (x_new, v, virial).
     """
     idxp = sc.pairs if pairs is None else pairs
@@ -164,6 +168,8 @@ def shake_positions(sc: ShakeConstraints, x_old, x_new, v, dt: float, L,
     if virial_factor is None:
         return x_fix, v
     w = (-lam_tot * virial_factor)[:, None] * r_old     # pair force on i
+    if vweights is not None:
+        w = w * vweights.astype(w.dtype)[:, None]
     virial = jnp.stack([
         jnp.sum(r_old[:, 0] * w[:, 0]),
         jnp.sum(r_old[:, 1] * w[:, 1]),

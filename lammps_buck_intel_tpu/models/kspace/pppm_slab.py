@@ -363,3 +363,38 @@ class GatheredKSpace:
         # elong/virial computed identically everywhere -> replicated,
         # the SlabCellPPPM contract (no psum at the consumer)
         return (f[:, 0], f[:, 1], f[:, 2], kr.elong, kr.virial)
+
+    # ---- traced-box form (slab NPT) ----
+
+    def tables(self, boxL):
+        """Box-baked tables rebuilt from the traced box once per cadence
+        block — the PPPM::setup()-on-box-change contract (TracedPPPM);
+        None for solvers whose traced form has no tables (Ewald)."""
+        if hasattr(self.solver, "tables"):
+            return self.solver.tables(boxL)
+        return None
+
+    def compute_slots_local_traced(self, state: SlotState, boxL, kc,
+                                   eflag: bool, vflag: bool,
+                                   axis: str = "x"):
+        """``compute_slots_local`` under a TRACED box: gather the sharded
+        planes, run the solver's ``compute_traced`` replicated (empty
+        slots carry q == 0, depositing nothing), slice local force rows.
+        """
+        def ag(p):
+            if self.D > 1:
+                return jax.lax.all_gather(p, axis, tiled=True)
+            return p
+
+        xs = jnp.stack([ag(state.x), ag(state.y), ag(state.z)], -1)
+        q = ag(state.q)
+        kw = {"kc": kc} if kc is not None else {}
+        kr = self.solver.compute_traced(xs, q, boxL, eflag=eflag,
+                                        vflag=vflag, **kw)
+        if self.D > 1:
+            d = jax.lax.axis_index(axis)
+            f = jax.lax.dynamic_slice_in_dim(
+                kr.f, d * self.ns_loc, self.ns_loc)
+        else:
+            f = kr.f
+        return (f[:, 0], f[:, 1], f[:, 2], kr.elong, kr.virial)

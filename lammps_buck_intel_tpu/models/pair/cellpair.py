@@ -69,7 +69,10 @@ def compute_cell_tiles(
     ncell = nbr_np.shape[0]
     ncell_j = j_planes["x"].shape[0] // cap
     flt = i_planes["x"].dtype
-    L = [float(v) for v in np.asarray(L)]
+    if isinstance(L, (np.ndarray, list, tuple)):
+        L = [float(v) for v in np.asarray(L)]     # static box: baked
+    else:
+        L = [L[0], L[1], L[2]]                    # traced (3,) box (NPT)
     ntypes = style.tables.shape[0]
     has_special = (slot_special_idx is not None
                    and slot_special_idx.shape[1] > 0)

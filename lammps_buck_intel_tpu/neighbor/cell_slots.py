@@ -179,6 +179,16 @@ def wrap_state(box: Box, state: SlotState) -> SlotState:
     return state._replace(x=x, y=y, z=z, ix=ix, iy=iy, iz=iz)
 
 
+def wrap_state_traced(state: SlotState, lo, L) -> SlotState:
+    """``wrap_state`` for a TRACED orthogonal box: ``lo``/``L`` are (3,)
+    traced arrays (the slab-NPT engine's variable cell — the box is a jit
+    ARGUMENT there, never a baked constant)."""
+    x, ix = _wrap_plane(state.x, state.ix, lo[0], L[0])
+    y, iy = _wrap_plane(state.y, state.iy, lo[1], L[1])
+    z, iz = _wrap_plane(state.z, state.iz, lo[2], L[2])
+    return state._replace(x=x, y=y, z=z, ix=ix, iy=iy, iz=iz)
+
+
 def cell_index(p, lo_a: float, L_a: float, nc_a: int):
     c = jnp.floor((p - lo_a) * (nc_a / L_a)).astype(jnp.int32)
     return jnp.clip(c, 0, nc_a - 1)

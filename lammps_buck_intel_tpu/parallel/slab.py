@@ -43,8 +43,10 @@ decomposition — no re-layout).  Per step:
 
 Scope: pair + PPPM (pencil, or gathered for dispersion/ewald) + NVE/NVT
 + SHAKE/RATTLE + bonded terms + rigid/small + same-molecule exclusion —
-the in.spce- and in.hexane-class decks.  fix npt stays on the
-single-chip traced-box engine (the dense kernels bake the box).
+the in.spce- and in.hexane-class decks.  fix npt runs on the
+SlabNPTSimulation subclass (parallel/slab_npt.py): the same slab
+decomposition under a TRACED box (the fractional cell walls dilate with
+the MTK barostat).
 """
 from __future__ import annotations
 
@@ -125,9 +127,15 @@ class SlabCellPairSimulation:
         shake: Optional[ShakeConstraints] = None,
         rigid=None,
         exclude_intra: bool = False,
+        cutneigh_scale: float = 1.0,
+        defer_init_force: bool = False,
     ):
         """kspace_setup: optional fn (sim) -> SlabCellPPPM called after the
-        grid exists (the runner wires setup_pppm through it)."""
+        grid exists (the runner wires setup_pppm through it).
+        cutneigh_scale: grow the cell-sizing cutoff (> 1 leaves shrink
+        headroom for the variable-cell subclass — cells stay >= cutneigh
+        down to boxL/cutneigh_scale).  defer_init_force: skip the initial
+        force pass (the traced-box subclass runs its own)."""
         if mesh is None:
             mesh = slab_mesh(n_devices or len(jax.devices()))
         self.mesh = mesh
@@ -143,7 +151,8 @@ class SlabCellPairSimulation:
         self.n_atoms = n
         flt = self.precision.flt
 
-        cutneigh = float(np.sqrt(pair.cutsq_max)) + self.neighbor.skin
+        cutneigh = (float(np.sqrt(pair.cutsq_max))
+                    + self.neighbor.skin) * float(cutneigh_scale)
         L = np.asarray(self.box.lengths)
         grid = cs.make_grid(n, L, cutneigh, cap=cap)
         if grid is None:
@@ -304,8 +313,9 @@ class SlabCellPairSimulation:
         self.step_count = 0
         self._chunk_fns: dict[int, Callable] = {}
         self.timings = {"run": 0.0}
-        self._thermo_jit = self._make_thermo_fn()
-        self.state = self._make_init_force_fn()(self.state, self._kc)
+        if not defer_init_force:
+            self._thermo_jit = self._make_thermo_fn()
+            self.state = self._make_init_force_fn()(self.state, self._kc)
 
     def _occupancy(self, system) -> int:
         x = np.asarray(jax.device_get(system.x))
@@ -415,27 +425,35 @@ class SlabCellPairSimulation:
             dummy = n_ext + jnp.arange(2, dtype=jnp.int32)
             ctx["shake_pairs"] = jnp.where(
                 present[:, None], raw, dummy[None, :])
+            # constraint-virial ownership (device owning the FIRST atom
+            # tallies — boundary molecules are solved on both owners)
+            ctx["shake_vw"] = present & owned(raw[:, 0])
         return ctx
 
-    def _bonded_local(self, jp: dict, ctx: dict, eflag: bool):
+    def _bonded_local(self, jp: dict, ctx: dict, eflag: bool, box=None):
         """Bonded forces on owned rows + ownership-weighted energy/virial
         partials (psum at the consumer)."""
         from ..models.bonded import compute_bonded
 
         xs = self._ext_xs(jp["x"], jp["y"], jp["z"])
         br = compute_bonded(
-            self.bonded, xs, self.box, eflag=eflag,
-            acc_dtype=self.precision.acc,
+            self.bonded, xs, box if box is not None else self.box,
+            eflag=eflag, acc_dtype=self.precision.acc,
             eweights=ctx["eweights"], **ctx["bonded_idx"])
         plane = self._plane
         ns_loc = self.grid.nslots // self.D
         return br.f[plane:plane + ns_loc], br
 
     def _forces_local(self, state: cs.SlotState, kc: dict, eflag: bool,
-                      vflag: bool, ctx: Optional[dict] = None):
+                      vflag: bool, ctx: Optional[dict] = None,
+                      boxL=None, box=None):
         """Local forces + energy terms.  evdwl/ecoul/emol/vir_pair are
         LOCAL partial sums (psum at the consumer); elong/vir_k come back
-        from the k-space pipeline already psum-completed (replicated)."""
+        from the k-space pipeline already psum-completed (replicated).
+
+        boxL/box: optional TRACED box lengths / Box (the slab-NPT
+        subclass threads the variable cell through here; kc then holds
+        the traced per-block k-space tables)."""
         if ctx is None:
             ctx = self._term_ctx(state)
         jp = self._halo_planes(state)
@@ -449,7 +467,8 @@ class SlabCellPairSimulation:
             jp["mol"] = self._halo(mol_slot)
         sp_idx, sp_code = ctx["sp"]
         r = compute_cell_tiles(
-            self.pair, self.box.lengths, self.n_atoms, self.grid.cap,
+            self.pair, boxL if boxL is not None else self.box.lengths,
+            self.n_atoms, self.grid.cap,
             self._nbr_ext, ip, jp,
             eflag=eflag, vflag=vflag, acc_dtype=self.precision.acc,
             slot_special_idx=sp_idx, slot_special_code=sp_code,
@@ -458,7 +477,7 @@ class SlabCellPairSimulation:
         evdwl, ecoul, vir_pair = r.evdwl, r.ecoul, r.virial
         emol = jnp.zeros((), self.precision.acc)
         if self.bonded is not None:
-            fb, br = self._bonded_local(jp, ctx, eflag)
+            fb, br = self._bonded_local(jp, ctx, eflag, box=box)
             fx = fx + fb[:, 0]
             fy = fy + fb[:, 1]
             fz = fz + fb[:, 2]
@@ -471,23 +490,40 @@ class SlabCellPairSimulation:
         elong = jnp.zeros((), self.precision.acc)
         vir_k = jnp.zeros((6,), self.precision.acc)
         if self.kspace is not None:
-            kfx, kfy, kfz, elong, vir_k = self.kspace.compute_slots_local(
-                state, kc, eflag, vflag, axis=self.axis)
+            if boxL is None:
+                kfx, kfy, kfz, elong, vir_k = \
+                    self.kspace.compute_slots_local(
+                        state, kc, eflag, vflag, axis=self.axis)
+            else:
+                kfx, kfy, kfz, elong, vir_k = \
+                    self.kspace.compute_slots_local_traced(
+                        state, boxL, kc, eflag, vflag, axis=self.axis)
             fx, fy, fz = fx + kfx, fy + kfy, fz + kfz
         return (fx, fy, fz), evdwl, ecoul, elong, emol, vir_pair, vir_k
 
-    def _rebin_local(self, state: cs.SlotState) -> cs.SlotState:
-        """Wrap + migrate boundary planes + bin by local cell id."""
+    def _rebin_local(self, state: cs.SlotState,
+                     boxL=None, box_lo=None) -> cs.SlotState:
+        """Wrap + migrate boundary planes + bin by local cell id.
+
+        boxL/box_lo: optional TRACED box lengths/origin (slab NPT — bin
+        assignment follows the variable cell while the cell COUNTS stay
+        static, the LAMMPS static-neigh-grid-between-reneighborings
+        contract)."""
         grid = self.grid
         n = self.n_atoms
         ncx, ncy, ncz = grid.nc
-        lo = [float(v) for v in np.asarray(self.box.lo)]
-        L = [float(v) for v in np.asarray(self.box.lengths)]
         D = self.D
         ncx_loc = self.ncx_loc
         plane = self._plane
 
-        state = cs.wrap_state(self.box, state)
+        if boxL is None:
+            lo = [float(v) for v in np.asarray(self.box.lo)]
+            L = [float(v) for v in np.asarray(self.box.lengths)]
+            state = cs.wrap_state(self.box, state)
+        else:
+            lo = [box_lo[0], box_lo[1], box_lo[2]]
+            L = [boxL[0], boxL[1], boxL[2]]
+            state = cs.wrap_state_traced(state, box_lo, boxL)
         if D > 1:
             # ship COPIES of the boundary planes both ways; receivers keep
             # only rows that bin into their range, senders drop migrants

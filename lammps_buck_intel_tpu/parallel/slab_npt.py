@@ -1,0 +1,441 @@
+"""Multi-chip NPT — the MTK barostat on the slab-sharded cell-slot engine.
+
+Host-LAMMPS contract: ``fix npt`` runs under MPI domain decomposition like
+every other fix (/root/reference/examples/in.rhodo:18-19 is the NPT deck;
+the pppm_intel.cpp:185,219-228 comm machinery exists so full decks scale).
+This engine closes the last deck-visible fix that was single-chip-only.
+
+TPU-native design (composition of two existing contracts):
+
+* the SLAB decomposition (parallel/slab.py) is FRACTIONAL: cell walls sit
+  at fixed fractions of the box, so a homogeneous MTK dilation moves every
+  atom *with* its cell — binning, halo tables, and the migration bound are
+  untouched by volume changes.  Only bin ASSIGNMENT and the pair minimum
+  image consume the box, and both take it TRACED (cell_slots
+  wrap_state_traced / compute_cell_tiles traced-L), so the cell counts
+  stay static — the LAMMPS static-neigh-grid-between-reneighborings
+  contract under a variable cell.
+* the BAROSTAT state (boxL, omega_dot, last-step virial) is replicated,
+  like the NH chain: per-device partial reductions (per-axis sum m v_a^2,
+  pair/bonded virial partials, ownership-weighted SHAKE constraint
+  virial) are psum-completed, then every device advances the identical
+  scalar barostat — the integrate/npt.py operator splitting verbatim.
+* k-space runs GATHERED + TRACED: all_gather the slot planes and run
+  TracedPPPM/Ewald ``compute_traced`` replicated, with the box-baked
+  tables (Green's function) rebuilt from the traced box once per cadence
+  block — the PPPM::setup()-on-box-change contract on the mesh.
+
+Cells are sized with ``box_headroom`` shrink margin (cells stay >=
+cutoff+skin down to boxL/headroom; the run guard raises past it, the
+integrate/npt.py contract).
+"""
+from __future__ import annotations
+
+from time import perf_counter
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.box import Box, make_box
+from ..core.units import Units, LJ
+from ..integrate.npt import NPTConfig
+from ..integrate.shake import shake_positions, rattle_velocities
+from ..neighbor import cell_slots as cs
+from .slab import SlabCellPairSimulation, shard_map
+
+
+class NPTExtras(NamedTuple):
+    """Replicated barostat state threaded alongside the sharded slots."""
+
+    boxL: jnp.ndarray       # (3,) traced box lengths
+    omega_dot: jnp.ndarray  # (3,) barostat strain rates
+    virial: jnp.ndarray     # (6,) GLOBAL virial from the last force pass
+
+
+class SlabNPTSimulation(SlabCellPairSimulation):
+    """Variable-cell MD on the slab mesh (``engine: slab`` + ``fix npt``).
+
+    API mirrors ``integrate.npt.NPTSimulation`` (run/thermo/get_atoms/
+    current_box); the thermo surface is the NPT one (temp/press/p_axis/
+    vol/boxL), computed from the carried global virial."""
+
+    def __init__(self, system, pair, npt: NPTConfig, thermostat,
+                 box_headroom: float = 1.10, **kw):
+        if thermostat is None:
+            raise ValueError("fix npt always thermostats (temp keyword)")
+        if kw.get("rigid") is not None:
+            raise NotImplementedError("slab NPT: fix rigid/small")
+        if system.box.is_triclinic:
+            raise NotImplementedError("slab NPT: triclinic box")
+        self.npt = npt
+        self._headroom = float(box_headroom)
+        L0 = np.asarray(system.box.lengths, np.float64)
+        self._L0 = L0
+        self._center = np.asarray(system.box.lo, np.float64) + 0.5 * L0
+        super().__init__(system, pair, thermostat=thermostat,
+                         cutneigh_scale=box_headroom,
+                         defer_init_force=True, **kw)
+        flt = self.precision.flt
+        rep = NamedSharding(self.mesh, P())
+        ex = NPTExtras(
+            boxL=jnp.asarray(L0, flt),
+            omega_dot=jnp.zeros((3,), flt),
+            virial=jnp.zeros((6,), self.precision.acc),
+        )
+        self._extras_spec = NPTExtras(boxL=P(), omega_dot=P(), virial=P())
+        self.extras = jax.tree.map(lambda a: jax.device_put(a, rep), ex)
+        self._npt_chunk_fns: dict = {}
+        self._thermo_jit = self._make_npt_thermo_fn()
+        self.state, self.extras = self._make_npt_init_fn()(
+            self.state, self.extras)
+
+    # ---------- traced-box helpers ----------
+
+    def _lo_traced(self, boxL):
+        return jnp.asarray(self._center, boxL.dtype) - 0.5 * boxL
+
+    def _box_traced(self, boxL) -> Box:
+        c = jnp.asarray(self._center, boxL.dtype)
+        return Box(lo=c - 0.5 * boxL, hi=c + 0.5 * boxL,
+                   periodic=np.array([True, True, True]))
+
+    def _mv2_axes(self, st, minv):
+        """psum-completed per-axis sum m v_a^2 (energy units)."""
+        acc = self.precision.acc
+        mass = jnp.where(st.aid < self.n_atoms,
+                         1.0 / jnp.maximum(minv, 1e-30), 0.0)
+        mv2 = jnp.stack([
+            jnp.sum((mass * st.vx * st.vx).astype(acc)),
+            jnp.sum((mass * st.vy * st.vy).astype(acc)),
+            jnp.sum((mass * st.vz * st.vz).astype(acc)),
+        ]) * self.units.mvv2e
+        if self.D > 1:
+            mv2 = jax.lax.psum(mv2, self.axis)
+        return mv2
+
+    # ---------- barostat pieces (integrate/npt.py ported; global
+    # reductions arrive psum-completed, updates are replicated) ----------
+
+    def _omega_masses(self, t_target):
+        nkt = (self.n_atoms + 1) * self.units.boltz * jnp.maximum(
+            t_target, 1e-30)
+        return nkt * self.npt.p_damp**2
+
+    def _omega_dot_half(self, ex: NPTExtras, mv2, t_target, p_target):
+        cfgp = self.npt
+        u = self.units
+        acc = self.precision.acc
+        V = (ex.boxL[0] * ex.boxL[1] * ex.boxL[2]).astype(acc)
+        p_cur = (mv2 + ex.virial[:3]) / V * u.nktv2p
+        flags = np.asarray(cfgp.flags, bool)
+        if cfgp.couple == "xyz":
+            pavg = jnp.mean(jnp.asarray(
+                [p_cur[a] for a in range(3) if cfgp.flags[a]]))
+            p_cur = jnp.stack([pavg, pavg, pavg])
+        W = self._omega_masses(t_target)
+        f_omega = (p_cur - jnp.asarray(p_target, p_cur.dtype)) * V \
+            / (W * u.nktv2p)
+        if cfgp.mtk:
+            pdim = max(int(flags.sum()), 1)
+            mtk1 = jnp.sum(jnp.where(jnp.asarray(flags), mv2, 0.0)) \
+                / (self.n_atoms * pdim)
+            f_omega = f_omega + mtk1 / W
+        f_omega = jnp.where(jnp.asarray(flags), f_omega, 0.0)
+        od = ex.omega_dot + (0.5 * self.dt) * f_omega.astype(
+            ex.omega_dot.dtype)
+        return ex._replace(omega_dot=od)
+
+    def _press_vfac(self, ex: NPTExtras):
+        """nh_v_press factor exp(-dt/2 (omega_dot + mtk_term2)), (3,)."""
+        cfgp = self.npt
+        flags = np.asarray(cfgp.flags, bool)
+        od = ex.omega_dot
+        if cfgp.mtk:
+            pdim = max(int(flags.sum()), 1)
+            mtk2 = jnp.sum(jnp.where(jnp.asarray(flags), od, 0.0)) \
+                / (pdim * self.n_atoms)
+        else:
+            mtk2 = 0.0
+        return jnp.exp((-0.5 * self.dt) * jnp.where(
+            jnp.asarray(flags), od + mtk2, 0.0))
+
+    # ---------- forces under the traced box ----------
+
+    def _forces_virial(self, st, boxL, kcb, ctx):
+        """Force planes + psum-completed GLOBAL virial (vflag every step:
+        the barostat consumes pressure continuously, npt.py contract)."""
+        acc = self.precision.acc
+        (fx, fy, fz), _, _, _, _, vir_pair, vir_k = self._forces_local(
+            st, kcb, False, True, ctx=ctx, boxL=boxL,
+            box=self._box_traced(boxL))
+        vir = vir_pair.astype(acc)
+        if self.D > 1:
+            vir = jax.lax.psum(vir, self.axis)
+        return (fx, fy, fz), vir + vir_k
+
+    # ---------- the NPT cadence block ----------
+
+    def _npt_block_local(self, state: cs.SlotState, ex: NPTExtras,
+                         nsteps: int, t_target, p_target):
+        state = self._rebin_local(state, boxL=ex.boxL,
+                                  box_lo=self._lo_traced(ex.boxL))
+        ctx = self._term_ctx(state)
+        minv = self._minv(state)
+        dtf, dtv = self.dtf, self.dtv
+        flt = self.precision.flt
+        acc = self.precision.acc
+        sc = self.shake
+        flags = np.asarray(self.npt.flags, bool)
+        plane = self._plane
+        ns_loc = self.grid.nslots // self.D
+        sl = slice(plane, plane + ns_loc)
+        # k-space setup-on-box-change at reneighbor cadence: traced
+        # tables from the block-start box (integrate/npt.py contract)
+        kcb = (self.kspace.tables(ex.boxL)
+               if self.kspace is not None else None)
+        if sc is not None:
+            vw = ctx["shake_vw"].astype(flt)
+
+        def ext3(a, b, c):
+            return self._ext_xs(self._halo(a), self._halo(b),
+                                self._halo(c))
+
+        def one_step(carry, _):
+            st, ex = carry
+            th = st.therm
+            # thermostat half (psum'd KE, replicated chain)
+            scale, th = self._nhc_scale(st, th, minv, t_target)
+            st = st._replace(vx=st.vx * scale, vy=st.vy * scale,
+                             vz=st.vz * scale)
+            # barostat omega half + velocity scale
+            ex = self._omega_dot_half(ex, self._mv2_axes(st, minv),
+                                      t_target, p_target)
+            fac = self._press_vfac(ex)
+            vx = st.vx * fac[0] + (dtf * minv) * st.fx
+            vy = st.vy * fac[1] + (dtf * minv) * st.fy
+            vz = st.vz * fac[2] + (dtf * minv) * st.fz
+            # drift + homogeneous dilation about the fixed center
+            s = jnp.exp(dtv * jnp.where(jnp.asarray(flags),
+                                        ex.omega_dot, 0.0))
+            cx, cy, cz = (jnp.asarray(v, flt) for v in self._center)
+            x = cx + (st.x + dtv * vx - cx) * s[0].astype(flt)
+            y = cy + (st.y + dtv * vy - cy) * s[1].astype(flt)
+            z = cz + (st.z + dtv * vz - cz) * s[2].astype(flt)
+            boxL = ex.boxL * s
+            ex = ex._replace(boxL=boxL)
+            vir_c = jnp.zeros((6,), acc)
+            if sc is not None:
+                xs_old = ext3(st.x, st.y, st.z)
+                st = st._replace(x=x, y=y, z=z)
+                xs_new = ext3(st.x, st.y, st.z)
+                vs = ext3(vx, vy, vz)
+                xs_fix, vs, vir_c = shake_positions(
+                    sc, xs_old, xs_new, vs, dtv, boxL,
+                    pairs=ctx["shake_pairs"],
+                    virial_factor=1.0 / (dtv * dtf), vweights=vw)
+                x, y, z = xs_fix[sl, 0], xs_fix[sl, 1], xs_fix[sl, 2]
+                vx, vy, vz = vs[sl, 0], vs[sl, 1], vs[sl, 2]
+                vir_c = vir_c.astype(acc)
+                if self.D > 1:
+                    vir_c = jax.lax.psum(vir_c, self.axis)
+            st = st._replace(x=x, y=y, z=z)
+            # forces + global virial at the new configuration
+            (fx, fy, fz), vir = self._forces_virial(st, boxL, kcb, ctx)
+            ex = ex._replace(virial=vir + vir_c)
+            fx, fy, fz = fx.astype(flt), fy.astype(flt), fz.astype(flt)
+            vx = vx + (dtf * minv) * fx
+            vy = vy + (dtf * minv) * fy
+            vz = vz + (dtf * minv) * fz
+            if sc is not None:
+                xs = ext3(st.x, st.y, st.z)
+                vs = ext3(vx, vy, vz)
+                vs = rattle_velocities(sc, xs, vs, boxL,
+                                       pairs=ctx["shake_pairs"])
+                vx, vy, vz = vs[sl, 0], vs[sl, 1], vs[sl, 2]
+            # barostat scale + omega half + thermostat half
+            st = st._replace(vx=vx, vy=vy, vz=vz, fx=fx, fy=fy, fz=fz)
+            fac = self._press_vfac(ex)
+            st = st._replace(vx=st.vx * fac[0], vy=st.vy * fac[1],
+                             vz=st.vz * fac[2])
+            ex = self._omega_dot_half(ex, self._mv2_axes(st, minv),
+                                      t_target, p_target)
+            scale, th = self._nhc_scale(st, th, minv, t_target)
+            st = st._replace(vx=st.vx * scale, vy=st.vy * scale,
+                             vz=st.vz * scale, therm=th)
+            return (st, ex), None
+
+        (state, ex), _ = jax.lax.scan(one_step, (state, ex), None,
+                                      length=nsteps)
+        return state, ex
+
+    def _repeat_npt_blocks(self, size: int):
+        key = (size, self.npt, self.thermostat)
+        fn = self._npt_chunk_fns.get(key)
+        if fn is None:
+            def local(state, ex, n_blocks, t_target, p_target):
+                return jax.lax.fori_loop(
+                    0, n_blocks,
+                    lambda i, se: self._npt_block_local(
+                        se[0], se[1], size, t_target, p_target),
+                    (state, ex))
+
+            fn = jax.jit(shard_map(
+                local, mesh=self.mesh,
+                in_specs=(self._state_spec, self._extras_spec,
+                          P(), P(), P()),
+                out_specs=(self._state_spec, self._extras_spec),
+                check_vma=False,
+            ))
+            self._npt_chunk_fns[key] = fn
+        return fn
+
+    def _make_npt_init_fn(self):
+        """Initial force + virial pass at the initial (replicated) box."""
+        def local(state, ex):
+            state = self._rebin_local(state, boxL=ex.boxL,
+                                      box_lo=self._lo_traced(ex.boxL))
+            ctx = self._term_ctx(state)
+            kcb = (self.kspace.tables(ex.boxL)
+                   if self.kspace is not None else None)
+            (fx, fy, fz), vir = self._forces_virial(state, ex.boxL, kcb,
+                                                    ctx)
+            flt = state.x.dtype
+            return (state._replace(fx=fx.astype(flt), fy=fy.astype(flt),
+                                   fz=fz.astype(flt)),
+                    ex._replace(virial=vir))
+
+        return jax.jit(shard_map(
+            local, mesh=self.mesh,
+            in_specs=(self._state_spec, self._extras_spec),
+            out_specs=(self._state_spec, self._extras_spec),
+            check_vma=False,
+        ))
+
+    # ---------- thermo (the NPTSimulation surface) ----------
+
+    def _make_npt_thermo_fn(self):
+        u = self.units
+        acc = self.precision.acc
+
+        def local(state, ex):
+            minv = self._minv(state)
+            mv2 = self._mv2_axes(state, minv)
+            V = (ex.boxL[0] * ex.boxL[1] * ex.boxL[2]).astype(acc)
+            p_axis = (mv2 + ex.virial[:3]) / V * u.nktv2p
+            sum_mv2 = jnp.sum(mv2)
+            temp = sum_mv2 / (self._dof() * u.boltz)
+            press = (sum_mv2 + ex.virial[0] + ex.virial[1]
+                     + ex.virial[2]) / (3.0 * V) * u.nktv2p
+            return dict(temp=temp, ke=0.5 * sum_mv2, press=press,
+                        p_axis=p_axis, boxL=ex.boxL, vol=V,
+                        omega_dot=ex.omega_dot, overflow=state.overflow)
+
+        specs = dict(temp=P(), ke=P(), press=P(), p_axis=P(), boxL=P(),
+                     vol=P(), omega_dot=P(), overflow=P())
+        return jax.jit(shard_map(
+            local, mesh=self.mesh,
+            in_specs=(self._state_spec, self._extras_spec),
+            out_specs=specs, check_vma=False,
+        ))
+
+    def thermo(self) -> dict:
+        row = jax.device_get(self._thermo_jit(self.state, self.extras))
+        out = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v))
+               for k, v in row.items()}
+        out["step"] = self.step_count
+        out["overflow"] = bool(row["overflow"])
+        if out["overflow"]:
+            raise RuntimeError(
+                "slab NPT overflow: cell capacity exceeded or an atom "
+                "drifted past the adjacent slab between rebins — "
+                "compression densified the system past the sizing; raise "
+                "cap / box_headroom or shrink the rebuild interval")
+        self._shrink_guard(np.asarray(out["boxL"]))
+        if not np.isfinite(out["temp"]) or not np.isfinite(out["press"]):
+            raise RuntimeError(f"non-finite thermo at step {out['step']}")
+        return out
+
+    def _shrink_guard(self, boxL_now: np.ndarray):
+        shrink = boxL_now / self._L0
+        if float(shrink.min()) < 1.0 / self._headroom - 1e-9:
+            raise RuntimeError(
+                f"box shrank to {shrink.min():.3f} of its initial length, "
+                f"beyond the cell-geometry bound 1/{self._headroom}; "
+                "rebuild the simulation from the compressed state")
+
+    # ---------- IO ----------
+
+    @property
+    def current_box(self) -> Box:
+        L = np.asarray(jax.device_get(self.extras.boxL), np.float64)
+        return make_box(self._center - 0.5 * L, self._center + 0.5 * L)
+
+    @property
+    def box(self) -> Box:
+        """The IO contract (write_data/checkpoint/dump read sim.box):
+        the CURRENT dilated box once the barostat state exists; the
+        static initial box during construction (the parent's cell
+        geometry is sized from it)."""
+        if getattr(self, "extras", None) is not None:
+            return self.current_box
+        return self._box0
+
+    @box.setter
+    def box(self, v: Box):
+        self._box0 = v
+
+    # ---------- main loop (NPTSimulation.run ported) ----------
+
+    def run(self, nsteps: int, thermo_every: int = 0, log: bool = True):
+        rows = []
+
+        def emit():
+            row = self.thermo()
+            rows.append(row)
+            if log:
+                L = row["boxL"]
+                print(f"{row['step']:>8d} T={row['temp']:.4g} "
+                      f"P={row['press']:.6g} V={row['vol']:.6g} "
+                      f"L=({L[0]:.4f},{L[1]:.4f},{L[2]:.4f})")
+
+        t0 = perf_counter()
+        if thermo_every:
+            emit()
+        cfg = self.thermostat
+        npt = self.npt
+        flt = self.precision.flt
+        done = 0
+        cadence = max(1, self.neighbor.every)
+        while done < nsteps:
+            target = min(nsteps, done + (thermo_every or nsteps))
+            while done < target:
+                size = min(cadence, target - done)
+                # segment-END ramp evaluation (verlet.py _t_target)
+                frac = (done + size) / max(nsteps, 1)
+                tt = jnp.asarray(
+                    cfg.t_start + (cfg.t_stop - cfg.t_start) * frac, flt)
+                pt = jnp.asarray(
+                    np.asarray(npt.p_start)
+                    + (np.asarray(npt.p_stop)
+                       - np.asarray(npt.p_start)) * frac, flt)
+                self.state, self.extras = self._repeat_npt_blocks(size)(
+                    self.state, self.extras, 1, tt, pt)
+                done += size
+                self.step_count += size
+            if thermo_every:
+                emit()
+        if not thermo_every:
+            float(jax.device_get(self.extras.boxL)[0])  # completion
+        # guards fire even with thermo_every=0 (advisor r2 contract)
+        ov = bool(np.asarray(jax.device_get(self.state.overflow)).any())
+        if ov:
+            raise RuntimeError(
+                "slab NPT overflow: cell capacity exceeded or an atom "
+                "drifted past the adjacent slab between rebins")
+        self._shrink_guard(np.asarray(
+            jax.device_get(self.extras.boxL), np.float64))
+        self.timings["run"] += perf_counter() - t0
+        return rows

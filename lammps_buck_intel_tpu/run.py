@@ -22,6 +22,34 @@ def _parse_pair_key(k: str):
     return (int(i) - 1, int(j) - 1)
 
 
+def _npt_traced_kspace(kspace, box, q, ps, ks, u, prec, style):
+    """Make the deck's kspace solver variable-cell capable for ``fix npt``.
+
+    kspace_style pppm under a variable cell: host LAMMPS re-runs
+    PPPM::setup() on box change; the TPU equivalent rebuilds the
+    box-baked tables from the TRACED box at reneighbor cadence
+    (models/kspace/pppm_npt.py TracedPPPM).  ad/slab/triclinic PPPM
+    variants fall back to Ewald at the deck accuracy (loudly).
+    Returns (kspace, style) — style's g_ewald changes on the fallback."""
+    if kspace is None or hasattr(kspace, "compute_traced"):
+        return kspace, style
+    from .models.kspace.pppm_npt import TracedPPPM
+
+    L0 = np.asarray(box.lengths, np.float64)
+    center = np.asarray(box.lo, np.float64) + 0.5 * L0
+    try:
+        return TracedPPPM(kspace, center), style
+    except NotImplementedError:
+        print("# fix npt: this pppm variant (ad/slab/triclinic) "
+              "is box-baked; substituting ewald at the same "
+              "accuracy", file=sys.stderr)
+        ew = setup_ewald(box, q,
+                         cutoff=ps.get("cut_coul", ps["cut"]),
+                         accuracy_rel=ks.get("accuracy", 1e-4),
+                         qqrd2e=u.qqrd2e, acc_dtype=prec.acc)
+        return ew, style.replace(g_ewald=ew.g_ewald)
+
+
 def build_simulation(cfg: dict, prefer_device: bool = True):
     """Construct a Simulation/CellPairSimulation from a deck config."""
     import jax
@@ -499,8 +527,6 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         n_dev = n_dev_req or len(jax.devices())
         if box.is_triclinic:
             raise NotImplementedError("slab engine: triclinic box")
-        if npt_fix is not None:
-            raise NotImplementedError("slab engine: fix npt")
         if cfg.get("pair_kernel"):
             raise NotImplementedError(
                 "slab engine: pair_kernel selection (the Pallas variants "
@@ -509,6 +535,29 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         if prec.compensated:
             raise NotImplementedError(
                 "slab engine: compensated precision (use single/double)")
+        if npt_fix is not None:
+            # ---- multi-chip NPT (slab mesh + traced box + MTK) ----
+            if rigid_fix is not None:
+                raise NotImplementedError("slab NPT: fix rigid/small")
+            from .parallel.slab_npt import SlabNPTSimulation
+
+            kspace, style = _npt_traced_kspace(kspace, box, q, ps, ks, u,
+                                               prec, style)
+            kset_npt = None
+            if kspace is not None:
+                _gk2 = kspace
+
+                def kset_npt(sim):
+                    from .models.kspace.pppm_slab import GatheredKSpace
+
+                    return GatheredKSpace(_gk2, sim.n_atoms, sim.D,
+                                          sim.grid.nslots)
+            return SlabNPTSimulation(
+                system, style, npt_fix, thermostat,
+                mesh=slab_mesh(n_dev), units=u, precision=prec, dt=dt,
+                neighbor=policy, kspace_setup=kset_npt, shake=shake,
+                bonded=bonded, topology=topo,
+                cap=int(cfg["cap"]) if cfg.get("cap") else None)
         pencil_ok = bool(ks) and (ks.get("name") == "pppm"
                                   and style.cfg.coul == "long"
                                   and not ks.get("slab")
@@ -618,30 +667,8 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             raise NotImplementedError("fix npt on a triclinic box")
         from .integrate import NPTSimulation
 
-        if kspace is not None and not hasattr(kspace, "compute_traced"):
-            # kspace_style pppm under a variable cell: host LAMMPS re-runs
-            # PPPM::setup() on box change; the TPU equivalent rebuilds the
-            # box-baked tables from the TRACED box at reneighbor cadence
-            # (models/kspace/pppm_npt.py).  ad/slab PPPM variants fall
-            # back to Ewald at the deck accuracy (loudly).
-            from .models.kspace.pppm_npt import TracedPPPM
-
-            L0 = np.asarray(box.lengths, np.float64)
-            center = np.asarray(box.lo, np.float64) + 0.5 * L0
-            try:
-                kspace = TracedPPPM(kspace, center)
-            except NotImplementedError:
-                import sys
-
-                print("# fix npt: this pppm variant (ad/slab/triclinic) "
-                      "is box-baked; substituting ewald at the same "
-                      "accuracy", file=sys.stderr)
-                ew = setup_ewald(box, q,
-                                 cutoff=ps.get("cut_coul", ps["cut"]),
-                                 accuracy_rel=ks.get("accuracy", 1e-4),
-                                 qqrd2e=u.qqrd2e, acc_dtype=prec.acc)
-                style = style.replace(g_ewald=ew.g_ewald)
-                kspace = ew
+        kspace, style = _npt_traced_kspace(kspace, box, q, ps, ks, u,
+                                           prec, style)
         return NPTSimulation(
             system, style, npt_fix, thermostat, kspace=kspace,
             bonded=bonded, units=u, precision=prec, dt=dt,

@@ -45,6 +45,8 @@ RUNS = {
                       drift_per_atom=None, conserved=False),
     "rhodo_class": dict(deck="rhodo_class.yaml", steps=100, thermo=20,
                         drift_per_atom=None, conserved=False),  # NVT+shake
+    "rhodo_32k": dict(deck="rhodo_32k.yaml", steps=100, thermo=20,
+                      drift_per_atom=None, conserved=False),  # 31k atoms
     "triclinic": dict(deck="triclinic.yaml", steps=100, thermo=20,
                       drift_per_atom=2e-3, conserved=True),  # 128 atoms: f32
                       # thermo-fetch noise dominates /atom
