@@ -33,6 +33,12 @@ def save(path: str, sim) -> None:
         st = jax.device_get(sim.state)
         extra = {f"slot_{k}": np.asarray(p)
                  for k, p in st._asdict().items() if p is not None}
+        if hasattr(sim, "extras"):  # slab NPT: replicated barostat state
+            ex = jax.device_get(sim.extras)
+            extra.update(npt_boxL=np.asarray(ex.boxL, np.float64),
+                         npt_omega_dot=np.asarray(ex.omega_dot,
+                                                  np.float64),
+                         npt_virial=np.asarray(ex.virial, np.float64))
     else:
         st = jax.device_get(sim.state)
         x, v, image, therm = st.x, st.v, st.image, st.therm
@@ -73,6 +79,76 @@ def resume(sim, ckpt: dict) -> None:
     import jax.numpy as jnp
 
     flt = sim.precision.flt
+    if hasattr(sim, "mesh"):  # slab engines: restore + re-shard
+        from ..core.box import make_box
+        from ..neighbor import cell_slots as cs
+
+        box_ck = make_box(ckpt["box_lo"], ckpt["box_hi"])
+        tchain = (sim.thermostat.tchain
+                  if getattr(sim, "thermostat", None) is not None else 0)
+        if ("slot_x" in ckpt
+                and len(ckpt["slot_x"]) == sim.grid.nslots
+                and ckpt["slot_therm"].shape
+                == tuple(np.asarray(sim.state.therm).shape)):
+            # same grid geometry: verbatim slot planes -> the exact slot
+            # permutation, bit-exact continuation (cellpair contract)
+            st = cs.SlotState(**{
+                k: (jnp.asarray(ckpt[f"slot_{k}"])
+                    if f"slot_{k}" in ckpt else None)
+                for k in cs.SlotState._fields
+            })
+        else:                 # geometry changed: re-bin from atom order
+            st = cs.from_atoms(
+                sim.grid, box_ck, ckpt["x"], ckpt["v"], ckpt["image"],
+                np.asarray(ckpt["typ"], np.int32), ckpt["q"], dtype=flt,
+                tchain=tchain)
+            therm = ckpt["therm"]
+            if therm.shape != tuple(np.asarray(st.therm).shape):
+                therm = np.zeros(np.asarray(st.therm).shape)
+            st = st._replace(therm=jnp.asarray(therm, flt))
+        sim.state = jax.device_put(st, sim._state_sharding)
+        if hasattr(sim, "extras"):   # SlabNPTSimulation
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(sim.mesh, P())
+            ex = sim.extras._replace(
+                boxL=jnp.asarray(ckpt["npt_boxL"], flt),
+                omega_dot=jnp.asarray(ckpt["npt_omega_dot"], flt),
+                virial=jnp.asarray(ckpt["npt_virial"],
+                                   sim.precision.acc))
+            sim.extras = jax.tree.map(
+                lambda a: jax.device_put(a, rep), ex)
+            sim._shrink_guard(np.asarray(ckpt["npt_boxL"], np.float64))
+            sim.state, sim.extras = sim._make_npt_init_fn()(
+                sim.state, sim.extras)
+        else:
+            if getattr(sim, "rigid", None) is not None:
+                # slab rigid: body state derives positions — rebuild it
+                # (Kabsch) exactly like the cell-pair branch below
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..integrate.rigid import (
+                    body_state_from_atoms, atom_positions,
+                    atom_velocities,
+                )
+
+                bs = body_state_from_atoms(
+                    sim.rigid, np.asarray(ckpt["x"]),
+                    np.asarray(ckpt["v"]), box_ck.lengths, dtype=flt)
+                xa, d = atom_positions(sim.rigid, bs)
+                va = atom_velocities(sim.rigid, bs, d)
+                st2 = cs.from_atoms(
+                    sim.grid, box_ck, np.asarray(xa), np.asarray(va),
+                    np.asarray(ckpt["image"], np.int32),
+                    np.asarray(ckpt["typ"], np.int32), ckpt["q"],
+                    dtype=flt, tchain=tchain)
+                st2 = st2._replace(therm=st.therm)
+                sim.state = jax.device_put(st2, sim._state_sharding)
+                rep = NamedSharding(sim.mesh, P())
+                sim.body = jax.tree.map(
+                    lambda a: jax.device_put(a, rep), bs)
+            sim.state = sim._make_init_force_fn()(sim.state, sim._kc)
+        sim.step_count = ckpt["step_count"]
+        return
     if hasattr(sim, "npt"):   # NPTSimulation: full NPTState round-trip
         from ..integrate.npt import NPTState
 
