@@ -102,16 +102,23 @@ def write(path, nx=6, ny=6, nz=6):
     print(f"wrote {path}: {n} atoms, box {L}")
 
 
-def equilibrate(path, steps=3000, log=True):
+def equilibrate(path, log=True):
     """Settle the synthetic lattice into a thermal state and write the
     result back (the analog of the reference's equilibrated_data.hexane,
     a write_data product re-read by the deck — in.hexane:6).
 
-    The raw lattice starts at a bonded-energy minimum with random rigid
-    orientations, so the first ~ps converts pair overlap into heat; decks
-    recorded from the raw file never leave the transient.  Equilibrating
-    through the deck's own force field (NVT @ 300 K, SHAKE on C-H) gives
-    the golden traces a stationary start."""
+    The raw lattice carries ~3,800 kcal of bonded+overlap strain.  A
+    single long NVT run cannot digest it: the strain->heat flux
+    overwhelms the thermostat, the NH chain winds up, exp() underflows
+    and the system freezes at T=0 (observed twice).  Protocol that
+    works (standard MD practice):
+      1. FIRE-minimize the worst strain away;
+      2. velocity-redraw annealing — short runs at a small timestep
+         with a stiff thermostat, redrawing 300 K velocities between
+         stages (each redraw dumps the accumulated heat AND resets the
+         NH chain);
+      3. a settle run at the deck's production timestep/thermostat, so
+         the written Velocities are dynamical, not freshly drawn."""
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -128,29 +135,56 @@ def equilibrate(path, steps=3000, log=True):
     from lammps_buck_intel_tpu.run import run_deck
 
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "decks", "rhodo_class.yaml")) as f:
-        cfg = yaml.safe_load(f)
-    cfg.pop("dump", None)
-    cfg.pop("write_restart", None)
-    cfg["read_data"] = path
-    cfg["precision"] = "double"    # equilibrate in f64 (one-off, host)
-    # the dilute lattice clusters as it cools; manual slot capacity
-    # absorbs the local densification (deck `cap` escape hatch)
-    cfg["cap"] = 160
-    # the raw lattice carries ~3,800 kcal of bonded strain; dumped
-    # straight into dynamics it spikes the temperature past the SHAKE
-    # convergence envelope (observed: NH chain winds up, exp underflows,
-    # the system freezes at T=0).  FIRE-minimize the strain away first.
-    cfg["minimize"] = {"maxiter": 600, "ftol": 5.0, "dmax": 0.05}
-    cfg["run"] = steps
-    cfg["thermo"] = max(steps // 10, 1)
-    # the raw lattice needs a fresh velocity draw; the recorded file then
-    # carries the equilibrated Velocities section and the deck drops its
-    # `velocity:` override
-    cfg.setdefault("velocity", {"temp": 300.0, "seed": 4928459})
-    cfg["write_data"] = path
+
+    def base_cfg():
+        with open(os.path.join(here, "decks", "rhodo_class.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        cfg.pop("dump", None)
+        cfg.pop("write_restart", None)
+        cfg.pop("velocity", None)
+        cfg["read_data"] = path
+        cfg["precision"] = "double"   # equilibrate in f64 (one-off, host)
+        # the dilute lattice clusters as it cools; manual slot capacity
+        # absorbs the local densification (deck `cap` escape hatch)
+        cfg["cap"] = 160
+        cfg["write_data"] = path      # each stage reads the previous
+        return cfg
+
+    # 1. minimize (run: 0 — write minimized coords + a velocity draw)
+    cfg = base_cfg()
+    cfg["minimize"] = {"maxiter": 2000, "ftol": 5.0, "dmax": 0.05}
+    cfg["velocity"] = {"temp": 300.0, "seed": 4928459}
+    cfg["run"] = 0
+    cfg["thermo"] = 1
     run_deck(cfg, log=log)
-    print(f"equilibrated {path}: {steps} steps NVT @ 300 K (f64)")
+
+    # 2. annealing stages: dt 0.25 fs, t_damp 5 fs, fresh velocities
+    for k in range(6):
+        cfg = base_cfg()
+        cfg["velocity"] = {"temp": 300.0, "seed": 4928459 + 101 * k}
+        cfg["timestep"] = 0.25
+        cfg["fixes"] = [
+            {"name": "shake", "m": 1.0, "tol": 0.0001},
+            {"name": "nvt", "t_start": 300.0, "t_damp": 5.0,
+             "tchain": 3},
+        ]
+        cfg["run"] = 400
+        cfg["thermo"] = 200
+        run_deck(cfg, log=log)
+        print(f"# anneal stage {k + 1}/6 done")
+
+    # 3. settle at the production thermostat; velocities carry over
+    cfg = base_cfg()
+    cfg["timestep"] = 1.0
+    cfg["fixes"] = [
+        {"name": "shake", "m": 1.0, "tol": 0.0001},
+        {"name": "nvt", "t_start": 300.0, "t_damp": 50.0, "tchain": 1},
+    ]
+    cfg["run"] = 1500
+    cfg["thermo"] = 300
+    run_deck(cfg, log=log)
+    print(f"equilibrated {path}: staged anneal + 1500-step settle "
+          "NVT @ 300 K (f64)")
 
 
 if __name__ == "__main__":

@@ -605,6 +605,13 @@ class CellPairSimulation:
             evdwl = evdwl + br.e14_lj
             ecoul = ecoul + br.e14_coul
             virial = virial + br.virial
+            # fold bonded forces into the totals: the constraint-virial
+            # tallies below (rigid/SHAKE) are defined on TOTAL forces
+            # (the fix_rigid/fix_shake contract; the nlist engine's fr.f
+            # already includes them)
+            tfx = tfx + br.f[:, 0]
+            tfy = tfy + br.f[:, 1]
+            tfz = tfz + br.f[:, 2]
         u = self.units
         acc = self.precision.acc
         valid = state.aid < self.n_atoms
@@ -636,6 +643,27 @@ class CellPairSimulation:
             _, d = atom_positions(self.rigid, body)
             virial = virial + constraint_virial(
                 self.rigid, body, d, f[:self.n_atoms], u.ftm2v,
+                acc_dtype=self.precision.acc)
+        if self.shake is not None:
+            # SHAKE constraint virial (fix_shake.cpp pressure tally):
+            # scatter slot planes to atom order, tally on static pairs
+            from .shake import shake_virial
+
+            flt = self.precision.flt
+            aid = jnp.minimum(state.aid, self.n_atoms)
+
+            def at_atoms(px, py, pz):
+                arr = jnp.zeros((self.n_atoms + 1, 3), flt)
+                return arr.at[aid].set(jnp.stack(
+                    [px.astype(flt), py.astype(flt),
+                     pz.astype(flt)], -1))[:self.n_atoms]
+
+            virial = virial + shake_virial(
+                self.shake,
+                at_atoms(state.x, state.y, state.z),
+                at_atoms(state.vx, state.vy, state.vz),
+                at_atoms(tfx, tfy, tfz), u.ftm2v,
+                np.asarray(self.box.lengths, np.float64),
                 acc_dtype=self.precision.acc)
         temp = sum_mv2 / (dof * u.boltz)
         ke = 0.5 * sum_mv2

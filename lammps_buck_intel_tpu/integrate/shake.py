@@ -181,6 +181,71 @@ def shake_positions(sc: ShakeConstraints, x_old, x_new, v, dt: float, L,
     return x_fix, v, virial
 
 
+def shake_virial(sc: ShakeConstraints, x, v, f, ftm2v: float, L,
+                 pairs=None, vweights=None, acc_dtype=jnp.float64):
+    """Instantaneous SHAKE constraint virial (6,) — the fix_shake.cpp
+    pressure-tally contract (host LAMMPS folds the constraint forces
+    into the thermo virial; without them the pressure of constrained
+    water is wrong by the internal-flexure term).
+
+    The holonomic constraint |r_ij|^2 = d^2 implies, at every instant,
+    (d/dt)^2 |r_ij|^2 / 2 = |v_ij|^2 + r_ij . a_ij = 0.  With
+    unconstrained accelerations a0 = ftm2v f/m plus the unknown
+    constraint pair forces f_c(i) = -lam_c r_c, the multipliers satisfy
+    a coupled linear system (constraints share atoms within a cluster);
+    it is SOR-iterated here exactly like the SHAKE position solve (same
+    omega/iteration budget).  Virial = sum_c w_c r_c (x) (-lam_c r_c) —
+    the continuous-time limit of LAMMPS' discrete multipliers (agrees
+    to O(dt^2)).
+
+    x/v/f: (M, 3) arrays in any layout ``pairs`` indexes into (atom
+    order, slot planes, or the slab's halo-extended rows); masses always
+    come from the STATIC atom-order constraint list, like
+    shake_positions.  vweights: optional per-constraint tally weights
+    (slab ownership: 1 where this device owns the constraint's first
+    atom — boundary molecules are solved on both owners)."""
+    idxp = sc.pairs if pairs is None else pairs
+    i = jnp.asarray(idxp[:, 0]) if pairs is None else pairs[:, 0]
+    j = jnp.asarray(idxp[:, 1]) if pairs is None else pairs[:, 1]
+    invm_i = jnp.asarray(sc.invm[sc.pairs[:, 0]], x.dtype)
+    invm_j = jnp.asarray(sc.invm[sc.pairs[:, 1]], x.dtype)
+    r = _minimg_cols(x[i] - x[j], L)
+    dv = v[i] - v[j]
+    fx = f.astype(x.dtype)
+    base = (jnp.sum(dv * dv, axis=1)
+            + ftm2v * jnp.sum(r * (fx[i] * invm_i[:, None]
+                                   - fx[j] * invm_j[:, None]), axis=1))
+    denom = ftm2v * jnp.sum(r * r, axis=1) * (invm_i + invm_j)
+    denom = jnp.maximum(denom, 1e-30)
+    omega = float(sc.omega)
+    m_rows = x.shape[0]
+
+    def body(k, g):
+        # feedback: acceleration the CURRENT multipliers impose on every
+        # row (two constraints couple iff they touch the same row)
+        corr = g[:, None] * r
+        acc = jnp.zeros((m_rows, 3), x.dtype)
+        acc = acc.at[i].add(-invm_i[:, None] * corr)
+        acc = acc.at[j].add(invm_j[:, None] * corr)
+        res = base + ftm2v * jnp.sum(r * (acc[i] - acc[j]), axis=1)
+        return g + omega * res / denom
+
+    lam = jax.lax.fori_loop(0, sc.iters, body,
+                            jnp.zeros(r.shape[0], x.dtype))
+    w = (-lam)[:, None] * r                     # pair force on i
+    if vweights is not None:
+        w = w * vweights.astype(w.dtype)[:, None]
+    acc = acc_dtype
+    return jnp.stack([
+        jnp.sum((r[:, 0] * w[:, 0]).astype(acc)),
+        jnp.sum((r[:, 1] * w[:, 1]).astype(acc)),
+        jnp.sum((r[:, 2] * w[:, 2]).astype(acc)),
+        jnp.sum((r[:, 0] * w[:, 1]).astype(acc)),
+        jnp.sum((r[:, 0] * w[:, 2]).astype(acc)),
+        jnp.sum((r[:, 1] * w[:, 2]).astype(acc)),
+    ])
+
+
 def rattle_velocities(sc: ShakeConstraints, x, v, L, iters: int = None,
                       pairs=None):
     """Project out velocity components along constraints."""

@@ -435,6 +435,14 @@ class Simulation:
             virial = virial + constraint_virial(
                 self.rigid, state.body, d, fr.f, u.ftm2v,
                 acc_dtype=self.precision.acc)
+        if self.shake is not None:
+            # SHAKE constraint virial (fix_shake.cpp pressure tally)
+            from .shake import shake_virial
+
+            virial = virial + shake_virial(
+                self.shake, x, v, fr.f, u.ftm2v,
+                np.asarray(self.box.lengths, np.float64),
+                acc_dtype=self.precision.acc)
         vir_trace = virial[0] + virial[1] + virial[2]
         press = (sum_mv2 + vir_trace) / (3.0 * vol) * u.nktv2p
         epair = fr.evdwl + fr.ecoul + fr.elong

@@ -849,8 +849,9 @@ class SlabCellPairSimulation:
 
         def local(state, body, kc):
             state = self._rebin_local(state)
+            ctx = self._term_ctx(state)
             (tfx, tfy, tfz), evdwl, ecoul, elong, emol, vir_pair, vir_k = \
-                self._forces_local(state, kc, True, True)
+                self._forces_local(state, kc, True, True, ctx=ctx)
 
             def allsum(v):
                 return jax.lax.psum(v, self.axis) if D > 1 else v
@@ -898,6 +899,28 @@ class SlabCellPairSimulation:
                     jnp.sum((d[:, 1] * fc[:, 2]).astype(acc)),
                 ])
                 virial = virial + allsum(vir_c)
+            if self.shake is not None:
+                # SHAKE constraint virial on the halo-extended rows with
+                # per-constraint ownership weights (fix_shake.cpp tally)
+                from ..integrate.shake import shake_virial
+
+                flt = self.precision.flt
+
+                def ext3(a, b, c):
+                    return self._ext_xs(self._halo(a), self._halo(b),
+                                        self._halo(c))
+
+                vir_s = shake_virial(
+                    self.shake,
+                    ext3(state.x, state.y, state.z),
+                    ext3(state.vx, state.vy, state.vz),
+                    ext3(tfx.astype(flt), tfy.astype(flt),
+                         tfz.astype(flt)),
+                    u.ftm2v, np.asarray(self.box.lengths, np.float64),
+                    pairs=ctx["shake_pairs"],
+                    vweights=ctx["shake_vw"].astype(flt),
+                    acc_dtype=acc)
+                virial = virial + allsum(vir_s)
             valid = state.aid < self.n_atoms
             minv = self._minv(state)
             mass = jnp.where(valid, 1.0 / jnp.maximum(minv, 1e-30), 0.0)

@@ -120,3 +120,155 @@ def test_rigid_hexane(reference_dir):
     e0 = rows[0]["etotal"]
     drift = max(abs(r["etotal"] - e0) for r in rows) / abs(e0)
     assert drift < 5e-4, f"rigid hexane drift {drift}"
+
+
+def test_shake_virial_pressure_fd():
+    """Static (v=0) fully-constrained water-dimer pressure equals the
+    f64 finite difference -dU/dV where the dilation translates molecule
+    COMs affinely and keeps each molecule rigid — the fix_shake.cpp
+    constraint-virial pressure contract (the SHAKE analog of
+    test_rigid_constraint_virial_pressure_fd).  Without shake_virial the
+    atomic virial reports -dU/dV of an all-atom affine scaling, which is
+    wrong for constrained molecules."""
+    from lammps_buck_intel_tpu.models.pair import build_lj
+
+    u = get_units("real")
+    # two SPC/E-geometry waters, ALL degrees constrained (2 bonds + the
+    # H..H angle distance -> rigid triangles)
+    xw = np.array([[0.0, 0.0, 0.0], [0.96, 0.0, 0.26],
+                   [-0.55, 0.0, 0.83]])
+    x = np.concatenate([xw + [6.0, 6.0, 6.0], xw + [9.2, 6.3, 6.1]])
+    mol = np.array([0, 0, 0, 1, 1, 1], np.int32)
+    typ = np.array([0, 1, 1, 0, 1, 1], np.int32)
+    q = np.array([-0.8472, 0.4236, 0.4236] * 2)
+    mass = np.array([15.9994, 1.008])
+    bonds = np.array([[0, 0, 1], [0, 0, 2], [0, 3, 4], [0, 3, 5]])
+    angles = np.array([[0, 1, 0, 2], [0, 4, 3, 5]])
+    L = 18.0
+
+    def build(s):
+        com = np.array([
+            np.average(x[mol == m], axis=0, weights=mass[typ[mol == m]])
+            for m in range(2)
+        ])
+        xs = x + (s - 1.0) * com[mol]
+        box = make_box([0.0] * 3, [L * s] * 3, dtype=jnp.float64)
+        sc = make_shake(bonds, np.array([[450.0, 1.0]]), angles,
+                        np.array([[55.0, 109.47]]),
+                        mass[typ], iters=60)
+        style = build_lj(
+            2, {(0, 0): (0.15535, 3.166), (0, 1): (0.05, 2.0),
+                (1, 1): (0.02, 1.5)},
+            cut_global=7.0, coul="cut", cut_coul=8.0,
+            special_lj=(1.0, 0.0, 0.0, 0.0),
+            special_coul=(1.0, 0.0, 0.0, 0.0),
+            qqrd2e=u.qqrd2e, name="lj/cut/coul/cut", dtype=jnp.float64)
+        topo = build_topology(6, bonds=bonds, angles=angles)
+        system = make_system(xs, box, type=typ, v=np.zeros((6, 3)), q=q,
+                             molecule=mol, mass=mass, dtype=jnp.float64)
+        return Simulation(system, style, topology=topo, units=u,
+                          precision=double(), dt=1.0, shake=sc,
+                          neighbor=NeighborPolicy(skin=2.0, every=5,
+                                                  delay=0, check=False))
+
+    row = build(1.0).thermo()
+    press = row["press"]
+    h = 1e-5
+    up = build(1.0 + h).thermo()
+    dn = build(1.0 - h).thermo()
+    dV = ((1 + h) ** 3 - (1 - h) ** 3) * L**3
+    p_fd = -(up["etotal"] - dn["etotal"]) / dV * u.nktv2p
+    assert abs(press - p_fd) < 1e-5 * max(abs(p_fd), 1.0), (press, p_fd)
+
+
+def test_shake_pressure_cross_engine():
+    """The SHAKE constraint virial agrees across the three engines
+    (nlist atom order, cellpair slot scatter, slab halo rows): dynamic
+    water box, pressure parity to reduction noise."""
+    from lammps_buck_intel_tpu.run import build_simulation
+    from lammps_buck_intel_tpu.parallel import SlabCellPairSimulation
+
+    def cfg(engine, devices=0):
+        c = {
+            "units": "real", "precision": "double", "engine": engine,
+            "read_data": None,  # replaced below
+            "pair_style": {"name": "lj/cut/coul/cut", "cut": 6.5,
+                           "cut_coul": 8.0,
+                           "coeffs": {"1 1": [0.15535, 3.166],
+                                      "1 2": [0.05, 2.0],
+                                      "2 2": [0.02, 1.5]}},
+            "neighbor": {"skin": 2.0, "every": 5, "check": False},
+            "fixes": [{"name": "shake", "m": 1.0, "tol": 0.0001},
+                      {"name": "nvt", "t_start": 300.0, "t_damp": 100.0}],
+            "timestep": 1.0,
+        }
+        if devices:
+            c["devices"] = devices
+        return c
+
+    # build a small water data file on the fly
+    import tempfile
+    import os
+    from lammps_buck_intel_tpu.io import write_data
+    from lammps_buck_intel_tpu.core import build_topology as bt
+
+    rng = np.random.RandomState(5)
+    xw = np.array([[0.0, 0.0, 0.0], [0.96, 0.0, 0.26],
+                   [-0.55, 0.0, 0.83]])
+    xs, bonds, angles, mol = [], [], [], []
+    i = 0
+    for ax in range(5):
+        for ay in range(4):
+            for az in range(4):
+                c0 = (np.array([ax, ay, az]) + 0.5) * 8.0 \
+                    + rng.uniform(-0.5, 0.5, 3)
+                xs.append(xw + c0)
+                bonds += [[0, i, i + 1], [0, i, i + 2]]
+                angles += [[0, i + 1, i, i + 2]]
+                mol += [i // 3] * 3
+                i += 3
+    n = i
+    x = np.concatenate(xs)
+
+    class _S:
+        pass
+
+    class _B:
+        pass
+
+    s = _S()
+    s.x = x
+    s.v = velocity.create(n, 300.0, 87287,
+                          np.array([15.9994, 1.008])[
+                              np.tile([0, 1, 1], n // 3)],
+                          get_units("real"))
+    s.image = np.zeros((n, 3), np.int32)
+    s.type = np.tile([0, 1, 1], n // 3).astype(np.int32)
+    s.q = np.tile([-0.8472, 0.4236, 0.4236], n // 3)
+    s.molecule = np.asarray(mol, np.int32)
+    s.mass = np.array([15.9994, 1.008])
+    b = _B()
+    b.lo, b.hi, b.tilt = np.zeros(3), np.array([40.0, 32.0, 32.0]), None
+    s.box = b
+    topo = bt(n, bonds=bonds, angles=angles)
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "water.data")
+        write_data(p, s, topology=topo)
+        # bond/angle styles so fix shake can read rest lengths
+        extra = {"bond_style": {"name": "harmonic",
+                                "coeffs": [[450.0, 1.0]]},
+                 "angle_style": {"name": "harmonic",
+                                 "coeffs": [[55.0, 109.47]]}}
+        rows = {}
+        for eng, dev in (("nlist", 0), ("cellpair", 0), ("slab", 4)):
+            c = cfg(eng, dev)
+            c["read_data"] = p
+            c.update(extra)
+            sim = build_simulation(c)
+            if eng == "slab":
+                assert isinstance(sim, SlabCellPairSimulation)
+            rows[eng] = sim.thermo()
+        p0 = rows["nlist"]["press"]
+        for eng in ("cellpair", "slab"):
+            assert abs(rows[eng]["press"] - p0) < 1e-7 * max(abs(p0), 1.0), (
+                eng, rows[eng]["press"], p0)
