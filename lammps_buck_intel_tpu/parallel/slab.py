@@ -1057,6 +1057,13 @@ class SlabCellPairSimulation:
         if thermo_every and (not rows or rows[-1]["step"] != self.step_count):
             emit()
         else:
-            float(jax.device_get(self.state.x)[0])  # force completion
+            # guards fire even with thermo_every=0 (advisor r2 contract):
+            # one cheap scalar fetch of the sticky overflow flag
+            if bool(np.asarray(jax.device_get(self.state.overflow)).any()):
+                raise RuntimeError(
+                    "slab engine overflow: cell capacity exceeded or an "
+                    "atom drifted past the adjacent slab between rebins — "
+                    "increase cap, shrink the rebuild interval, or add "
+                    "devices")
         self.timings["run"] += time.perf_counter() - t0
         return rows
