@@ -61,13 +61,14 @@ class CellPairSimulation:
         self.n_atoms = n
         flt = self.precision.flt
 
-        if self.box.is_triclinic and (shake is not None or bonded is not
-                                      None or rigid is not None
-                                      or kspace is not None and
-                                      hasattr(kspace, "compute_slots")):
+        if self.box.is_triclinic and (
+                rigid is not None
+                or kspace is not None and hasattr(kspace, "compute_slots")):
             raise NotImplementedError(
-                "triclinic cell-pair engine: pair + NVE/NVT + generic "
-                "kspace only (SHAKE/bonded min-image is orthogonal)")
+                "triclinic cell-pair engine: rigid bodies (unwrapped-COM "
+                "positions) and the orthogonal cell-patch PPPM pipeline "
+                "are excluded; pair/bonded/SHAKE/NVT + generic kspace "
+                "run tilted")
         if rigid is not None and shake is not None:
             raise ValueError("fix rigid/small and fix shake are exclusive")
         self.rigid = rigid
@@ -205,7 +206,8 @@ class CellPairSimulation:
                 raise RuntimeError("cell capacity sizing failed")
         if self.shake is not None:
             # settle initial state onto the constraint manifold
-            Lbox = np.asarray(self.box.lengths, np.float64)
+            Lbox = (self.box if self.box.is_triclinic
+                    else np.asarray(self.box.lengths, np.float64))
             sc = self.shake
 
             @jax.jit
@@ -390,7 +392,8 @@ class CellPairSimulation:
         flt = self.precision.flt
         cfg = self.thermostat
         sc = self.shake
-        Lbox = np.asarray(self.box.lengths, np.float64)
+        Lbox = (self.box if self.box.is_triclinic
+                else np.asarray(self.box.lengths, np.float64))
         need_inv = (sc is not None or self.bonded is not None)
         inv = self._inv_map(state) if need_inv else None
         shake_pairs = (inv[jnp.asarray(sc.pairs)] if sc is not None
@@ -663,7 +666,8 @@ class CellPairSimulation:
                 at_atoms(state.x, state.y, state.z),
                 at_atoms(state.vx, state.vy, state.vz),
                 at_atoms(tfx, tfy, tfz), u.ftm2v,
-                np.asarray(self.box.lengths, np.float64),
+                self.box if self.box.is_triclinic
+                else np.asarray(self.box.lengths, np.float64),
                 acc_dtype=self.precision.acc)
         temp = sum_mv2 / (dof * u.boltz)
         ke = 0.5 * sum_mv2

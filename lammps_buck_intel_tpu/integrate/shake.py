@@ -112,9 +112,14 @@ def make_shake(
 
 
 def _minimg_cols(d, L):
+    # L: per-axis lengths (host numpy -> baked floats; traced (3,) on the
+    # NPT path) OR a triclinic Box (greedy z->y->x tilt reduction)
+    if hasattr(L, "is_triclinic"):
+        from ..core.box import minimum_image
+
+        return minimum_image(d, L)
     out = []
     for ax in range(3):
-        # host numpy L -> baked float literal; traced L (NPT) -> scalar op
         La = float(L[ax]) if isinstance(L, np.ndarray) else L[ax]
         out.append(d[:, ax] - jnp.round(d[:, ax] * (1.0 / La)) * La)
     return jnp.stack(out, axis=-1)

@@ -123,13 +123,12 @@ class Simulation:
         self.typ = np.asarray(jax.device_get(system.type), np.int32)
         self.q = np.asarray(jax.device_get(system.q), np.dtype(flt))
         self.box = system.box
-        if getattr(self.box, "is_triclinic", False) and (
-                bonded is not None or shake is not None
-                or rigid is not None):
+        if getattr(self.box, "is_triclinic", False) and rigid is not None:
             raise NotImplementedError(
-                "bonded terms / constraints / rigid bodies use orthogonal "
-                "per-axis minimum image; triclinic decks must be "
-                "non-molecular")
+                "fix rigid/small on a triclinic box (positions derive "
+                "from unwrapped body COMs; orthogonal only).  Bonded "
+                "terms and SHAKE run tilted via the triclinic minimum "
+                "image.")
         self.mass_per_atom = np.asarray(
             jax.device_get(system.mass), np.float64
         )[self.typ]
@@ -211,7 +210,8 @@ class Simulation:
             # settle the initial state onto the constraint manifold (both
             # positions and velocities) so the first step doesn't absorb a
             # one-time kinetic-energy jump
-            Lbox = np.asarray(self.box.lengths, np.float64)
+            Lbox = (self.box if self.box.is_triclinic
+                    else np.asarray(self.box.lengths, np.float64))
             sc = self.shake
 
             @jax.jit
@@ -340,7 +340,8 @@ class Simulation:
         mass_col = self._mass_col
 
         sc = self.shake
-        Lbox = np.asarray(self.box.lengths, np.float64)
+        Lbox = (self.box if self.box.is_triclinic
+                else np.asarray(self.box.lengths, np.float64))
 
         comp = self.precision.compensated
 
@@ -441,7 +442,8 @@ class Simulation:
 
             virial = virial + shake_virial(
                 self.shake, x, v, fr.f, u.ftm2v,
-                np.asarray(self.box.lengths, np.float64),
+                self.box if self.box.is_triclinic
+                else np.asarray(self.box.lengths, np.float64),
                 acc_dtype=self.precision.acc)
         vir_trace = virial[0] + virial[1] + virial[2]
         press = (sum_mv2 + vir_trace) / (3.0 * vol) * u.nktv2p

@@ -126,7 +126,16 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
     from ...core.box import axis_lengths
 
     n = x.shape[0]
-    L = axis_lengths(box)
+    if box.is_triclinic:
+        # tilted cells: the shared greedy z->y->x reduction (short bonded
+        # vectors are always below half the min perpendicular width)
+        def _mi(d):
+            return minimum_image(d, box)
+    else:
+        L = axis_lengths(box)
+
+        def _mi(d):
+            return _minimg(d, L)
     f = jnp.zeros((n, 3), acc_dtype)
     ebond = jnp.zeros((), acc_dtype)
     eangle = jnp.zeros((), acc_dtype)
@@ -147,7 +156,7 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
         w = _w("bonds", len(bt))
         K = jnp.asarray(style.bond_coeffs[bt, 0], x.dtype)
         r0 = jnp.asarray(style.bond_coeffs[bt, 1], x.dtype)
-        d = _minimg(x[bi] - x[bj], L)
+        d = _mi(x[bi] - x[bj])
         rsq = jnp.sum(d * d, axis=1)
         r = jnp.sqrt(rsq)
         dr = r - r0
@@ -181,8 +190,8 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
         w = _w("angles", len(at))
         K = jnp.asarray(style.angle_coeffs[at, 0], x.dtype)
         th0 = jnp.asarray(np.deg2rad(style.angle_coeffs[at, 1]), x.dtype)
-        d1 = _minimg(x[ai] - x[aj], L)
-        d2 = _minimg(x[ak] - x[aj], L)
+        d1 = _mi(x[ai] - x[aj])
+        d2 = _mi(x[ak] - x[aj])
         r1sq = jnp.sum(d1 * d1, axis=1)
         r2sq = jnp.sum(d2 * d2, axis=1)
         r1 = jnp.sqrt(r1sq)
@@ -228,7 +237,7 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
             w = _w("angles", len(at))
             K = jnp.asarray(kub, x.dtype)
             r0 = jnp.asarray(style.angle_coeffs[at, 3], x.dtype)
-            d = _minimg(x[ai] - x[ak], L)
+            d = _mi(x[ai] - x[ak])
             r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=1), 1e-12))
             dr = r - r0
             rk = K * dr

@@ -618,13 +618,9 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             rigid=rigid_fix, exclude_intra=exclude_intra,
             topology=topo)
 
-    if box.is_triclinic and engine == "cellpair" and (
-            shake is not None or (bonded is not None and bonded.has_terms)):
-        # molecular terms (SHAKE/bonded) min-image orthogonally; tilted
-        # molecular decks stay on the neighbor-list engine.  Atomic tilted
-        # decks run the production cell-slot engine (lamda-space binning
-        # + h-matrix shift tables; pppm via the generic triclinic solver).
-        engine = "nlist"
+    # (tilted molecular decks — SHAKE/bonded — run the production
+    # cell-slot engine too: both use the shared triclinic minimum image,
+    # core/box.py minimum_image; pppm via the generic triclinic solver)
     if prec.compensated and engine == "cellpair" and box.is_triclinic:
         # the triclinic lamda wrap reconstructs positions, destroying the
         # two-float split — compensated tilted decks use the nlist engine
