@@ -183,29 +183,46 @@ class NPTSimulation:
         return build(x, box, self.spec, self.special_idx,
                      self.special_code)
 
-    def _forces(self, x, boxL, nl, kc=None):
+    def _forces(self, x, boxL, nl, kc=None, eflag=False):
+        """Returns (f, virial) — or (f, virial, energies) with
+        eflag=True, where energies = (evdwl, ecoul, elong, emol); the
+        thermo pass uses it so NPT rows carry the LAMMPS energy ledger."""
         box = self._traced_box(boxL)
+        acc = self.precision.acc
         pr = compute_pair(
             self.pair, x, self.typ, self.q, box, nl._replace(
                 nnei=None, x0=None, overflow=None),
-            eflag=False, vflag=True, acc_dtype=self.precision.acc,
+            eflag=eflag, vflag=True, acc_dtype=self.precision.acc,
             use_special=nl.sb.shape[1] > 0,
         )
         f, virial = pr.f, pr.virial
+        evdwl = pr.evdwl if eflag else jnp.zeros((), acc)
+        ecoul = pr.ecoul if eflag else jnp.zeros((), acc)
+        elong = jnp.zeros((), acc)
+        emol = jnp.zeros((), acc)
         if self.kspace is not None:
             kw = {"kc": kc} if kc is not None else {}
             kr = self.kspace.compute_traced(
                 x, jnp.asarray(self.q, x.dtype), boxL,
-                eflag=False, vflag=True, **kw)
+                eflag=eflag, vflag=True, **kw)
             f = f + kr.f
             virial = virial + kr.virial
+            if eflag:
+                elong = kr.elong
         if self.bonded is not None:
             from ..models.bonded import compute_bonded
 
-            br = compute_bonded(self.bonded, x, box, eflag=False,
+            br = compute_bonded(self.bonded, x, box, eflag=eflag,
                                 acc_dtype=self.precision.acc)
             f = f + br.f
             virial = virial + br.virial
+            if eflag:
+                emol = br.emol
+                if br.e14_lj is not None:
+                    evdwl = evdwl + br.e14_lj
+                    ecoul = ecoul + br.e14_coul
+        if eflag:
+            return f.astype(x.dtype), virial, (evdwl, ecoul, elong, emol)
         return f.astype(x.dtype), virial
 
     def _init_forces(self, st: NPTState) -> NPTState:
@@ -377,8 +394,16 @@ class NPTSimulation:
         ke = 0.5 * sum_mv2
         press = (sum_mv2 + st.virial[0] + st.virial[1] + st.virial[2]) \
             / (3.0 * V) * u.nktv2p
+        # energy ledger at thermo cadence (the LAMMPS thermo contract —
+        # in.rhodo prints PotEng/E_pair under fix npt)
+        nl = self._build_nl(st.x, st.boxL)
+        _, _, (evdwl, ecoul, elong, emol) = self._forces(
+            st.x, st.boxL, nl, kc=self._kspace_kc(st), eflag=True)
+        epair = evdwl + ecoul + elong
         return dict(temp=temp, ke=ke, press=press, p_axis=p_cur,
                     boxL=st.boxL, vol=V, omega_dot=st.omega_dot,
+                    evdwl=evdwl, ecoul=ecoul, elong=elong, emol=emol,
+                    epair=epair, etotal=epair + emol + ke,
                     overflow=st.overflow)
 
     def thermo(self) -> dict:
@@ -442,6 +467,7 @@ class NPTSimulation:
             if log:
                 L = row["boxL"]
                 print(f"{row['step']:>8d} T={row['temp']:.4g} "
+                      f"E={row['etotal']:.8g} "
                       f"P={row['press']:.6g} V={row['vol']:.6g} "
                       f"L=({L[0]:.4f},{L[1]:.4f},{L[2]:.4f})")
 

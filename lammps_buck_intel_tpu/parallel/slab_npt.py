@@ -321,20 +321,40 @@ class SlabNPTSimulation(SlabCellPairSimulation):
         acc = self.precision.acc
 
         def local(state, ex):
+            boxL = ex.boxL
+            state = self._rebin_local(state, boxL=boxL,
+                                      box_lo=self._lo_traced(boxL))
             minv = self._minv(state)
             mv2 = self._mv2_axes(state, minv)
-            V = (ex.boxL[0] * ex.boxL[1] * ex.boxL[2]).astype(acc)
+            V = (boxL[0] * boxL[1] * boxL[2]).astype(acc)
             p_axis = (mv2 + ex.virial[:3]) / V * u.nktv2p
             sum_mv2 = jnp.sum(mv2)
             temp = sum_mv2 / (self._dof() * u.boltz)
             press = (sum_mv2 + ex.virial[0] + ex.virial[1]
                      + ex.virial[2]) / (3.0 * V) * u.nktv2p
+            # energy ledger at thermo cadence (LAMMPS thermo contract)
+            ctx = self._term_ctx(state)
+            kcb = (self.kspace.tables(boxL)
+                   if self.kspace is not None else None)
+            _, evdwl, ecoul, elong, emol, _, _ = self._forces_local(
+                state, kcb, True, False, ctx=ctx, boxL=boxL,
+                box=self._box_traced(boxL))
+            if self.D > 1:
+                evdwl = jax.lax.psum(evdwl, self.axis)
+                ecoul = jax.lax.psum(ecoul, self.axis)
+                emol = jax.lax.psum(emol, self.axis)
+            epair = evdwl + ecoul + elong   # elong arrives replicated
             return dict(temp=temp, ke=0.5 * sum_mv2, press=press,
-                        p_axis=p_axis, boxL=ex.boxL, vol=V,
-                        omega_dot=ex.omega_dot, overflow=state.overflow)
+                        p_axis=p_axis, boxL=boxL, vol=V,
+                        omega_dot=ex.omega_dot,
+                        evdwl=evdwl, ecoul=ecoul, elong=elong, emol=emol,
+                        epair=epair, etotal=epair + emol + 0.5 * sum_mv2,
+                        overflow=state.overflow)
 
         specs = dict(temp=P(), ke=P(), press=P(), p_axis=P(), boxL=P(),
-                     vol=P(), omega_dot=P(), overflow=P())
+                     vol=P(), omega_dot=P(), overflow=P(),
+                     evdwl=P(), ecoul=P(), elong=P(), emol=P(),
+                     epair=P(), etotal=P())
         return jax.jit(shard_map(
             local, mesh=self.mesh,
             in_specs=(self._state_spec, self._extras_spec),
@@ -398,6 +418,7 @@ class SlabNPTSimulation(SlabCellPairSimulation):
             if log:
                 L = row["boxL"]
                 print(f"{row['step']:>8d} T={row['temp']:.4g} "
+                      f"E={row['etotal']:.8g} "
                       f"P={row['press']:.6g} V={row['vol']:.6g} "
                       f"L=({L[0]:.4f},{L[1]:.4f},{L[2]:.4f})")
 
