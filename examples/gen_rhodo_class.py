@@ -150,9 +150,13 @@ def equilibrate(path, log=True):
         cfg["write_data"] = path      # each stage reads the previous
         return cfg
 
-    # 1. minimize (run: 0 — write minimized coords + a velocity draw)
+    # 1. minimize (run: 0 — write minimized coords + a velocity draw).
+    # maxiter 600: FIRE clusters the dilute lattice as it relaxes, and
+    # past ~600 iters the local densification overflows the minimizer's
+    # density-sized neighbor capacity (observed).  The anneal stages
+    # below absorb the residual strain (fmax ~5e2 after 600 iters).
     cfg = base_cfg()
-    cfg["minimize"] = {"maxiter": 2000, "ftol": 5.0, "dmax": 0.05}
+    cfg["minimize"] = {"maxiter": 600, "ftol": 5.0, "dmax": 0.05}
     cfg["velocity"] = {"temp": 300.0, "seed": 4928459}
     cfg["run"] = 0
     cfg["thermo"] = 1
