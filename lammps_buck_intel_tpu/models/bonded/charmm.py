@@ -96,12 +96,16 @@ def _improper_energy(b1, b2, b3, K, chi0):
 
 
 def _minimg3(d, L):
+    # L: per-axis lengths — core.box.axis_lengths output of python floats
+    # (host box, baked) or traced scalars (NPT variable cell) — OR a
+    # triclinic Box (shared greedy z->y->x reduction)
+    if hasattr(L, "is_triclinic"):
+        from ...core.box import minimum_image
+
+        return minimum_image(d, L)
     out = []
     for ax in range(3):
         dd = d[:, ax]
-        # L is core.box.axis_lengths output: python floats (host box,
-        # baked) or traced scalars (NPT variable cell) — use either as-is;
-        # only a raw numpy array needs the host cast
         La = float(L[ax]) if isinstance(L, np.ndarray) else L[ax]
         out.append(dd - jnp.round(dd * (1.0 / La)) * La)
     return jnp.stack(out, axis=-1)

@@ -128,7 +128,11 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
     n = x.shape[0]
     if box.is_triclinic:
         # tilted cells: the shared greedy z->y->x reduction (short bonded
-        # vectors are always below half the min perpendicular width)
+        # vectors are always below half the min perpendicular width).
+        # L doubles as the min-image spec handed to the charmm kernels
+        # (their _minimg3 is Box-aware).
+        L = box
+
         def _mi(d):
             return minimum_image(d, box)
     else:

@@ -557,6 +557,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 mesh=slab_mesh(n_dev), units=u, precision=prec, dt=dt,
                 neighbor=policy, kspace_setup=kset_npt, shake=shake,
                 bonded=bonded, topology=topo,
+                exclude_intra=exclude_intra,
                 cap=int(cfg["cap"]) if cfg.get("cap") else None)
         pencil_ok = bool(ks) and (ks.get("name") == "pppm"
                                   and style.cfg.coul == "long"

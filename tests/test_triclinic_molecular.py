@@ -197,3 +197,58 @@ def test_tilted_shake_deck_runs_production_engine():
         assert isinstance(sim, CellPairSimulation), type(sim)
         row = sim.thermo()
         assert np.isfinite(row["press"]) and np.isfinite(row["etotal"])
+
+
+def test_tilted_dihedral_improper_lattice_vector_invariance():
+    """CHARMM dihedrals + harmonic impropers in a tilted box: translating
+    a whole chain by a lattice vector leaves the bonded ledger unchanged
+    (pins the Box-aware _minimg3 in models/bonded/charmm.py — without it
+    a tilted deck with 4-body terms crashed at trace time)."""
+    from lammps_buck_intel_tpu.models.bonded import make_bonded
+    from lammps_buck_intel_tpu.models.bonded.harmonic import compute_bonded
+
+    u = get_units("real")
+    lo = np.zeros(3)
+    L = np.array([3, 3, 3], np.float64) * 7.0
+    box = make_box(lo, lo + L, tilt=TILT, dtype=jnp.float64)
+    h = np.asarray(box.h_matrix, np.float64)
+    # butane-ish 4-atom chains on a fractional grid
+    chain = np.array([[0.0, 0.0, 0.0], [1.53, 0.0, 0.3],
+                      [2.3, 1.3, 0.0], [3.83, 1.3, 0.3]])
+    rng = np.random.RandomState(3)
+    xs, bonds, angles, diheds, improps = [], [], [], [], []
+    i = 0
+    for ax in range(3):
+        for ay in range(3):
+            for az in range(3):
+                frac = (np.array([ax, ay, az]) + 0.5) / 3.0 \
+                    + rng.uniform(-0.02, 0.02, 3)
+                xs.append(chain + lo + h @ frac)
+                bonds += [[0, i, i + 1], [0, i + 1, i + 2],
+                          [0, i + 2, i + 3]]
+                angles += [[0, i, i + 1, i + 2], [0, i + 1, i + 2, i + 3]]
+                diheds += [[0, i, i + 1, i + 2, i + 3]]
+                improps += [[0, i + 1, i, i + 2, i + 3]]
+                i += 4
+    x = np.concatenate(xs)
+
+    style = make_bonded(
+        bonds=bonds, angles=angles, dihedrals=diheds, impropers=improps,
+        bond_coeffs=[[300.0, 1.53]], angle_coeffs=[[40.0, 114.0]],
+        dihedral_coeffs=[[1.2, 3, 0.0, 0.0]],
+        improper_coeffs=[[5.0, 10.0]])
+
+    def ledger(xa):
+        br = compute_bonded(style, jnp.asarray(xa, jnp.float64), box,
+                            eflag=True, acc_dtype=jnp.float64)
+        return (float(br.ebond), float(br.eangle), float(br.edihed),
+                float(br.eimp), np.asarray(br.virial))
+
+    e0 = ledger(x)
+    x2 = x.copy()
+    x2[0:4] += h @ np.array([1.0, 0.0, 0.0])    # first chain, +a vector
+    x2[-4:] += h @ np.array([0.0, -1.0, 1.0])   # last chain, -b+c
+    e1 = ledger(x2)
+    for a, b in zip(e0[:4], e1[:4]):
+        assert abs(a - b) <= 1e-10 * max(abs(a), 1.0), (a, b)
+    np.testing.assert_allclose(e1[4], e0[4], rtol=1e-10, atol=1e-12)
