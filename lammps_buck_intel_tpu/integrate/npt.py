@@ -71,6 +71,47 @@ class NPTState(NamedTuple):
     overflow: jnp.ndarray = None  # () bool — sticky neighbor overflow
 
 
+def nh_omega_dot_half(cfg: NPTConfig, u, n_atoms: int, dt: float,
+                      omega_dot, mv2, vir3, V, t_target, p_target):
+    """Half-step barostat strain-rate update (fix_nh.cpp nh_omega_dot) —
+    a pure function of psum-completed globals so the single-chip and
+    slab engines share one copy.  mv2: (3,) per-axis sum m v_a^2 in
+    energy units; vir3: virial diagonal; V: traced volume."""
+    p_cur = (mv2 + vir3) / V * u.nktv2p
+    flags = np.asarray(cfg.flags, bool)
+    if cfg.couple == "xyz":
+        pavg = jnp.mean(jnp.asarray(
+            [p_cur[a] for a in range(3) if cfg.flags[a]]))
+        p_cur = jnp.stack([pavg, pavg, pavg])
+    nkt = (n_atoms + 1) * u.boltz * jnp.maximum(t_target, 1e-30)
+    W = nkt * cfg.p_damp**2
+    f_omega = (p_cur - jnp.asarray(p_target, p_cur.dtype)) * V \
+        / (W * u.nktv2p)
+    if cfg.mtk:
+        # MTK kinetic term (nh_omega_dot mtk_term1): energy units,
+        # so no nktv2p here
+        pdim = max(int(flags.sum()), 1)
+        mtk1 = jnp.sum(jnp.where(jnp.asarray(flags), mv2, 0.0)) \
+            / (n_atoms * pdim)
+        f_omega = f_omega + mtk1 / W
+    f_omega = jnp.where(jnp.asarray(flags), f_omega, 0.0)
+    return omega_dot + (0.5 * dt) * f_omega.astype(omega_dot.dtype)
+
+
+def nh_press_vfac(cfg: NPTConfig, n_atoms: int, dt: float, omega_dot):
+    """nh_v_press velocity factor exp(-dt/2 (omega_dot + mtk_term2)),
+    (3,) — shared by both NPT engines."""
+    flags = np.asarray(cfg.flags, bool)
+    if cfg.mtk:
+        pdim = max(int(flags.sum()), 1)
+        mtk2 = jnp.sum(jnp.where(jnp.asarray(flags), omega_dot, 0.0)) \
+            / (pdim * n_atoms)
+    else:
+        mtk2 = 0.0
+    return jnp.exp((-0.5 * dt) * jnp.where(
+        jnp.asarray(flags), omega_dot + mtk2, 0.0))
+
+
 class NPTSimulation:
     """Variable-cell MD driver (neighbor-list engine, capability tier).
 
@@ -253,50 +294,16 @@ class NPTSimulation:
         p = (mv2 + st.virial[:3]) / V * u.nktv2p
         return p, mv2, V
 
-    def _omega_masses(self, t_target):
-        nkt = (self.n_atoms + 1) * self.units.boltz * jnp.maximum(
-            t_target, 1e-30)
-        return nkt * self.npt.p_damp**2   # omega_mass (all axes equal)
-
     def _omega_dot_half(self, st, p_target, t_target):
-        cfgp = self.npt
-        u = self.units
-        p_cur, mv2, V = self._press_current(st)
-        if cfgp.couple == "xyz":
-            pavg = jnp.mean(jnp.asarray(
-                [p_cur[a] for a in range(3) if cfgp.flags[a]]))
-            p_cur = jnp.stack([pavg, pavg, pavg])
-        W = self._omega_masses(t_target)
-        flags = np.asarray(cfgp.flags, bool)
-        f_omega = (p_cur - jnp.asarray(p_target, p_cur.dtype)) * V \
-            / (W * u.nktv2p)
-        if cfgp.mtk:
-            # MTK kinetic term (fix_nh.cpp nh_omega_dot mtk_term1):
-            # sum of flagged-axis mv^2, / (pdim * natoms), / omega_mass —
-            # energy units, so no nktv2p here
-            pdim = max(int(flags.sum()), 1)
-            mtk1 = jnp.sum(jnp.where(jnp.asarray(flags), mv2, 0.0)) \
-                / (self.n_atoms * pdim)
-            f_omega = f_omega + mtk1 / W
-        f_omega = jnp.where(jnp.asarray(flags), f_omega, 0.0)
-        od = st.omega_dot + (0.5 * self.dt) * f_omega.astype(
-            st.omega_dot.dtype)
+        _, mv2, V = self._press_current(st)
+        od = nh_omega_dot_half(self.npt, self.units, self.n_atoms,
+                               self.dt, st.omega_dot, mv2, st.virial[:3],
+                               V, t_target, p_target)
         return st._replace(omega_dot=od)
 
     def _press_vscale(self, st):
         """nh_v_press: v *= exp(-dt/2 (omega_dot + mtk_term2)) per axis."""
-        cfgp = self.npt
-        flags = np.asarray(cfgp.flags, bool)
-        od = st.omega_dot
-        if cfgp.mtk:
-            # fix_nh.cpp nh_v_press mtk_term2
-            pdim = max(int(flags.sum()), 1)
-            mtk2 = jnp.sum(jnp.where(jnp.asarray(flags), od, 0.0)) \
-                / (pdim * self.n_atoms)
-        else:
-            mtk2 = 0.0
-        fac = jnp.exp((-0.5 * self.dt) * jnp.where(
-            jnp.asarray(flags), od + mtk2, 0.0))
+        fac = nh_press_vfac(self.npt, self.n_atoms, self.dt, st.omega_dot)
         return st._replace(v=st.v * fac[None, :])
 
     def _one_step(self, st: NPTState, t_target, p_target):

@@ -41,7 +41,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.box import Box, make_box
 from ..core.units import Units, LJ
-from ..integrate.npt import NPTConfig
+from ..integrate.npt import NPTConfig, nh_omega_dot_half, nh_press_vfac
 from ..integrate.shake import shake_positions, rattle_velocities
 from ..neighbor import cell_slots as cs
 from .slab import SlabCellPairSimulation, shard_map
@@ -119,48 +119,18 @@ class SlabNPTSimulation(SlabCellPairSimulation):
     # ---------- barostat pieces (integrate/npt.py ported; global
     # reductions arrive psum-completed, updates are replicated) ----------
 
-    def _omega_masses(self, t_target):
-        nkt = (self.n_atoms + 1) * self.units.boltz * jnp.maximum(
-            t_target, 1e-30)
-        return nkt * self.npt.p_damp**2
-
     def _omega_dot_half(self, ex: NPTExtras, mv2, t_target, p_target):
-        cfgp = self.npt
-        u = self.units
         acc = self.precision.acc
         V = (ex.boxL[0] * ex.boxL[1] * ex.boxL[2]).astype(acc)
-        p_cur = (mv2 + ex.virial[:3]) / V * u.nktv2p
-        flags = np.asarray(cfgp.flags, bool)
-        if cfgp.couple == "xyz":
-            pavg = jnp.mean(jnp.asarray(
-                [p_cur[a] for a in range(3) if cfgp.flags[a]]))
-            p_cur = jnp.stack([pavg, pavg, pavg])
-        W = self._omega_masses(t_target)
-        f_omega = (p_cur - jnp.asarray(p_target, p_cur.dtype)) * V \
-            / (W * u.nktv2p)
-        if cfgp.mtk:
-            pdim = max(int(flags.sum()), 1)
-            mtk1 = jnp.sum(jnp.where(jnp.asarray(flags), mv2, 0.0)) \
-                / (self.n_atoms * pdim)
-            f_omega = f_omega + mtk1 / W
-        f_omega = jnp.where(jnp.asarray(flags), f_omega, 0.0)
-        od = ex.omega_dot + (0.5 * self.dt) * f_omega.astype(
-            ex.omega_dot.dtype)
+        od = nh_omega_dot_half(self.npt, self.units, self.n_atoms,
+                               self.dt, ex.omega_dot, mv2,
+                               ex.virial[:3], V, t_target, p_target)
         return ex._replace(omega_dot=od)
 
     def _press_vfac(self, ex: NPTExtras):
         """nh_v_press factor exp(-dt/2 (omega_dot + mtk_term2)), (3,)."""
-        cfgp = self.npt
-        flags = np.asarray(cfgp.flags, bool)
-        od = ex.omega_dot
-        if cfgp.mtk:
-            pdim = max(int(flags.sum()), 1)
-            mtk2 = jnp.sum(jnp.where(jnp.asarray(flags), od, 0.0)) \
-                / (pdim * self.n_atoms)
-        else:
-            mtk2 = 0.0
-        return jnp.exp((-0.5 * self.dt) * jnp.where(
-            jnp.asarray(flags), od + mtk2, 0.0))
+        return nh_press_vfac(self.npt, self.n_atoms, self.dt,
+                             ex.omega_dot)
 
     # ---------- forces under the traced box ----------
 
