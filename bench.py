@@ -31,8 +31,12 @@ METRIC = "atom_steps_per_sec_silica_buck_coul_long_pppm_259k"
 BASELINE = 1.06e6  # atom-steps/s, measured single-socket CPU (BASELINE.md)
 
 _PROBE = (
-    "import jax; d = jax.devices(); "
-    "print('PROBE_OK', d[0].platform, len(d))"
+    # honor JAX_PLATFORMS through the config API: the image pins axon at
+    # the site level, so plain env is ignored (enables CPU smoke tests;
+    # a no-op on the axon path where env == pin)
+    "import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
+    "p and jax.config.update('jax_platforms', p); "
+    "d = jax.devices(); print('PROBE_OK', d[0].platform, len(d))"
 )
 
 
@@ -77,6 +81,9 @@ def main():
 
     import jax
 
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        jax.config.update("jax_platforms", p)
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -84,8 +91,11 @@ def main():
 
     from lammps_buck_intel_tpu.run import build_simulation
 
-    deck = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "examples", "decks", "silica_pppm.yaml")
+    # BENCH_DECK overrides the workload (mechanism smoke tests on CPU /
+    # alternative workloads); the certified north star stays the default.
+    deck = os.environ.get("BENCH_DECK") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "examples", "decks", "silica_pppm.yaml")
     with open(deck) as f:
         cfg = yaml.safe_load(f)
 

@@ -177,18 +177,27 @@ def equilibrate(path, log=True):
         run_deck(cfg, log=log)
         print(f"# anneal stage {k + 1}/6 done")
 
-    # 3. settle at the production thermostat; velocities carry over
+    # 3. settle; velocities carry over.  The glassy lattice keeps
+    # releasing heat for a long tail, so the settle keeps a STIFF
+    # multi-link chain (dt 0.5, t_damp 10, tchain 3) — the production
+    # thermostat (t_damp 50, tchain 1) froze at T=0 here twice: the
+    # chain winds up on the relaxation heat and exp-underflows.
     cfg = base_cfg()
-    cfg["timestep"] = 1.0
+    cfg["timestep"] = 0.5
     cfg["fixes"] = [
         {"name": "shake", "m": 1.0, "tol": 0.0001},
-        {"name": "nvt", "t_start": 300.0, "t_damp": 50.0, "tchain": 1},
+        {"name": "nvt", "t_start": 300.0, "t_damp": 10.0, "tchain": 3},
     ]
-    cfg["run"] = 1500
-    cfg["thermo"] = 300
-    run_deck(cfg, log=log)
-    print(f"equilibrated {path}: staged anneal + 1500-step settle "
-          "NVT @ 300 K (f64)")
+    cfg["run"] = 2000
+    cfg["thermo"] = 400
+    _, rows = run_deck(cfg, log=log)
+    t_fin = float(rows[-1]["temp"])
+    if not (150.0 < t_fin < 450.0):
+        raise RuntimeError(
+            f"equilibration settle ended at T={t_fin:.1f} K — NOT a "
+            "thermal state; refusing to write a bad golden input")
+    print(f"equilibrated {path}: staged anneal + 2000-step settle, "
+          f"final T={t_fin:.1f} K (f64)")
 
 
 if __name__ == "__main__":
