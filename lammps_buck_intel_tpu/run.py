@@ -845,6 +845,9 @@ def main(argv=None):
                     "(in.*) — scripts are translated on the fly")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--steps", type=int, help="override run length")
+    ap.add_argument("--devices", type=int, help="run the deck on the "
+                    "multi-chip slab engine over N devices (any YAML deck "
+                    "or literal in.* script; equivalent to `devices: N`)")
     ap.add_argument("--translate-only", action="store_true",
                     help="print the translated deck config and exit")
     args = ap.parse_args(argv)
@@ -880,6 +883,8 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     if args.steps is not None:
         cfg["run"] = args.steps
+    if args.devices:
+        cfg["devices"] = args.devices
     print(f"# deck: {args.deck} on {jax.devices()[0]}")
     run_deck(cfg)
 
