@@ -308,8 +308,8 @@ def make_pallas_cellpair_v3(style: PairStyle, grid: CellGrid, box,
                 style, L, n, ntypes, flat_tables,
                 xi_r[c, :], yi_r[c, :], zi_r[c, :],
                 qi_r[c, :], ti_r[c, :], ai_r[c, :],
-                xj_r[c, 0, :], yj_r[c, 0, :], zj_r[c, 0, :],
-                qj_r[c, 0, :], tj_r[c, 0, :], aj_r[c, 0, :],
+                xj_r[c, 0, 0, :], yj_r[c, 0, 0, :], zj_r[c, 0, 0, :],
+                qj_r[c, 0, 0, :], tj_r[c, 0, 0, :], aj_r[c, 0, 0, :],
             )
             fx_r[c, :] += jnp.sum(fs * d[0], axis=1)
             fy_r[c, :] += jnp.sum(fs * d[1], axis=1)
@@ -317,7 +317,11 @@ def make_pallas_cellpair_v3(style: PairStyle, grid: CellGrid, box,
 
     ispec = pl.BlockSpec((CB, cap), lambda c, g: (c, 0),
                          memory_space=pltpu.VMEM)
-    jspec = pl.BlockSpec((CB, 1, group * cap), lambda c, g: (c, g, 0),
+    # j planes are 4-D (ncell, ngroup, 1, group*cap) so the block's last
+    # two dims (1, group*cap) EQUAL the array's — Mosaic requires the
+    # last two block dims divisible by (8, 128) or exactly equal (the
+    # 3-D (CB, 1, group*cap) block failed that check on hardware).
+    jspec = pl.BlockSpec((CB, 1, 1, group * cap), lambda c, g: (c, g, 0, 0),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((CB, cap), lambda c, g: (c, 0),
                          memory_space=pltpu.VMEM)
@@ -346,10 +350,10 @@ def make_pallas_cellpair_v3(style: PairStyle, grid: CellGrid, box,
 
         def jv(p, fill=0):
             a = p.reshape(ncell, cap)[nbr_j]          # (ncell, 27, cap)
-            a = a.reshape(ncell, ngroup, group * cap)
+            a = a.reshape(ncell, ngroup, 1, group * cap)
             if padc:
                 a = jnp.concatenate(
-                    [a, jnp.full((padc, ngroup, group * cap), fill,
+                    [a, jnp.full((padc, ngroup, 1, group * cap), fill,
                                  a.dtype)])
             return a
 
