@@ -203,6 +203,15 @@ def equilibrate(path, log=True):
 if __name__ == "__main__":
     here = os.path.dirname(os.path.abspath(__file__))
     target = os.path.join(here, "data.rhodo_class")
-    write(target)
-    if "--raw" not in sys.argv:
-        equilibrate(target)
+    if "--raw" in sys.argv:
+        write(target)
+        sys.exit(0)
+    # build + equilibrate in a scratch file; install on SUCCESS only.
+    # (The shipped file once ended up as the raw strained lattice — no
+    # Velocities, T=0 start — because write() overwrote the target
+    # before an equilibrate that then failed.)
+    tmp = target + ".building"
+    write(tmp)
+    equilibrate(tmp)
+    os.replace(tmp, target)
+    print(f"installed {target}")

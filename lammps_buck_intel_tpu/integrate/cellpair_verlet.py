@@ -258,11 +258,16 @@ class CellPairSimulation:
         nc = np.asarray(self.grid.nc)
         if self.box.is_triclinic:
             s = (x - lo) @ self.box.h_inv.T      # lamda coordinates
-            s = s - np.floor(s)
-            ci = np.clip((s * nc).astype(int), 0, nc - 1)
         else:
-            L = np.asarray(self.box.lengths)
-            ci = np.clip(((x - lo) / L * nc).astype(int), 0, nc - 1)
+            s = (x - lo) / np.asarray(self.box.lengths)
+        # wrap periodically BEFORE binning — the engine's rebin does
+        # (wrap_state), and clipping out-of-box coordinates (read_data /
+        # replicate products) piles them into edge cells, inflating the
+        # observed max and oversizing cap: the silica deck measured 155
+        # clipped vs 126 wrapped -> cap 168 vs 136, a (168/136)^2 = 1.53x
+        # pair-slot overcompute
+        s = s - np.floor(s)
+        ci = np.clip((s * nc).astype(int), 0, nc - 1)
         cid = (ci[:, 0] * nc[1] + ci[:, 1]) * nc[2] + ci[:, 2]
         return int(np.bincount(cid, minlength=self.grid.ncell).max())
 

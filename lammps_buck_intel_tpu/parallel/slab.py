@@ -322,7 +322,12 @@ class SlabCellPairSimulation:
         lo = np.asarray(self.box.lo)
         L = np.asarray(self.box.lengths)
         nc = np.asarray(self.grid.nc)
-        ci = np.clip(((x - lo) / L * nc).astype(int), 0, nc - 1)
+        # wrap before binning (matches rebin's wrap_state; clipping piles
+        # out-of-box read_data/replicate coordinates into edge cells and
+        # oversizes cap quadratically — see cellpair_verlet._occupancy)
+        s = (x - lo) / L
+        s = s - np.floor(s)
+        ci = np.clip((s * nc).astype(int), 0, nc - 1)
         cid = (ci[:, 0] * nc[1] + ci[:, 1]) * nc[2] + ci[:, 2]
         return int(np.bincount(cid, minlength=self.grid.ncell).max())
 
