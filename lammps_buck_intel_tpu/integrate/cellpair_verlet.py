@@ -792,5 +792,13 @@ class CellPairSimulation:
             emit()
         else:
             float(self.state.x[0])  # force completion (see verlet.py note)
+            # surface the sticky overflow flag even with thermo disabled
+            # (one cheap scalar fetch; thermo() does this check otherwise —
+            # a run(nsteps, thermo_every=0) must not return silently with
+            # dropped pairs, same contract as the NPT/slab engines)
+            if bool(jax.device_get(self.state.overflow)):
+                raise RuntimeError(
+                    "cell capacity overflow during run; increase cap "
+                    "(deck key `cap`) or rebuild cadence")
         self.timings["run"] += time.perf_counter() - t0
         return rows
