@@ -25,7 +25,8 @@ from ..models.pair.driver import _select_small
 from ..models.pair.styles import PairStyle
 from .verlet import NeighborPolicy
 from .nvt import NVTConfig, NHChain, nhc_half
-from .shake import ShakeConstraints, shake_positions, rattle_velocities
+from .shake import (ShakeConstraints, make_clusters,
+                    shake_positions_clustered, rattle_velocities_clustered)
 
 
 class CellPairSimulation:
@@ -204,21 +205,25 @@ class CellPairSimulation:
             )
             if bool(jax.device_get(st.overflow)):
                 raise RuntimeError("cell capacity sizing failed")
+        self._shake_cl = (make_clusters(self.shake)
+                          if self.shake is not None else None)
         if self.shake is not None:
             # settle initial state onto the constraint manifold
             Lbox = (self.box if self.box.is_triclinic
                     else np.asarray(self.box.lengths, np.float64))
             sc = self.shake
+            cl = self._shake_cl
 
             @jax.jit
             def settle(state: cs.SlotState) -> cs.SlotState:
                 inv = self._inv_map(state)
-                prs = inv[jnp.asarray(sc.pairs)]
+                rows = inv[jnp.asarray(cl.rows_np(self.n_atoms))]
                 xs = jnp.stack([state.x, state.y, state.z], -1)
                 vs = jnp.stack([state.vx, state.vy, state.vz], -1)
-                xs2, _ = shake_positions(sc, xs, xs, vs, 1.0, Lbox,
-                                         pairs=prs)
-                vs2 = rattle_velocities(sc, xs2, vs, Lbox, pairs=prs)
+                xs2, _ = shake_positions_clustered(sc, cl, xs, xs, vs,
+                                                   1.0, Lbox, rows)
+                vs2 = rattle_velocities_clustered(sc, cl, xs2, vs, Lbox,
+                                                  rows)
                 return state._replace(
                     x=xs2[:, 0], y=xs2[:, 1], z=xs2[:, 2],
                     vx=vs2[:, 0], vy=vs2[:, 1], vz=vs2[:, 2],
@@ -401,8 +406,9 @@ class CellPairSimulation:
                 else np.asarray(self.box.lengths, np.float64))
         need_inv = (sc is not None or self.bonded is not None)
         inv = self._inv_map(state) if need_inv else None
-        shake_pairs = (inv[jnp.asarray(sc.pairs)] if sc is not None
-                       else None)
+        cl = self._shake_cl
+        shake_rows = (inv[jnp.asarray(cl.rows_np(self.n_atoms))]
+                      if sc is not None else None)
         bonded_kw = (self._bonded_idx(inv) if self.bonded is not None
                      else None)
         if cfg is not None:
@@ -444,8 +450,8 @@ class CellPairSimulation:
                 xs_old = jnp.stack([st.x, st.y, st.z], -1)
                 xs_new = jnp.stack([x, y, z], -1)
                 vs = jnp.stack([vx, vy, vz], -1)
-                xs_fix, vs = shake_positions(sc, xs_old, xs_new, vs, dtv,
-                                             Lbox, pairs=shake_pairs)
+                xs_fix, vs = shake_positions_clustered(
+                    sc, cl, xs_old, xs_new, vs, dtv, Lbox, shake_rows)
                 x, y, z = xs_fix[:, 0], xs_fix[:, 1], xs_fix[:, 2]
                 vx, vy, vz = vs[:, 0], vs[:, 1], vs[:, 2]
             st = st._replace(x=x, y=y, z=z)
@@ -467,7 +473,8 @@ class CellPairSimulation:
             if sc is not None:
                 xs = jnp.stack([x, y, z], -1)
                 vs = jnp.stack([vx, vy, vz], -1)
-                vs = rattle_velocities(sc, xs, vs, Lbox, pairs=shake_pairs)
+                vs = rattle_velocities_clustered(sc, cl, xs, vs, Lbox,
+                                                 shake_rows)
                 vx, vy, vz = vs[:, 0], vs[:, 1], vs[:, 2]
             if cfg is not None:
                 vs = jnp.stack([vx, vy, vz], -1)

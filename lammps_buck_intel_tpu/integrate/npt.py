@@ -37,7 +37,8 @@ from ..models.pair import compute_pair
 from ..models.pair.styles import PairStyle
 from .verlet import NeighborPolicy
 from .nvt import NVTConfig, NHChain, nhc_half
-from .shake import ShakeConstraints, shake_positions, rattle_velocities
+from .shake import (ShakeConstraints, make_clusters,
+                    shake_positions_clustered, rattle_velocities_clustered)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,6 +179,9 @@ class NPTSimulation:
         self.dtv = float(self.dt)
 
         self.shake = shake
+        self._shake_cl = make_clusters(shake) if shake is not None else None
+        self._shake_rows = (jnp.asarray(self._shake_cl.rows_np(0))
+                            if shake is not None else None)
         t_dof = 3 * n - 3
         if shake is not None:
             t_dof -= shake.n_constraints
@@ -200,8 +204,11 @@ class NPTSimulation:
         )
         if shake is not None:
             # settle onto the constraint manifold (verlet.py settle analog)
-            xs, _ = shake_positions(shake, st.x, st.x, st.v, 1.0, L0)
-            vs = rattle_velocities(shake, xs, st.v, L0)
+            xs, _ = shake_positions_clustered(
+                shake, self._shake_cl, st.x, st.x, st.v, 1.0, L0,
+                self._shake_rows)
+            vs = rattle_velocities_clustered(
+                shake, self._shake_cl, xs, st.v, L0, self._shake_rows)
             st = st._replace(x=xs, v=vs)
         self._nl = None
         self.state = jax.jit(self._init_forces)(st)
@@ -330,9 +337,9 @@ class NPTSimulation:
         boxL = st.boxL * s
         vir_c = 0.0
         if self.shake is not None:
-            x, v, vir_c = shake_positions(
-                self.shake, x_ref, x, st.v, dtv, boxL,
-                virial_factor=1.0 / (dtv * dtf))
+            x, v, vir_c = shake_positions_clustered(
+                self.shake, self._shake_cl, x_ref, x, st.v, dtv, boxL,
+                self._shake_rows, virial_factor=1.0 / (dtv * dtf))
             st = st._replace(v=v)
         st = st._replace(x=x, boxL=boxL)
         # forces at the new configuration
@@ -342,8 +349,9 @@ class NPTSimulation:
         # kick half + barostat + thermostat
         st = st._replace(v=st.v + (dtf * minv) * st.f)
         if self.shake is not None:
-            st = st._replace(v=rattle_velocities(
-                self.shake, st.x, st.v, st.boxL))
+            st = st._replace(v=rattle_velocities_clustered(
+                self.shake, self._shake_cl, st.x, st.v, st.boxL,
+                self._shake_rows))
         st = self._press_vscale(st)
         st = self._omega_dot_half(st, p_target, t_target)
         chain = NHChain(eta=st.therm[0], eta_dot=st.therm[1])

@@ -251,6 +251,203 @@ def shake_virial(sc: ShakeConstraints, x, v, f, ftm2v: float, L,
     ])
 
 
+@dataclasses.dataclass(frozen=True)
+class ShakeClusters:
+    """Constraint connectivity regrouped into per-cluster dense form.
+
+    The scatter-form solvers above update the GLOBAL position array
+    twice per iteration (40 scatter-adds per step at 20 iters) — the
+    classic TPU anti-pattern: measured 644 ms/call at SPC/E scale
+    (288k constraints, 1.15M slot rows).  Constraints only couple
+    within a cluster (a water, a shake'd methyl, a rigidified
+    molecule), so the TPU-native form gathers each cluster's atoms
+    once into (M, A, 3) locals, iterates with STATIC (M, C, A)
+    one-hot update matrices (pure VPU work), and scatters the net
+    correction back once.  Same Jacobi under-relaxation, same
+    iteration budget — identical math to shake_positions /
+    rattle_velocities up to f32 reassociation.
+
+    atoms: (M, A) atom ids, -1 pad.  pi/pj: (M, C) local indices.
+    d2: (M, C) targets (pad 1).  cmask/amask: validity.  w_upd:
+    (M, C, A) update matrix (-invm_i at pi, +invm_j at pj).
+    invm_sum: (M, C) invm_i + invm_j (pad 1).  corig: (M, C) original
+    constraint index (pad 0) for per-constraint weight gathers."""
+
+    atoms: np.ndarray
+    pi: np.ndarray
+    pj: np.ndarray
+    d2: np.ndarray
+    cmask: np.ndarray
+    amask: np.ndarray
+    w_upd: np.ndarray
+    invm_sum: np.ndarray
+    corig: np.ndarray
+
+    def rows_np(self, pad_row: int) -> np.ndarray:
+        """(M, A) static row indices with pads mapped to pad_row."""
+        return np.where(self.atoms >= 0, self.atoms, pad_row)
+
+
+def make_clusters(sc: ShakeConstraints) -> ShakeClusters:
+    """Group constraints into connected components (union-find)."""
+    pairs = np.asarray(sc.pairs, np.int64)
+    parent: dict = {}
+
+    def find(a):
+        r = a
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[a] != r:
+            parent[a], a = r, parent[a]
+        return r
+
+    for i, j in pairs:
+        ri, rj = find(int(i)), find(int(j))
+        if ri != rj:
+            parent[rj] = ri
+    comp: dict = {}
+    for c, (i, j) in enumerate(pairs):
+        comp.setdefault(find(int(i)), []).append(c)
+    clusters = list(comp.values())
+    M = len(clusters)
+    A = max(len({int(a) for c in cl for a in pairs[c]}) for cl in clusters)
+    C = max(len(cl) for cl in clusters)
+    atoms = np.full((M, A), -1, np.int32)
+    pi = np.zeros((M, C), np.int32)
+    pj = np.zeros((M, C), np.int32)
+    d2 = np.ones((M, C), np.float64)
+    cmask = np.zeros((M, C), np.float64)
+    amask = np.zeros((M, A), np.float64)
+    w_upd = np.zeros((M, C, A), np.float64)
+    invm_sum = np.ones((M, C), np.float64)
+    corig = np.zeros((M, C), np.int64)
+    d2_all = np.asarray(sc.d2, np.float64)
+    invm = np.asarray(sc.invm, np.float64)
+    for m, cl in enumerate(clusters):
+        local: dict = {}
+        for c in cl:
+            for a in (int(pairs[c, 0]), int(pairs[c, 1])):
+                if a not in local:
+                    local[a] = len(local)
+        for a, la in local.items():
+            atoms[m, la] = a
+            amask[m, la] = 1.0
+        for k, c in enumerate(cl):
+            ia, ja = int(pairs[c, 0]), int(pairs[c, 1])
+            li, lj = local[ia], local[ja]
+            pi[m, k] = li
+            pj[m, k] = lj
+            d2[m, k] = d2_all[c]
+            cmask[m, k] = 1.0
+            corig[m, k] = c
+            w_upd[m, k, li] = -invm[ia]
+            w_upd[m, k, lj] = invm[ja]
+            invm_sum[m, k] = invm[ia] + invm[ja]
+    return ShakeClusters(atoms=atoms, pi=pi, pj=pj, d2=d2, cmask=cmask,
+                         amask=amask, w_upd=w_upd, invm_sum=invm_sum,
+                         corig=corig)
+
+
+def _cluster_minimg(d, L):
+    """(M, C, 3) minimum image via the shared column helper."""
+    M, C, _ = d.shape
+    return _minimg_cols(d.reshape(M * C, 3), L).reshape(M, C, 3)
+
+
+def _take_local(a_l, idx):
+    """(M, A, 3) locals gathered at (M, C) local indices -> (M, C, 3)."""
+    return jnp.take_along_axis(a_l, idx[:, :, None], axis=1)
+
+
+def shake_positions_clustered(sc: ShakeConstraints, cl: ShakeClusters,
+                              x_old, x_new, v, dt: float, L, rows,
+                              virial_factor=None, vweights=None):
+    """Cluster-dense form of shake_positions (drop-in semantics).
+
+    rows: (M, A) row indices into x_old/x_new/v (static np for atom-order
+    engines, traced for slot layouts; pads must map to any valid row —
+    their corrections are masked to zero before the scatter)."""
+    flt = x_new.dtype
+    d2 = jnp.asarray(cl.d2, flt)
+    cmask = jnp.asarray(cl.cmask, flt)
+    amask3 = jnp.asarray(cl.amask, flt)[:, :, None]
+    W = jnp.asarray(cl.w_upd, flt)
+    invm_sum = jnp.asarray(cl.invm_sum, flt)
+    pi = jnp.asarray(cl.pi)
+    pj = jnp.asarray(cl.pj)
+    omega = float(sc.omega)
+
+    xo_l = x_old[rows]                                   # (M, A, 3)
+    xn0_l = x_new[rows]
+    r_old = _cluster_minimg(_take_local(xo_l, pi) - _take_local(xo_l, pj),
+                            L)                           # (M, C, 3)
+
+    def body(k, carry):
+        xn_l, lam_tot = carry
+        r_new = _cluster_minimg(
+            _take_local(xn_l, pi) - _take_local(xn_l, pj), L)
+        diff = jnp.sum(r_new * r_new, axis=-1) - d2
+        denom = 2.0 * jnp.sum(r_new * r_old, axis=-1) * invm_sum
+        lam = diff / jnp.where(jnp.abs(denom) > 1e-12, denom,
+                               jnp.sign(denom) * 1e-12 + 1e-12)
+        lam = lam * cmask
+        corr = (omega * lam)[:, :, None] * r_old         # (M, C, 3)
+        xn_l = xn_l + jnp.einsum("mca,mcd->mad", W, corr)
+        return xn_l, lam_tot + omega * lam
+
+    lam0 = jnp.zeros(cl.d2.shape, flt)
+    xn_l, lam_tot = jax.lax.fori_loop(0, sc.iters, body, (xn0_l, lam0))
+    dx = (xn_l - xn0_l) * amask3
+    x_fix = x_new.at[rows.reshape(-1)].add(
+        dx.reshape(-1, 3), mode="drop")
+    v = v + (x_fix - x_new) / dt
+    if virial_factor is None:
+        return x_fix, v
+    w = (-lam_tot * virial_factor)[:, :, None] * r_old   # pair force on i
+    if vweights is not None:
+        wc = vweights[jnp.asarray(cl.corig)].astype(w.dtype) \
+            * cmask.astype(w.dtype)
+        w = w * wc[:, :, None]
+    virial = jnp.stack([
+        jnp.sum(r_old[..., 0] * w[..., 0]),
+        jnp.sum(r_old[..., 1] * w[..., 1]),
+        jnp.sum(r_old[..., 2] * w[..., 2]),
+        jnp.sum(r_old[..., 0] * w[..., 1]),
+        jnp.sum(r_old[..., 0] * w[..., 2]),
+        jnp.sum(r_old[..., 1] * w[..., 2]),
+    ])
+    return x_fix, v, virial
+
+
+def rattle_velocities_clustered(sc: ShakeConstraints, cl: ShakeClusters,
+                                x, v, L, rows, iters: int = None):
+    """Cluster-dense form of rattle_velocities."""
+    flt = x.dtype
+    d2 = jnp.asarray(cl.d2, flt)
+    cmask = jnp.asarray(cl.cmask, flt)
+    amask3 = jnp.asarray(cl.amask, flt)[:, :, None]
+    W = jnp.asarray(cl.w_upd, flt)
+    invm_sum = jnp.asarray(cl.invm_sum, flt)
+    pi = jnp.asarray(cl.pi)
+    pj = jnp.asarray(cl.pj)
+    omega = float(sc.omega)
+    it = sc.iters if iters is None else iters
+
+    x_l = x[rows]
+    r = _cluster_minimg(_take_local(x_l, pi) - _take_local(x_l, pj), L)
+    v0_l = v[rows]
+
+    def body(k, v_l):
+        dv = _take_local(v_l, pi) - _take_local(v_l, pj)
+        lam = jnp.sum(r * dv, axis=-1) / (d2 * invm_sum) * cmask
+        corr = (omega * lam)[:, :, None] * r
+        return v_l + jnp.einsum("mca,mcd->mad", W, corr)
+
+    v_l = jax.lax.fori_loop(0, it, body, v0_l)
+    dv = (v_l - v0_l) * amask3
+    return v.at[rows.reshape(-1)].add(dv.reshape(-1, 3), mode="drop")
+
+
 def rattle_velocities(sc: ShakeConstraints, x, v, L, iters: int = None,
                       pairs=None):
     """Project out velocity components along constraints."""

@@ -41,7 +41,8 @@ from .nve import (
 )
 from .nvt import NVTConfig, NHChain, init_chain, nhc_half, chain_energy
 from .shake import (
-    ShakeConstraints, shake_positions, rattle_velocities,
+    ShakeConstraints, make_clusters,
+    shake_positions_clustered, rattle_velocities_clustered,
 )
 
 
@@ -153,6 +154,7 @@ class Simulation:
         self.nve = make_nve(self.dt, units.ftm2v, self.mass_per_atom,
                             dtype=flt)
         self.shake = shake
+        self._shake_cl = make_clusters(shake) if shake is not None else None
         self.rigid = rigid
         if rigid is not None and shake is not None:
             raise ValueError("fix rigid/small and fix shake are exclusive")
@@ -213,12 +215,16 @@ class Simulation:
             Lbox = (self.box if self.box.is_triclinic
                     else np.asarray(self.box.lengths, np.float64))
             sc = self.shake
+            cl = self._shake_cl
+            rows = jnp.asarray(cl.rows_np(0))
 
             @jax.jit
             def settle(state: MDState) -> MDState:
-                x, _ = shake_positions(sc, state.x, state.x, state.v,
-                                       1.0, Lbox)  # discard v feedback
-                v = rattle_velocities(sc, x, state.v, Lbox)
+                x, _ = shake_positions_clustered(
+                    sc, cl, state.x, state.x, state.v, 1.0, Lbox,
+                    rows)  # discard v feedback
+                v = rattle_velocities_clustered(sc, cl, x, state.v, Lbox,
+                                                rows)
                 return state._replace(x=x, v=v)
 
             self.state = settle(self.state)
@@ -340,6 +346,8 @@ class Simulation:
         mass_col = self._mass_col
 
         sc = self.shake
+        shake_rows = (jnp.asarray(self._shake_cl.rows_np(0))
+                      if sc is not None else None)
         Lbox = (self.box if self.box.is_triclinic
                 else np.asarray(self.box.lengths, np.float64))
 
@@ -361,14 +369,17 @@ class Simulation:
             else:
                 xx, vv = initial_integrate(nve, xx, vv, ff)
             if sc is not None:
-                xx, vv = shake_positions(sc, x_old, xx, vv, nve.dtv, Lbox)
+                xx, vv = shake_positions_clustered(
+                    sc, self._shake_cl, x_old, xx, vv, nve.dtv, Lbox,
+                    shake_rows)
             fr = self._forces(xx, nl, eflag=False, vflag=False)
             if comp:
                 vv, cv = final_integrate_comp(nve, vv, fr.f, cv)
             else:
                 vv = final_integrate(nve, vv, fr.f)
             if sc is not None:
-                vv = rattle_velocities(sc, xx, vv, Lbox)
+                vv = rattle_velocities_clustered(sc, self._shake_cl, xx,
+                                                 vv, Lbox, shake_rows)
             if cfg is not None:
                 chain = NHChain(eta=th[0], eta_dot=th[1])
                 scale, chain = nhc_half(cfg, chain, vv, mass_col, t_target)
