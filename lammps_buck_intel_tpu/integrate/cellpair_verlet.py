@@ -734,6 +734,16 @@ class CellPairSimulation:
         safe = int(nb.skin / (2.0 * 1.5 * vmax * self.dt))
         return max(1, min(max(safe, 1), 100))
 
+    def _vmax_now(self) -> float:
+        """One-off device max |v| (invalid slots carry v=0 — harmless
+        in a max of magnitudes).  Sampled at run() entry when check=true
+        and no thermo fetch will supply vmax: without it the cadence
+        falls back to `every`, and LAMMPS-idiom 'every 1 delay N check
+        yes' decks (in.spce) would do a FULL rebin every step."""
+        st = self.state
+        return float(jax.device_get(jax.jit(
+            lambda s: jnp.sqrt(jnp.max(s.vx**2 + s.vy**2 + s.vz**2)))(st)))
+
     def _t_target(self, ahead: int = 0) -> float:
         cfg = self.thermostat
         if cfg is None:
@@ -782,6 +792,8 @@ class CellPairSimulation:
         self._run_done = 0
         if thermo_every:
             emit()
+        elif self.neighbor.check:
+            vmax = self._vmax_now()
         end = self.step_count + nsteps
         while self.step_count < end:
             target = end

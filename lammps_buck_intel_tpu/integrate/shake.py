@@ -448,6 +448,73 @@ def rattle_velocities_clustered(sc: ShakeConstraints, cl: ShakeClusters,
     return v.at[rows.reshape(-1)].add(dv.reshape(-1, 3), mode="drop")
 
 
+def shake_virial_clustered(sc: ShakeConstraints, cl: ShakeClusters,
+                           x, v, f, ftm2v: float, L, rows,
+                           vweights=None, acc_dtype=jnp.float64):
+    """Cluster-dense form of shake_virial (same instantaneous-multiplier
+    math; see shake_virial's docstring for the physics contract).
+
+    Unlike the scatter form, this is safe for shard-local layouts where
+    absent clusters map past the end of ``x`` (slab halo rows): the
+    clamped gather lands every absent-cluster atom on the SAME row, so
+    r = 0 and the multiplier feedback stays exactly zero — the scatter
+    form instead piles all absent constraints onto two shared dummy
+    rows, whose artificial mega-cluster diverges (overflows f32 within
+    the iteration budget, nan-poisoning the psum'd virial).
+
+    rows: (M, A) row indices into x/v/f; pads/absent may be any value
+    (clamped).  vweights: optional per-ORIGINAL-constraint tally
+    weights, gathered through cl.corig (slab ownership)."""
+    flt = x.dtype
+    cmask = jnp.asarray(cl.cmask, flt)
+    W = jnp.asarray(cl.w_upd, flt)
+    invm_sum = jnp.asarray(cl.invm_sum, flt)
+    pi = jnp.asarray(cl.pi)
+    pj = jnp.asarray(cl.pj)
+    omega = float(sc.omega)
+    # per-local-atom inverse masses from the static constraint list
+    invm_a = np.where(cl.atoms >= 0,
+                      np.asarray(sc.invm, np.float64)[np.maximum(
+                          cl.atoms, 0)], 0.0)
+    invm_a3 = jnp.asarray(invm_a, flt)[:, :, None]
+
+    x_l = x[rows]                                        # (M, A, 3)
+    v_l = v[rows]
+    f_l = f[rows].astype(flt)
+    r = _cluster_minimg(_take_local(x_l, pi) - _take_local(x_l, pj), L)
+    dv = _take_local(v_l, pi) - _take_local(v_l, pj)
+    a0_l = ftm2v * invm_a3 * f_l                         # unconstrained acc
+    da0 = _take_local(a0_l, pi) - _take_local(a0_l, pj)
+    base = jnp.sum(dv * dv, axis=-1) + jnp.sum(r * da0, axis=-1)
+    denom = ftm2v * jnp.sum(r * r, axis=-1) * invm_sum
+    denom = jnp.maximum(denom, jnp.asarray(1e-30, flt))
+
+    def body(k, lam):
+        corr = lam[:, :, None] * r
+        acc_l = jnp.einsum("mca,mcd->mad", W, corr)      # ∓invm scatter
+        res = base + ftm2v * jnp.sum(
+            r * (_take_local(acc_l, pi) - _take_local(acc_l, pj)),
+            axis=-1)
+        return (lam + omega * res / denom) * cmask
+
+    lam = jax.lax.fori_loop(0, sc.iters, body,
+                            jnp.zeros(cl.d2.shape, flt))
+    w = (-lam)[:, :, None] * r                           # pair force on i
+    wc = cmask
+    if vweights is not None:
+        wc = wc * vweights[jnp.asarray(cl.corig)].astype(flt)
+    w = w * wc[:, :, None]
+    acc = acc_dtype
+    return jnp.stack([
+        jnp.sum((r[..., 0] * w[..., 0]).astype(acc)),
+        jnp.sum((r[..., 1] * w[..., 1]).astype(acc)),
+        jnp.sum((r[..., 2] * w[..., 2]).astype(acc)),
+        jnp.sum((r[..., 0] * w[..., 1]).astype(acc)),
+        jnp.sum((r[..., 0] * w[..., 2]).astype(acc)),
+        jnp.sum((r[..., 1] * w[..., 2]).astype(acc)),
+    ])
+
+
 def rattle_velocities(sc: ShakeConstraints, x, v, L, iters: int = None,
                       pairs=None):
     """Project out velocity components along constraints."""

@@ -559,6 +559,14 @@ class Simulation:
         self._run_done = 0
         if thermo_every:
             emit()
+        elif self.neighbor.check:
+            # no thermo fetches will supply vmax — sample it once so the
+            # displacement-bound cadence applies (else cadence falls to
+            # `every`, which is 1 for LAMMPS-idiom 'every 1 delay N
+            # check yes' decks: a full rebuild every step)
+            vmax = float(jax.device_get(jax.jit(
+                lambda s: jnp.sqrt(jnp.max(jnp.sum(s.v * s.v, axis=1))))(
+                    self.state)))
         end = self.step_count + nsteps
         while self.step_count < end:
             target = end

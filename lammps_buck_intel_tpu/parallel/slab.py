@@ -70,7 +70,9 @@ from ..models.kspace.pppm_slab import SlabCellPPPM, _perm_left, _perm_right
 from ..integrate.verlet import NeighborPolicy
 from ..integrate.nvt import NVTConfig, NHChain, nhc_half
 from ..integrate.shake import (ShakeConstraints, shake_positions,
-                               rattle_velocities)
+                               rattle_velocities, make_clusters,
+                               shake_positions_clustered,
+                               rattle_velocities_clustered)
 
 try:
     shard_map = jax.shard_map
@@ -187,6 +189,7 @@ class SlabCellPairSimulation:
         self.bonded = bonded if (bonded is not None
                                  and bonded.has_terms) else None
         self.shake = shake
+        self._shake_cl = make_clusters(shake) if shake is not None else None
         if rigid is not None and shake is not None:
             raise ValueError("fix rigid/small and fix shake are exclusive")
         self.rigid = rigid
@@ -427,12 +430,22 @@ class SlabCellPairSimulation:
         if self.shake is not None:
             raw = amap[jnp.asarray(self.shake.pairs)]
             present = jnp.all(raw >= 0, axis=1)
-            dummy = n_ext + jnp.arange(2, dtype=jnp.int32)
-            ctx["shake_pairs"] = jnp.where(
-                present[:, None], raw, dummy[None, :])
             # constraint-virial ownership (device owning the FIRST atom
             # tallies — boundary molecules are solved on both owners)
             ctx["shake_vw"] = present & owned(raw[:, 0])
+            # clustered-solver row map: (M, A) ext rows per cluster atom.
+            # Clusters not fully resolvable on this shard (all their
+            # constraints are absent here — halo keeps molecules whole)
+            # map to an out-of-range row: gathers clamp to a dummy and
+            # the net-correction scatter drops them (mode="drop"), the
+            # dense analog of the scatter form's dummy-row sink.
+            cl = self._shake_cl
+            rawr = amap[jnp.asarray(cl.rows_np(n))]      # pads -> amap[n] = -1
+            pad = jnp.asarray(cl.atoms < 0)
+            present_c = jnp.all((rawr >= 0) | pad, axis=1)
+            big = jnp.asarray(n_ext + 4, jnp.int32)      # ext_xs has n_ext+4
+            ctx["shake_rows"] = jnp.where(
+                present_c[:, None] & (rawr >= 0), rawr, big)
         return ctx
 
     def _bonded_local(self, jp: dict, ctx: dict, eflag: bool, box=None):
@@ -665,9 +678,9 @@ class SlabCellPairSimulation:
                 xs_old = ext3(st.x, st.y, st.z)
                 xs_new = ext3(x, y, z)
                 vs = ext3(vx, vy, vz)
-                xs_fix, vs = shake_positions(
-                    sc, xs_old, xs_new, vs, dtv, Lbox,
-                    pairs=ctx["shake_pairs"])
+                xs_fix, vs = shake_positions_clustered(
+                    sc, self._shake_cl, xs_old, xs_new, vs, dtv, Lbox,
+                    ctx["shake_rows"])
                 x, y, z = xs_fix[sl, 0], xs_fix[sl, 1], xs_fix[sl, 2]
                 vx, vy, vz = vs[sl, 0], vs[sl, 1], vs[sl, 2]
             st = st._replace(x=x, y=y, z=z)
@@ -682,8 +695,8 @@ class SlabCellPairSimulation:
             if sc is not None:
                 xs = ext3(st.x, st.y, st.z)
                 vs = ext3(vx, vy, vz)
-                vs = rattle_velocities(sc, xs, vs, Lbox,
-                                       pairs=ctx["shake_pairs"])
+                vs = rattle_velocities_clustered(
+                    sc, self._shake_cl, xs, vs, Lbox, ctx["shake_rows"])
                 vx, vy, vz = vs[sl, 0], vs[sl, 1], vs[sl, 2]
             if cfg is not None:
                 st2 = st._replace(vx=vx, vy=vy, vz=vz)
@@ -906,8 +919,10 @@ class SlabCellPairSimulation:
                 virial = virial + allsum(vir_c)
             if self.shake is not None:
                 # SHAKE constraint virial on the halo-extended rows with
-                # per-constraint ownership weights (fix_shake.cpp tally)
-                from ..integrate.shake import shake_virial
+                # per-constraint ownership weights (fix_shake.cpp tally).
+                # Clustered form: the scatter form's shared dummy rows
+                # make absent constraints diverge (f32 inf -> nan psum).
+                from ..integrate.shake import shake_virial_clustered
 
                 flt = self.precision.flt
 
@@ -915,14 +930,14 @@ class SlabCellPairSimulation:
                     return self._ext_xs(self._halo(a), self._halo(b),
                                         self._halo(c))
 
-                vir_s = shake_virial(
-                    self.shake,
+                vir_s = shake_virial_clustered(
+                    self.shake, self._shake_cl,
                     ext3(state.x, state.y, state.z),
                     ext3(state.vx, state.vy, state.vz),
                     ext3(tfx.astype(flt), tfy.astype(flt),
                          tfz.astype(flt)),
                     u.ftm2v, np.asarray(self.box.lengths, np.float64),
-                    pairs=ctx["shake_pairs"],
+                    ctx["shake_rows"],
                     vweights=ctx["shake_vw"].astype(flt),
                     acc_dtype=acc)
                 virial = virial + allsum(vir_s)
@@ -1019,6 +1034,14 @@ class SlabCellPairSimulation:
         t0 = time.perf_counter()
         if thermo_every:
             emit()
+        elif self.neighbor.check:
+            # no thermo fetches will supply vmax — sample once so the
+            # displacement-bound cadence applies (else cadence falls to
+            # `every`, a full rebin+migration every step for LAMMPS-idiom
+            # 'every 1 delay N check yes' decks)
+            vmax = float(jax.device_get(jax.jit(
+                lambda s: jnp.max(s.vx**2 + s.vy**2 + s.vz**2))(
+                    self.state))) ** 0.5
         end = self.step_count + nsteps
         while self.step_count < end:
             target = end

@@ -42,7 +42,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..core.box import Box, make_box
 from ..core.units import Units, LJ
 from ..integrate.npt import NPTConfig, nh_omega_dot_half, nh_press_vfac
-from ..integrate.shake import shake_positions, rattle_velocities
+from ..integrate.shake import (shake_positions_clustered,
+                               rattle_velocities_clustered)
 from ..neighbor import cell_slots as cs
 from .slab import SlabCellPairSimulation, shard_map
 
@@ -202,9 +203,9 @@ class SlabNPTSimulation(SlabCellPairSimulation):
                 st = st._replace(x=x, y=y, z=z)
                 xs_new = ext3(st.x, st.y, st.z)
                 vs = ext3(vx, vy, vz)
-                xs_fix, vs, vir_c = shake_positions(
-                    sc, xs_old, xs_new, vs, dtv, boxL,
-                    pairs=ctx["shake_pairs"],
+                xs_fix, vs, vir_c = shake_positions_clustered(
+                    sc, self._shake_cl, xs_old, xs_new, vs, dtv, boxL,
+                    ctx["shake_rows"],
                     virial_factor=1.0 / (dtv * dtf), vweights=vw)
                 x, y, z = xs_fix[sl, 0], xs_fix[sl, 1], xs_fix[sl, 2]
                 vx, vy, vz = vs[sl, 0], vs[sl, 1], vs[sl, 2]
@@ -222,8 +223,8 @@ class SlabNPTSimulation(SlabCellPairSimulation):
             if sc is not None:
                 xs = ext3(st.x, st.y, st.z)
                 vs = ext3(vx, vy, vz)
-                vs = rattle_velocities(sc, xs, vs, boxL,
-                                       pairs=ctx["shake_pairs"])
+                vs = rattle_velocities_clustered(
+                    sc, self._shake_cl, xs, vs, boxL, ctx["shake_rows"])
                 vx, vy, vz = vs[sl, 0], vs[sl, 1], vs[sl, 2]
             # barostat scale + omega half + thermostat half
             st = st._replace(vx=vx, vy=vy, vz=vz, fx=fx, fy=fy, fz=fz)

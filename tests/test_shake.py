@@ -272,3 +272,15 @@ def test_shake_pressure_cross_engine():
         for eng in ("cellpair", "slab"):
             assert abs(rows[eng]["press"] - p0) < 1e-7 * max(abs(p0), 1.0), (
                 eng, rows[eng]["press"], p0)
+        # f32 regression: the scatter-form slab virial piled ALL absent
+        # constraints onto two shared dummy rows whose artificial
+        # mega-cluster diverged past f32 range -> press = nan (finite
+        # garbage in f64, which is why the parity checks above missed it)
+        c = cfg("slab", 4)
+        c["read_data"] = p
+        c["precision"] = "single"
+        c.update(extra)
+        r32 = build_simulation(c).thermo()
+        assert np.isfinite(r32["press"]), r32["press"]
+        assert abs(r32["press"] - p0) < 5e-3 * max(abs(p0), 1.0), (
+            r32["press"], p0)
