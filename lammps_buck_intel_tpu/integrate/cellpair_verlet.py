@@ -218,15 +218,15 @@ class CellPairSimulation:
             def settle(state: cs.SlotState) -> cs.SlotState:
                 inv = self._inv_map(state)
                 rows = inv[jnp.asarray(cl.rows_np(self.n_atoms))]
-                xs = jnp.stack([state.x, state.y, state.z], -1)
-                vs = jnp.stack([state.vx, state.vy, state.vz], -1)
+                xs = (state.x, state.y, state.z)
+                vs = (state.vx, state.vy, state.vz)
                 xs2, _ = shake_positions_clustered(sc, cl, xs, xs, vs,
                                                    1.0, Lbox, rows)
                 vs2 = rattle_velocities_clustered(sc, cl, xs2, vs, Lbox,
                                                   rows)
                 return state._replace(
-                    x=xs2[:, 0], y=xs2[:, 1], z=xs2[:, 2],
-                    vx=vs2[:, 0], vy=vs2[:, 1], vz=vs2[:, 2],
+                    x=xs2[0], y=xs2[1], z=xs2[2],
+                    vx=vs2[0], vy=vs2[1], vz=vs2[2],
                 )
 
             st = settle(st)
@@ -447,13 +447,9 @@ class CellPairSimulation:
                 y = st.y + dtv * vy
                 z = st.z + dtv * vz
             if sc is not None:
-                xs_old = jnp.stack([st.x, st.y, st.z], -1)
-                xs_new = jnp.stack([x, y, z], -1)
-                vs = jnp.stack([vx, vy, vz], -1)
-                xs_fix, vs = shake_positions_clustered(
-                    sc, cl, xs_old, xs_new, vs, dtv, Lbox, shake_rows)
-                x, y, z = xs_fix[:, 0], xs_fix[:, 1], xs_fix[:, 2]
-                vx, vy, vz = vs[:, 0], vs[:, 1], vs[:, 2]
+                (x, y, z), (vx, vy, vz) = shake_positions_clustered(
+                    sc, cl, (st.x, st.y, st.z), (x, y, z), (vx, vy, vz),
+                    dtv, Lbox, shake_rows)
             st = st._replace(x=x, y=y, z=z)
             (fx, fy, fz), *_ = self._forces(st, sp, False, False)
             if self.bonded is not None:
@@ -471,11 +467,8 @@ class CellPairSimulation:
                 vy = vy + (dtf * minv) * fy
                 vz = vz + (dtf * minv) * fz
             if sc is not None:
-                xs = jnp.stack([x, y, z], -1)
-                vs = jnp.stack([vx, vy, vz], -1)
-                vs = rattle_velocities_clustered(sc, cl, xs, vs, Lbox,
-                                                 shake_rows)
-                vx, vy, vz = vs[:, 0], vs[:, 1], vs[:, 2]
+                vx, vy, vz = rattle_velocities_clustered(
+                    sc, cl, (x, y, z), (vx, vy, vz), Lbox, shake_rows)
             if cfg is not None:
                 vs = jnp.stack([vx, vy, vz], -1)
                 chain = NHChain(eta=th[0], eta_dot=th[1])

@@ -204,12 +204,14 @@ class NPTSimulation:
         )
         if shake is not None:
             # settle onto the constraint manifold (verlet.py settle analog)
+            x3 = tuple(st.x[:, c] for c in range(3))
+            v3 = tuple(st.v[:, c] for c in range(3))
             xs, _ = shake_positions_clustered(
-                shake, self._shake_cl, st.x, st.x, st.v, 1.0, L0,
+                shake, self._shake_cl, x3, x3, v3, 1.0, L0,
                 self._shake_rows)
             vs = rattle_velocities_clustered(
-                shake, self._shake_cl, xs, st.v, L0, self._shake_rows)
-            st = st._replace(x=xs, v=vs)
+                shake, self._shake_cl, xs, v3, L0, self._shake_rows)
+            st = st._replace(x=jnp.stack(xs, -1), v=jnp.stack(vs, -1))
         self._nl = None
         self.state = jax.jit(self._init_forces)(st)
         self.step_count = 0
@@ -337,10 +339,15 @@ class NPTSimulation:
         boxL = st.boxL * s
         vir_c = 0.0
         if self.shake is not None:
-            x, v, vir_c = shake_positions_clustered(
-                self.shake, self._shake_cl, x_ref, x, st.v, dtv, boxL,
-                self._shake_rows, virial_factor=1.0 / (dtv * dtf))
-            st = st._replace(v=v)
+            x3, v3, vir_c = shake_positions_clustered(
+                self.shake, self._shake_cl,
+                tuple(x_ref[:, c2] for c2 in range(3)),
+                tuple(x[:, c2] for c2 in range(3)),
+                tuple(st.v[:, c2] for c2 in range(3)),
+                dtv, boxL, self._shake_rows,
+                virial_factor=1.0 / (dtv * dtf))
+            x = jnp.stack(x3, -1)
+            st = st._replace(v=jnp.stack(v3, -1))
         st = st._replace(x=x, boxL=boxL)
         # forces at the new configuration
         nl = self._nl_carried
@@ -349,9 +356,11 @@ class NPTSimulation:
         # kick half + barostat + thermostat
         st = st._replace(v=st.v + (dtf * minv) * st.f)
         if self.shake is not None:
-            st = st._replace(v=rattle_velocities_clustered(
-                self.shake, self._shake_cl, st.x, st.v, st.boxL,
-                self._shake_rows))
+            st = st._replace(v=jnp.stack(rattle_velocities_clustered(
+                self.shake, self._shake_cl,
+                tuple(st.x[:, c2] for c2 in range(3)),
+                tuple(st.v[:, c2] for c2 in range(3)),
+                st.boxL, self._shake_rows), -1))
         st = self._press_vscale(st)
         st = self._omega_dot_half(st, p_target, t_target)
         chain = NHChain(eta=st.therm[0], eta_dot=st.therm[1])

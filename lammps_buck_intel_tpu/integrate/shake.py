@@ -125,6 +125,19 @@ def _minimg_cols(d, L):
     return jnp.stack(out, axis=-1)
 
 
+def _minimg_planes(dx, dy, dz, L):
+    """Component-plane minimum image (same L contract as _minimg_cols)."""
+    if hasattr(L, "is_triclinic"):
+        from ..core.box import minimum_image_planes
+
+        return minimum_image_planes(dx, dy, dz, L)
+    out = []
+    for dd, ax in ((dx, 0), (dy, 1), (dz, 2)):
+        La = float(L[ax]) if isinstance(L, np.ndarray) else L[ax]
+        out.append(dd - jnp.round(dd * (1.0 / La)) * La)
+    return tuple(out)
+
+
 def shake_positions(sc: ShakeConstraints, x_old, x_new, v, dt: float, L,
                     pairs=None, virial_factor=None, vweights=None):
     """Iteratively correct x_new (and v) so constraints hold.
@@ -261,11 +274,13 @@ class ShakeClusters:
     (288k constraints, 1.15M slot rows).  Constraints only couple
     within a cluster (a water, a shake'd methyl, a rigidified
     molecule), so the TPU-native form gathers each cluster's atoms
-    once into (M, A, 3) locals, iterates with STATIC (M, C, A)
-    one-hot update matrices (pure VPU work), and scatters the net
-    correction back once.  Same Jacobi under-relaxation, same
-    iteration budget — identical math to shake_positions /
-    rattle_velocities up to f32 reassociation.
+    once into per-component (A, M) locals — cluster index M on the
+    128-lane minor axis (see _lanes_last: the first dense form kept
+    3-vectors on the lanes and its 42x pad measured 432 ms/step) —
+    iterates with STATIC +-1/∓invm contraction tensors (pure VPU
+    work), and scatters the net correction back once.  Same Jacobi
+    under-relaxation, same iteration budget — identical math to
+    shake_positions / rattle_velocities up to f32 reassociation.
 
     atoms: (M, A) atom ids, -1 pad.  pi/pj: (M, C) local indices.
     d2: (M, C) targets (pad 1).  cmask/amask: validity.  w_upd:
@@ -348,170 +363,203 @@ def make_clusters(sc: ShakeConstraints) -> ShakeClusters:
                          corig=corig)
 
 
-def _cluster_minimg(d, L):
-    """(M, C, 3) minimum image via the shared column helper."""
-    M, C, _ = d.shape
-    return _minimg_cols(d.reshape(M * C, 3), L).reshape(M, C, 3)
+def _lanes_last(cl: ShakeClusters):
+    """Static solver tensors in lanes-last (M-minor) layout.
+
+    The cluster axis M (one lane per molecule) must live on the 128-lane
+    minor dimension: the original (M, C/A, 3)-shaped locals put a size-3
+    dim on the lanes, a 42x pad that — times 20 SOR iterations — measured
+    432 ms/step at SPC/E scale (86% of the whole step).  Returns
+    (D, WT, d2T, cmaskT, invmsT, amaskT): D (C, A, M) is the +-1 one-hot
+    difference tensor (r_c = sum_a D[c,a] x[a] = x_i - x_j), WT (C, A, M)
+    the transposed -+invm update weights; the rest are plain transposes.
+    Host numpy — baked as literal constants per trace."""
+    M, C = cl.pi.shape
+    A = cl.atoms.shape[1]
+    D = np.zeros((C, A, M), np.float64)
+    m_idx = np.arange(M)
+    for c in range(C):
+        np.add.at(D[c], (cl.pi[:, c], m_idx), cl.cmask[:, c])
+        np.add.at(D[c], (cl.pj[:, c], m_idx), -cl.cmask[:, c])
+    WT = np.ascontiguousarray(cl.w_upd.transpose(1, 2, 0))
+    return (D, WT, np.ascontiguousarray(cl.d2.T),
+            np.ascontiguousarray(cl.cmask.T),
+            np.ascontiguousarray(cl.invm_sum.T),
+            np.ascontiguousarray(cl.amask.T))
 
 
-def _take_local(a_l, idx):
-    """(M, A, 3) locals gathered at (M, C) local indices -> (M, C, 3)."""
-    return jnp.take_along_axis(a_l, idx[:, :, None], axis=1)
+def _cdot3(a3, b3):
+    return a3[0] * b3[0] + a3[1] * b3[1] + a3[2] * b3[2]
 
 
 def shake_positions_clustered(sc: ShakeConstraints, cl: ShakeClusters,
-                              x_old, x_new, v, dt: float, L, rows,
+                              xs_old, xs_new, vs, dt: float, L, rows,
                               virial_factor=None, vweights=None):
-    """Cluster-dense form of shake_positions (drop-in semantics).
+    """Cluster-dense SHAKE in lanes-last layout (see _lanes_last).
 
-    rows: (M, A) row indices into x_old/x_new/v (static np for atom-order
-    engines, traced for slot layouts; pads must map to any valid row —
-    their corrections are masked to zero before the scatter)."""
-    flt = x_new.dtype
-    d2 = jnp.asarray(cl.d2, flt)
-    cmask = jnp.asarray(cl.cmask, flt)
-    amask3 = jnp.asarray(cl.amask, flt)[:, :, None]
-    W = jnp.asarray(cl.w_upd, flt)
-    invm_sum = jnp.asarray(cl.invm_sum, flt)
-    pi = jnp.asarray(cl.pi)
-    pj = jnp.asarray(cl.pj)
+    xs_old/xs_new/vs: (x, y, z) component-plane TUPLES, each (nrows,).
+    rows: (M, A) row indices into the planes (static np for atom-order
+    engines, traced for slot layouts; pads must map to a valid row —
+    their corrections are masked to zero — or out of range — the
+    final scatter uses mode="drop").
+    Returns ((x,y,z), (vx,vy,vz)[, virial])."""
+    flt = xs_new[0].dtype
+    Dn, WTn, d2n, cmn, imn, amn = _lanes_last(cl)
+    D = jnp.asarray(Dn, flt)
+    WT = jnp.asarray(WTn, flt)
+    d2T = jnp.asarray(d2n, flt)
+    cmaskT = jnp.asarray(cmn, flt)
+    invmsT = jnp.asarray(imn, flt)
+    amaskT = jnp.asarray(amn, flt)
     omega = float(sc.omega)
+    rowsT = rows.T                                       # (A, M)
 
-    xo_l = x_old[rows]                                   # (M, A, 3)
-    xn0_l = x_new[rows]
-    r_old = _cluster_minimg(_take_local(xo_l, pi) - _take_local(xo_l, pj),
-                            L)                           # (M, C, 3)
+    def rvec(a3):
+        # 3 x (A, M) locals -> 3 x (C, M) constraint diffs x_i - x_j
+        return [jnp.einsum("cam,am->cm", D, comp) for comp in a3]
+
+    xo_l = [p[rowsT] for p in xs_old]
+    xn0 = jnp.stack([p[rowsT] for p in xs_new])          # (3, A, M)
+    ro = _minimg_planes(*rvec(xo_l), L)                  # 3 x (C, M)
 
     def body(k, carry):
-        xn_l, lam_tot = carry
-        r_new = _cluster_minimg(
-            _take_local(xn_l, pi) - _take_local(xn_l, pj), L)
-        diff = jnp.sum(r_new * r_new, axis=-1) - d2
-        denom = 2.0 * jnp.sum(r_new * r_old, axis=-1) * invm_sum
+        xn, lam_tot = carry
+        rn = _minimg_planes(*rvec([xn[0], xn[1], xn[2]]), L)
+        diff = _cdot3(rn, rn) - d2T
+        denom = 2.0 * _cdot3(rn, ro) * invmsT
         lam = diff / jnp.where(jnp.abs(denom) > 1e-12, denom,
                                jnp.sign(denom) * 1e-12 + 1e-12)
-        lam = lam * cmask
-        corr = (omega * lam)[:, :, None] * r_old         # (M, C, 3)
-        xn_l = xn_l + jnp.einsum("mca,mcd->mad", W, corr)
-        return xn_l, lam_tot + omega * lam
+        lam = lam * cmaskT
+        upd = jnp.stack([
+            jnp.einsum("cam,cm->am", WT, (omega * lam) * r) for r in ro])
+        return xn + upd, lam_tot + omega * lam
 
-    lam0 = jnp.zeros(cl.d2.shape, flt)
-    xn_l, lam_tot = jax.lax.fori_loop(0, sc.iters, body, (xn0_l, lam0))
-    dx = (xn_l - xn0_l) * amask3
-    x_fix = x_new.at[rows.reshape(-1)].add(
-        dx.reshape(-1, 3), mode="drop")
-    v = v + (x_fix - x_new) / dt
+    lam0 = jnp.zeros(d2T.shape, flt)
+    xn_l, lam_tot = jax.lax.fori_loop(0, sc.iters, body, (xn0, lam0))
+    dx = (xn_l - xn0) * amaskT                           # (3, A, M)
+    flat_rows = rows.reshape(-1)                         # M-major
+    x_fix, v_out = [], []
+    for c in range(3):
+        xf = xs_new[c].at[flat_rows].add(
+            dx[c].T.reshape(-1), mode="drop")
+        x_fix.append(xf)
+        v_out.append(vs[c] + (xf - xs_new[c]) / dt)
     if virial_factor is None:
-        return x_fix, v
-    w = (-lam_tot * virial_factor)[:, :, None] * r_old   # pair force on i
+        return tuple(x_fix), tuple(v_out)
+    w = [(-lam_tot * virial_factor) * r for r in ro]     # pair force on i
+    wc = cmaskT
     if vweights is not None:
-        wc = vweights[jnp.asarray(cl.corig)].astype(w.dtype) \
-            * cmask.astype(w.dtype)
-        w = w * wc[:, :, None]
+        wc = wc * vweights[jnp.asarray(cl.corig)].T.astype(flt)
+    w = [wi * wc for wi in w]
     virial = jnp.stack([
-        jnp.sum(r_old[..., 0] * w[..., 0]),
-        jnp.sum(r_old[..., 1] * w[..., 1]),
-        jnp.sum(r_old[..., 2] * w[..., 2]),
-        jnp.sum(r_old[..., 0] * w[..., 1]),
-        jnp.sum(r_old[..., 0] * w[..., 2]),
-        jnp.sum(r_old[..., 1] * w[..., 2]),
+        jnp.sum(ro[0] * w[0]), jnp.sum(ro[1] * w[1]), jnp.sum(ro[2] * w[2]),
+        jnp.sum(ro[0] * w[1]), jnp.sum(ro[0] * w[2]), jnp.sum(ro[1] * w[2]),
     ])
-    return x_fix, v, virial
+    return tuple(x_fix), tuple(v_out), virial
 
 
 def rattle_velocities_clustered(sc: ShakeConstraints, cl: ShakeClusters,
-                                x, v, L, rows, iters: int = None):
-    """Cluster-dense form of rattle_velocities."""
-    flt = x.dtype
-    d2 = jnp.asarray(cl.d2, flt)
-    cmask = jnp.asarray(cl.cmask, flt)
-    amask3 = jnp.asarray(cl.amask, flt)[:, :, None]
-    W = jnp.asarray(cl.w_upd, flt)
-    invm_sum = jnp.asarray(cl.invm_sum, flt)
-    pi = jnp.asarray(cl.pi)
-    pj = jnp.asarray(cl.pj)
+                                xs, vs, L, rows, iters: int = None):
+    """Cluster-dense RATTLE in lanes-last layout (see _lanes_last).
+
+    xs/vs: (x, y, z) / (vx, vy, vz) component-plane tuples; returns the
+    corrected (vx, vy, vz) tuple."""
+    flt = xs[0].dtype
+    Dn, WTn, d2n, cmn, imn, amn = _lanes_last(cl)
+    D = jnp.asarray(Dn, flt)
+    WT = jnp.asarray(WTn, flt)
+    d2T = jnp.asarray(d2n, flt)
+    cmaskT = jnp.asarray(cmn, flt)
+    invmsT = jnp.asarray(imn, flt)
+    amaskT = jnp.asarray(amn, flt)
     omega = float(sc.omega)
     it = sc.iters if iters is None else iters
+    rowsT = rows.T
 
-    x_l = x[rows]
-    r = _cluster_minimg(_take_local(x_l, pi) - _take_local(x_l, pj), L)
-    v0_l = v[rows]
+    def rvec(a3):
+        return [jnp.einsum("cam,am->cm", D, comp) for comp in a3]
+
+    r = _minimg_planes(*rvec([p[rowsT] for p in xs]), L)
+    v0 = jnp.stack([p[rowsT] for p in vs])               # (3, A, M)
 
     def body(k, v_l):
-        dv = _take_local(v_l, pi) - _take_local(v_l, pj)
-        lam = jnp.sum(r * dv, axis=-1) / (d2 * invm_sum) * cmask
-        corr = (omega * lam)[:, :, None] * r
-        return v_l + jnp.einsum("mca,mcd->mad", W, corr)
+        dv = rvec([v_l[0], v_l[1], v_l[2]])
+        lam = _cdot3(r, dv) / (d2T * invmsT) * cmaskT
+        return v_l + jnp.stack([
+            jnp.einsum("cam,cm->am", WT, (omega * lam) * ri) for ri in r])
 
-    v_l = jax.lax.fori_loop(0, it, body, v0_l)
-    dv = (v_l - v0_l) * amask3
-    return v.at[rows.reshape(-1)].add(dv.reshape(-1, 3), mode="drop")
+    v_l = jax.lax.fori_loop(0, it, body, v0)
+    dv = (v_l - v0) * amaskT
+    flat_rows = rows.reshape(-1)
+    return tuple(
+        vs[c].at[flat_rows].add(dv[c].T.reshape(-1), mode="drop")
+        for c in range(3))
 
 
 def shake_virial_clustered(sc: ShakeConstraints, cl: ShakeClusters,
-                           x, v, f, ftm2v: float, L, rows,
+                           xs, vs, fs, ftm2v: float, L, rows,
                            vweights=None, acc_dtype=jnp.float64):
     """Cluster-dense form of shake_virial (same instantaneous-multiplier
-    math; see shake_virial's docstring for the physics contract).
+    math; see shake_virial's docstring for the physics contract), in the
+    lanes-last layout (_lanes_last).
 
     Unlike the scatter form, this is safe for shard-local layouts where
-    absent clusters map past the end of ``x`` (slab halo rows): the
+    absent clusters map past the end of the planes (slab halo rows): the
     clamped gather lands every absent-cluster atom on the SAME row, so
     r = 0 and the multiplier feedback stays exactly zero — the scatter
     form instead piles all absent constraints onto two shared dummy
     rows, whose artificial mega-cluster diverges (overflows f32 within
     the iteration budget, nan-poisoning the psum'd virial).
 
-    rows: (M, A) row indices into x/v/f; pads/absent may be any value
-    (clamped).  vweights: optional per-ORIGINAL-constraint tally
-    weights, gathered through cl.corig (slab ownership)."""
-    flt = x.dtype
-    cmask = jnp.asarray(cl.cmask, flt)
-    W = jnp.asarray(cl.w_upd, flt)
-    invm_sum = jnp.asarray(cl.invm_sum, flt)
-    pi = jnp.asarray(cl.pi)
-    pj = jnp.asarray(cl.pj)
+    xs/vs/fs: (x, y, z) component-plane tuples; rows: (M, A) row indices
+    (pads/absent may be any value — clamped).  vweights: optional
+    per-ORIGINAL-constraint tally weights, gathered through cl.corig
+    (slab ownership)."""
+    flt = xs[0].dtype
+    Dn, WTn, d2n, cmn, imn, _amn = _lanes_last(cl)
+    D = jnp.asarray(Dn, flt)
+    WT = jnp.asarray(WTn, flt)
+    cmaskT = jnp.asarray(cmn, flt)
+    invmsT = jnp.asarray(imn, flt)
     omega = float(sc.omega)
     # per-local-atom inverse masses from the static constraint list
     invm_a = np.where(cl.atoms >= 0,
                       np.asarray(sc.invm, np.float64)[np.maximum(
                           cl.atoms, 0)], 0.0)
-    invm_a3 = jnp.asarray(invm_a, flt)[:, :, None]
+    invm_aT = jnp.asarray(invm_a.T, flt)                 # (A, M)
+    rowsT = rows.T
 
-    x_l = x[rows]                                        # (M, A, 3)
-    v_l = v[rows]
-    f_l = f[rows].astype(flt)
-    r = _cluster_minimg(_take_local(x_l, pi) - _take_local(x_l, pj), L)
-    dv = _take_local(v_l, pi) - _take_local(v_l, pj)
-    a0_l = ftm2v * invm_a3 * f_l                         # unconstrained acc
-    da0 = _take_local(a0_l, pi) - _take_local(a0_l, pj)
-    base = jnp.sum(dv * dv, axis=-1) + jnp.sum(r * da0, axis=-1)
-    denom = ftm2v * jnp.sum(r * r, axis=-1) * invm_sum
+    def rvec(a3):
+        return [jnp.einsum("cam,am->cm", D, comp) for comp in a3]
+
+    r = _minimg_planes(*rvec([p[rowsT] for p in xs]), L)
+    dv = rvec([p[rowsT] for p in vs])
+    da0 = rvec([ftm2v * invm_aT * p[rowsT].astype(flt) for p in fs])
+    base = _cdot3(dv, dv) + _cdot3(r, da0)
+    denom = ftm2v * _cdot3(r, r) * invmsT
     denom = jnp.maximum(denom, jnp.asarray(1e-30, flt))
 
     def body(k, lam):
-        corr = lam[:, :, None] * r
-        acc_l = jnp.einsum("mca,mcd->mad", W, corr)      # ∓invm scatter
-        res = base + ftm2v * jnp.sum(
-            r * (_take_local(acc_l, pi) - _take_local(acc_l, pj)),
-            axis=-1)
-        return (lam + omega * res / denom) * cmask
+        # acceleration feedback of the current multipliers: ∓invm per
+        # cluster atom (WT), differenced back per constraint (D)
+        acc3 = [jnp.einsum("cam,cm->am", WT, lam * ri) for ri in r]
+        res = base + ftm2v * _cdot3(r, rvec(acc3))
+        return (lam + omega * res / denom) * cmaskT
 
     lam = jax.lax.fori_loop(0, sc.iters, body,
-                            jnp.zeros(cl.d2.shape, flt))
-    w = (-lam)[:, :, None] * r                           # pair force on i
-    wc = cmask
+                            jnp.zeros(cmn.shape, flt))
+    wc = -lam * cmaskT
     if vweights is not None:
-        wc = wc * vweights[jnp.asarray(cl.corig)].astype(flt)
-    w = w * wc[:, :, None]
+        wc = wc * vweights[jnp.asarray(cl.corig)].T.astype(flt)
+    w = [wc * ri for ri in r]                            # pair force on i
     acc = acc_dtype
     return jnp.stack([
-        jnp.sum((r[..., 0] * w[..., 0]).astype(acc)),
-        jnp.sum((r[..., 1] * w[..., 1]).astype(acc)),
-        jnp.sum((r[..., 2] * w[..., 2]).astype(acc)),
-        jnp.sum((r[..., 0] * w[..., 1]).astype(acc)),
-        jnp.sum((r[..., 0] * w[..., 2]).astype(acc)),
-        jnp.sum((r[..., 1] * w[..., 2]).astype(acc)),
+        jnp.sum((r[0] * w[0]).astype(acc)),
+        jnp.sum((r[1] * w[1]).astype(acc)),
+        jnp.sum((r[2] * w[2]).astype(acc)),
+        jnp.sum((r[0] * w[1]).astype(acc)),
+        jnp.sum((r[0] * w[2]).astype(acc)),
+        jnp.sum((r[1] * w[2]).astype(acc)),
     ])
 
 

@@ -220,12 +220,15 @@ class Simulation:
 
             @jax.jit
             def settle(state: MDState) -> MDState:
-                x, _ = shake_positions_clustered(
-                    sc, cl, state.x, state.x, state.v, 1.0, Lbox,
+                x3 = tuple(state.x[:, c] for c in range(3))
+                v3 = tuple(state.v[:, c] for c in range(3))
+                xf, _ = shake_positions_clustered(
+                    sc, cl, x3, x3, v3, 1.0, Lbox,
                     rows)  # discard v feedback
-                v = rattle_velocities_clustered(sc, cl, x, state.v, Lbox,
-                                                rows)
-                return state._replace(x=x, v=v)
+                vf = rattle_velocities_clustered(sc, cl, xf, v3, Lbox,
+                                                 rows)
+                return state._replace(x=jnp.stack(xf, -1),
+                                      v=jnp.stack(vf, -1))
 
             self.state = settle(self.state)
         self.state = self._init_force_fn(self.state)
@@ -369,17 +372,25 @@ class Simulation:
             else:
                 xx, vv = initial_integrate(nve, xx, vv, ff)
             if sc is not None:
-                xx, vv = shake_positions_clustered(
-                    sc, self._shake_cl, x_old, xx, vv, nve.dtv, Lbox,
-                    shake_rows)
+                x3, v3 = shake_positions_clustered(
+                    sc, self._shake_cl,
+                    tuple(x_old[:, c] for c in range(3)),
+                    tuple(xx[:, c] for c in range(3)),
+                    tuple(vv[:, c] for c in range(3)),
+                    nve.dtv, Lbox, shake_rows)
+                xx = jnp.stack(x3, -1)
+                vv = jnp.stack(v3, -1)
             fr = self._forces(xx, nl, eflag=False, vflag=False)
             if comp:
                 vv, cv = final_integrate_comp(nve, vv, fr.f, cv)
             else:
                 vv = final_integrate(nve, vv, fr.f)
             if sc is not None:
-                vv = rattle_velocities_clustered(sc, self._shake_cl, xx,
-                                                 vv, Lbox, shake_rows)
+                vv = jnp.stack(rattle_velocities_clustered(
+                    sc, self._shake_cl,
+                    tuple(xx[:, c] for c in range(3)),
+                    tuple(vv[:, c] for c in range(3)),
+                    Lbox, shake_rows), -1)
             if cfg is not None:
                 chain = NHChain(eta=th[0], eta_dot=th[1])
                 scale, chain = nhc_half(cfg, chain, vv, mass_col, t_target)

@@ -378,6 +378,16 @@ class SlabCellPairSimulation:
         xs = jnp.stack([x_ext, y_ext, z_ext], -1)
         return jnp.concatenate([xs, dummy])
 
+    def _ext_planes(self, x_ext, y_ext, z_ext):
+        """Component-plane form of _ext_xs: ((n_ext+4,),)*3 tuples (the
+        lanes-last clustered SHAKE interface — no (N, 3) stacking)."""
+        lo = np.asarray(jax.device_get(self.box.lo), np.float64)
+        d = np.asarray([[0.05, 0.05, 0.05], [1.02, 0.05, 0.05],
+                        [0.55, 0.85, 0.05], [0.75, 0.45, 0.95]])
+        return tuple(
+            jnp.concatenate([p, jnp.asarray(lo[c] + d[:, c], p.dtype)])
+            for c, p in enumerate((x_ext, y_ext, z_ext)))
+
     def _term_ctx(self, state: cs.SlotState) -> dict:
         """Binning-static per-block context: i-side special-bond slots +
         bonded/SHAKE index maps into the halo-extended slab."""
@@ -658,9 +668,11 @@ class SlabCellPairSimulation:
         sl = slice(plane, plane + ns_loc)
 
         def ext3(a, b, c):
-            # halo-extended 3-vectors + the 4 dummy rows (constraints of
-            # boundary molecules are solved identically on both owners)
-            return self._ext_xs(self._halo(a), self._halo(b), self._halo(c))
+            # halo-extended component planes + the 4 dummy rows
+            # (constraints of boundary molecules are solved identically
+            # on both owners)
+            return self._ext_planes(self._halo(a), self._halo(b),
+                                    self._halo(c))
 
         def one_step(st, _):
             th = st.therm
@@ -675,14 +687,12 @@ class SlabCellPairSimulation:
             y = st.y + dtv * vy
             z = st.z + dtv * vz
             if sc is not None:
-                xs_old = ext3(st.x, st.y, st.z)
-                xs_new = ext3(x, y, z)
-                vs = ext3(vx, vy, vz)
                 xs_fix, vs = shake_positions_clustered(
-                    sc, self._shake_cl, xs_old, xs_new, vs, dtv, Lbox,
+                    sc, self._shake_cl, ext3(st.x, st.y, st.z),
+                    ext3(x, y, z), ext3(vx, vy, vz), dtv, Lbox,
                     ctx["shake_rows"])
-                x, y, z = xs_fix[sl, 0], xs_fix[sl, 1], xs_fix[sl, 2]
-                vx, vy, vz = vs[sl, 0], vs[sl, 1], vs[sl, 2]
+                x, y, z = (p[sl] for p in xs_fix)
+                vx, vy, vz = (p[sl] for p in vs)
             st = st._replace(x=x, y=y, z=z)
             (fx, fy, fz), *_ = self._forces_local(st, kc, False, False,
                                                   ctx=ctx)
@@ -693,11 +703,10 @@ class SlabCellPairSimulation:
             vy = vy + (dtf * minv) * fy
             vz = vz + (dtf * minv) * fz
             if sc is not None:
-                xs = ext3(st.x, st.y, st.z)
-                vs = ext3(vx, vy, vz)
                 vs = rattle_velocities_clustered(
-                    sc, self._shake_cl, xs, vs, Lbox, ctx["shake_rows"])
-                vx, vy, vz = vs[sl, 0], vs[sl, 1], vs[sl, 2]
+                    sc, self._shake_cl, ext3(st.x, st.y, st.z),
+                    ext3(vx, vy, vz), Lbox, ctx["shake_rows"])
+                vx, vy, vz = (p[sl] for p in vs)
             if cfg is not None:
                 st2 = st._replace(vx=vx, vy=vy, vz=vz)
                 scale, th = self._nhc_scale(st2, th, minv, t_target)
@@ -927,8 +936,8 @@ class SlabCellPairSimulation:
                 flt = self.precision.flt
 
                 def ext3(a, b, c):
-                    return self._ext_xs(self._halo(a), self._halo(b),
-                                        self._halo(c))
+                    return self._ext_planes(self._halo(a), self._halo(b),
+                                            self._halo(c))
 
                 vir_s = shake_virial_clustered(
                     self.shake, self._shake_cl,

@@ -171,8 +171,8 @@ class SlabNPTSimulation(SlabCellPairSimulation):
             vw = ctx["shake_vw"].astype(flt)
 
         def ext3(a, b, c):
-            return self._ext_xs(self._halo(a), self._halo(b),
-                                self._halo(c))
+            return self._ext_planes(self._halo(a), self._halo(b),
+                                    self._halo(c))
 
         def one_step(carry, _):
             st, ex = carry
@@ -207,8 +207,8 @@ class SlabNPTSimulation(SlabCellPairSimulation):
                     sc, self._shake_cl, xs_old, xs_new, vs, dtv, boxL,
                     ctx["shake_rows"],
                     virial_factor=1.0 / (dtv * dtf), vweights=vw)
-                x, y, z = xs_fix[sl, 0], xs_fix[sl, 1], xs_fix[sl, 2]
-                vx, vy, vz = vs[sl, 0], vs[sl, 1], vs[sl, 2]
+                x, y, z = (p[sl] for p in xs_fix)
+                vx, vy, vz = (p[sl] for p in vs)
                 vir_c = vir_c.astype(acc)
                 if self.D > 1:
                     vir_c = jax.lax.psum(vir_c, self.axis)
@@ -221,11 +221,10 @@ class SlabNPTSimulation(SlabCellPairSimulation):
             vy = vy + (dtf * minv) * fy
             vz = vz + (dtf * minv) * fz
             if sc is not None:
-                xs = ext3(st.x, st.y, st.z)
-                vs = ext3(vx, vy, vz)
                 vs = rattle_velocities_clustered(
-                    sc, self._shake_cl, xs, vs, boxL, ctx["shake_rows"])
-                vx, vy, vz = vs[sl, 0], vs[sl, 1], vs[sl, 2]
+                    sc, self._shake_cl, ext3(st.x, st.y, st.z),
+                    ext3(vx, vy, vz), boxL, ctx["shake_rows"])
+                vx, vy, vz = (p[sl] for p in vs)
             # barostat scale + omega half + thermostat half
             st = st._replace(vx=vx, vy=vy, vz=vz, fx=fx, fy=fy, fz=fz)
             fac = self._press_vfac(ex)
