@@ -69,7 +69,7 @@ def main():
     out["gather9_ms"] = round(_honest_ms(g_fn, xs, 10, 3), 2)
 
     # --- iterations only (pre-gathered)
-    Dn, WTn, d2n, cmn, imn, amn = shk._lanes_last(cl)
+    Dn, WTn, d2n, cmn, imn, amn, Kn = shk._lanes_last(cl)
     D = jnp.asarray(Dn, flt)
     WT = jnp.asarray(WTn, flt)
     d2T = jnp.asarray(d2n, flt)
