@@ -284,3 +284,76 @@ def test_shake_pressure_cross_engine():
         assert np.isfinite(r32["press"]), r32["press"]
         assert abs(r32["press"] - p0) < 5e-3 * max(abs(p0), 1.0), (
             r32["press"], p0)
+
+
+def test_clustered_exact_solver_machine_precision():
+    """The constraint-space Newton solver (shake_positions_clustered)
+    must satisfy constraints to accumulation precision — not just the
+    old SOR tolerance — and RATTLE's one-shot linear solve must project
+    velocities exactly (r . dv = 0).  Covers C=1 (lone C-H), C=3 (rigid
+    water triangle) and a C=12/A=6 shake-rigidified molecule, in f64 so
+    solver error is visible above dtype noise."""
+    from lammps_buck_intel_tpu.integrate.shake import (
+        make_clusters, shake_positions_clustered,
+        rattle_velocities_clustered)
+
+    rng = np.random.default_rng(7)
+    pairs, d2, masses, base = [], [], [], 0
+    xs = []
+
+    def add_cluster(xloc, bonds, m):
+        nonlocal base
+        for i, j in bonds:
+            pairs.append((base + i, base + j))
+            d2.append(float(((xloc[i] - xloc[j]) ** 2).sum()))
+        xs.append(xloc)
+        masses.extend(m)
+        base += len(xloc)
+
+    # C=1: one C-H bond
+    add_cluster(np.array([[0.0, 0, 0], [1.09, 0, 0]]), [(0, 1)],
+                [12.011, 1.008])
+    # C=3: rigid water (2 OH + HH)
+    w = np.array([[0.0, 0, 0], [0.96, 0.3, 0], [-0.3, 0.96, 0]])
+    add_cluster(w, [(0, 1), (0, 2), (1, 2)], [15.999, 1.008, 1.008])
+    # C=12, A=6: octahedron rigidified by 12 edge constraints
+    oct6 = np.array([[1.0, 0, 0], [-1, 0, 0], [0, 1, 0],
+                     [0, -1, 0], [0, 0, 1], [0, 0, -1]], float)
+    edges = [(i, j) for i in range(6) for j in range(i + 1, 6)
+             if abs((oct6[i] * oct6[j]).sum()) < 0.5]
+    assert len(edges) == 12
+    add_cluster(oct6, edges, [12.0] * 6)
+
+    x_old = np.concatenate(xs)
+    n = len(x_old)
+    invm = 1.0 / np.asarray(masses)
+    # build ShakeConstraints directly (bond-table plumbing not needed)
+    from lammps_buck_intel_tpu.integrate.shake import ShakeConstraints
+    sc = ShakeConstraints(
+        pairs=np.asarray(pairs, np.int32), d2=np.asarray(d2),
+        invm=invm, iters=30, omega=1.0)
+    cl = make_clusters(sc)
+    assert cl.pi.shape[1] == 12 and cl.atoms.shape[1] == 6
+
+    L = np.array([50.0, 50.0, 50.0])
+    rows = cl.atoms.copy()
+    rows[rows < 0] = 0
+    # violate: random displacement at MD scale + random velocities
+    x_new = x_old + 0.05 * rng.standard_normal(x_old.shape)
+    v = 0.1 * rng.standard_normal(x_old.shape)
+    xs3 = tuple(jnp.asarray(x_old[:, c]) for c in range(3))
+    xn3 = tuple(jnp.asarray(x_new[:, c]) for c in range(3))
+    v3 = tuple(jnp.asarray(v[:, c]) for c in range(3))
+
+    xf, vf = shake_positions_clustered(sc, cl, xs3, xn3, v3, 1.0, L, rows)
+    xf = np.stack([np.asarray(p) for p in xf], -1)
+    d = xf[sc.pairs[:, 0]] - xf[sc.pairs[:, 1]]
+    viol = np.abs((d * d).sum(-1) - np.asarray(d2)) / np.asarray(d2)
+    assert viol.max() < 1e-9, f"positions not exact: {viol.max():.3e}"
+
+    vr = rattle_velocities_clustered(sc, cl, tuple(
+        jnp.asarray(xf[:, c]) for c in range(3)), v3, L, rows)
+    vr = np.stack([np.asarray(p) for p in vr], -1)
+    dv = vr[sc.pairs[:, 0]] - vr[sc.pairs[:, 1]]
+    proj = np.abs((d * dv).sum(-1)) / np.sqrt((d * d).sum(-1))
+    assert proj.max() < 1e-12, f"rattle not exact: {proj.max():.3e}"
