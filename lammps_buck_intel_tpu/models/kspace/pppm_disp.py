@@ -222,6 +222,8 @@ def setup_pppm_disp(
     sigma=None,
     C6=None,
     diff: str = "ik",
+    multiple_of: Optional[tuple[int, int, int]] = None,
+    grid_min: Optional[tuple[int, int, int]] = None,
 ) -> PPPMDisp:
     L = np.asarray(box.lengths, np.float64)
     volume = float(np.prod(L))
@@ -232,7 +234,19 @@ def setup_pppm_disp(
         # h <~ 1/(2 g6) resolves t = k_max/(2 b) ~ pi/(2 h b) >~ 3
         n = [max(int(math.ceil(L[ax] * g_ewald_6 * 2.2)), 2 * order)
              for ax in range(3)]
-        grid = tuple(_pppm._next_good(v) for v in n)
+        grid = []
+        for ax in range(3):
+            v = n[ax]
+            if grid_min is not None:
+                v = max(v, grid_min[ax])
+            if multiple_of is not None:
+                # cell-aligned meshes (the patch/pencil pipelines): round
+                # the per-cell point count up (setup_pppm's contract)
+                m = multiple_of[ax]
+                grid.append(m * (-(-v // m)))
+            else:
+                grid.append(_pppm._next_good(v))
+        grid = tuple(grid)
     nx, ny, nz = grid
 
     def kvals(n, prd):

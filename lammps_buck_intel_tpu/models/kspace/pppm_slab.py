@@ -308,6 +308,232 @@ class SlabCellPPPM:
                 out[2].astype(acc) * qf, elong, virial)
 
 
+class SlabCellPPPMDisp(SlabCellPPPM):
+    """Pencil-sharded dispersion PPPM over the slab mesh — every mixing
+    rule through the channel decomposition of pppm_disp.py.
+
+    The dispersion analog of SlabCellPPPM: per-channel patch deposition
+    with ppermute overhang planes, ``all_to_all`` pencil FFTs on the
+    ``_6`` mesh, the paired spectral solve chi = P S, and per-channel ik
+    E-field gathers — the reference's dual-pipeline machinery
+    (/root/reference/pppm_disp_intel.cpp:245-467: geometric one-channel,
+    arithmetic 7-channel make_rho_a + poisson_2s pairs, no-mix nsplit)
+    under the same GridComm/Remap contracts the Coulomb pencil implements
+    (pppm_intel.cpp:185, 219-228, 642-672).  The k=0 and self-energy
+    corrections depend only on composition (``elong_const``), so they are
+    baked as host constants at construction; empty slots are masked by
+    aid (their typ plane is 0, which would otherwise read a real B).
+    """
+
+    def __init__(self, pmd, grid: CellGrid, n_dev: int, typ,
+                 margin: int = 2, skin: Optional[float] = None):
+        super().__init__(pmd, grid, n_dev, margin=margin, skin=skin)
+        A = np.asarray(pmd.A, np.float64)            # (nch, ntypes)
+        Pm = np.asarray(pmd.P, np.float64)           # (nch, nch)
+        t = np.asarray(typ, np.int64)
+        a_atoms = A[:, t]                            # (nch, N)
+        asum = a_atoms.sum(axis=1)
+        self.e0 = float((0.5 / pmd.volume) * pmd.w0 * (asum @ Pm @ asum))
+        self.e_self = float(
+            pmd.g_ewald_6 ** 6 / 12.0
+            * np.einsum("cn,cd,dn->", a_atoms, Pm, a_atoms))
+        self.A = A
+        self.Pm = Pm
+        self.nch = A.shape[0]
+
+    def spectral_consts(self) -> dict:
+        pm = self.pm
+        nzh = pm.grid[2] // 2 + 1
+        from .pppm_cells import _half_weights
+
+        return dict(G=pm.greensfn[..., :nzh], kx=pm.kx, ky=pm.ky,
+                    kz=pm.kz[:nzh], wz=_half_weights(pm.grid[2]),
+                    vfac=pm.vfac[..., :nzh])
+
+    def shardings(self, mesh, axis: str = "x"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out = super().shardings(mesh, axis)
+        out["vfac"] = NamedSharding(mesh, P(None, axis, None))
+        return out
+
+    def in_specs(self, axis: str = "x"):
+        from jax.sharding import PartitionSpec as P
+
+        out = super().in_specs(axis)
+        out["vfac"] = P(None, axis, None)
+        return out
+
+    def compute_slots_local(self, state: SlotState, kc: dict,
+                            eflag: bool, vflag: bool, axis: str = "x"):
+        pm, ps, D = self.pm, self.ps, self.D
+        grid_loc = self.nc_loc
+        cap = self.grid.cap
+        ncell = grid_loc[0] * grid_loc[1] * grid_loc[2]
+        acc = pm.acc_dtype
+        flt = state.x.dtype
+        V = float(pm.volume)
+        Sx = ps.S[0]
+        n = self.grid.n_atoms
+        dev = (jax.lax.axis_index(axis) if D > 1
+               else jnp.zeros((), jnp.int32))
+        cell_off = dev * self.ncx_loc
+
+        wx, wy, wz_spl = self._weights_local(state, cell_off)
+        # per-slot channel amplitudes; empty slots carry typ 0 -> aid mask
+        amask = (state.aid < n).astype(flt)
+        At = jnp.asarray(self.A, flt)
+        a_slots = At[:, state.typ] * amask[None, :]   # (nch, ns_loc)
+
+        tile, nt, pad = self._tile_pads(ncell)
+
+        def padc(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a
+
+        wy_t = padc(wy).reshape(nt, tile, cap, ps.P[1])
+        wz_t = padc(wz_spl).reshape(nt, tile, cap, ps.P[2])
+
+        def dep_tile(args):
+            axb, wyb, wzb = args
+            wyz = jnp.einsum("tay,taz->tayz", wyb, wzb)
+            return jnp.einsum("tax,tayz->txyz", axb, wyz)
+
+        # ---- per-channel deposition + halo sum (make_rho_a analog) ----
+        meshes = []
+        for c in range(self.nch):
+            a2d = a_slots[c].reshape(ncell, cap)
+            ax_t = padc(wx * a2d[:, :, None]).reshape(
+                nt, tile, cap, ps.P[0])
+            pat = jax.lax.map(dep_tile, (ax_t, wy_t, wz_t))
+            pat = pat.reshape(nt * tile, *ps.P)[:ncell]
+            G_ext = patches_to_grid_slab(pat, ps, grid_loc)
+            mesh = G_ext[Sx:-Sx]
+            if D > 1:
+                from_right = jax.lax.ppermute(G_ext[:Sx], axis,
+                                              _perm_left(D))
+                from_left = jax.lax.ppermute(G_ext[-Sx:], axis,
+                                             _perm_right(D))
+            else:
+                from_right, from_left = G_ext[:Sx], G_ext[-Sx:]
+            meshes.append(
+                mesh.at[-Sx:].add(from_right).at[:Sx].add(from_left))
+
+        # ---- pencil FFTs + paired spectral solve ----
+        nz = pm.grid[2]
+        S = jnp.stack([fft3_slab(m.astype(acc), axis, D) for m in meshes])
+        G = kc["G"].astype(acc)
+        Pc = jnp.asarray(self.Pm, acc)
+        chi = jnp.einsum("cd,dxyz->cxyz", Pc, S)
+
+        def allsum(v):
+            return jax.lax.psum(v, axis) if D > 1 else v
+
+        if eflag or vflag:
+            s2 = jnp.sum(jnp.real(S * jnp.conj(chi)), axis=0)
+            ek = G * s2 * kc["wz"].astype(acc)[None, None, :]
+        if eflag:
+            elong = (allsum((0.5 / V) * jnp.sum(ek.astype(acc)))
+                     + self.e0 + self.e_self)
+        else:
+            elong = jnp.zeros((), acc)
+
+        kx = kc["kx"].astype(acc)[:, None, None]
+        ky = kc["ky"].astype(acc)[None, :, None]
+        kz = kc["kz"].astype(acc)[None, None, :]
+        if vflag:
+            vf = kc["vfac"].astype(acc)
+            c = 0.5 / V
+            virial = allsum(jnp.stack([
+                jnp.sum((ek * (1.0 + vf * kx * kx)).astype(acc)),
+                jnp.sum((ek * (1.0 + vf * ky * ky)).astype(acc)),
+                jnp.sum((ek * (1.0 + vf * kz * kz)).astype(acc)),
+                jnp.sum((ek * (vf * kx * ky)).astype(acc)),
+                jnp.sum((ek * (vf * kx * kz)).astype(acc)),
+                jnp.sum((ek * (vf * ky * kz)).astype(acc)),
+            ])) * c
+            virial = virial + self.e0 * jnp.asarray(
+                [1.0, 1.0, 1.0, 0.0, 0.0, 0.0], acc)
+        else:
+            virial = jnp.zeros((6,), acc)
+
+        # ---- per-channel ik E-fields, halo, patch gather ----
+        ngrid = pm.grid[0] * pm.grid[1] * pm.grid[2]
+        scale = (1.0 / V) * ngrid
+        wx_t = padc(wx).reshape(nt, tile, cap, ps.P[0])
+
+        def gat_tile(args):
+            wxb, wyb, wzb, eb = args
+            t1 = jnp.einsum("tax,txyz->tayz", wxb, eb)
+            t2 = jnp.einsum("tay,tayz->taz", wyb, t1)
+            return jnp.einsum("taz,taz->ta", wzb, t2)
+
+        fout = [jnp.zeros((ncell * cap,), acc) for _ in range(3)]
+        for ci in range(self.nch):
+            phi_c = G * chi[ci]
+            a_c = a_slots[ci].astype(acc)
+            for ax_i, kax in enumerate((kx, ky, kz)):
+                ehat = (-1j) * kax * phi_c
+                em = (ifft3_slab(ehat, nz, axis, D) * scale).astype(flt)
+                if D > 1:
+                    left_h = jax.lax.ppermute(em[-Sx:], axis,
+                                              _perm_right(D))
+                    right_h = jax.lax.ppermute(em[:Sx], axis,
+                                               _perm_left(D))
+                else:
+                    left_h, right_h = em[-Sx:], em[:Sx]
+                em_ext = jnp.concatenate([left_h, em, right_h], axis=0)
+                ep = grid_to_patches_slab(em_ext, ps, grid_loc)
+                ep_t = padc(ep).reshape(nt, tile, *ps.P)
+                f = jax.lax.map(gat_tile, (wx_t, wy_t, wz_t, ep_t))
+                f = f.reshape(nt * tile, cap)[:ncell].reshape(-1)
+                fout[ax_i] = fout[ax_i] + f.astype(acc) * a_c
+        return fout[0], fout[1], fout[2], elong, virial
+
+
+class SlabCombinedKSpace:
+    """Sum of slab-mesh k-space solvers behind the single kc protocol —
+    the pppm/disp dual pipeline (Coulomb pencil + dispersion pencil) of
+    /root/reference/pppm_disp_intel.cpp:183-243 + :245-467, each solver's
+    spectral constants namespaced into one kc dict."""
+
+    def __init__(self, solvers):
+        self.solvers = list(solvers)
+
+    def _ns(self, i, d):
+        return {f"k{i}.{k}": v for k, v in d.items()}
+
+    def spectral_consts(self) -> dict:
+        out = {}
+        for i, s in enumerate(self.solvers):
+            out.update(self._ns(i, s.spectral_consts()))
+        return out
+
+    def shardings(self, mesh, axis: str = "x") -> dict:
+        out = {}
+        for i, s in enumerate(self.solvers):
+            out.update(self._ns(i, s.shardings(mesh, axis)))
+        return out
+
+    def in_specs(self, axis: str = "x") -> dict:
+        out = {}
+        for i, s in enumerate(self.solvers):
+            out.update(self._ns(i, s.in_specs(axis)))
+        return out
+
+    def compute_slots_local(self, state: SlotState, kc: dict,
+                            eflag: bool, vflag: bool, axis: str = "x"):
+        tot = None
+        for i, s in enumerate(self.solvers):
+            pre = f"k{i}."
+            sub = {k[len(pre):]: v for k, v in kc.items()
+                   if k.startswith(pre)}
+            r = s.compute_slots_local(state, sub, eflag, vflag, axis=axis)
+            tot = r if tot is None else tuple(a + b
+                                              for a, b in zip(tot, r))
+        return tot
+
+
 class GatheredKSpace:
     """Slab-mesh adapter for long-range solvers WITHOUT a pencil pipeline
     (dispersion PPPM, Ewald, slab-corrected/ad coulomb PPPM): all_gather

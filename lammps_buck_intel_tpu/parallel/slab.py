@@ -69,8 +69,7 @@ from ..models.pair.styles import PairStyle
 from ..models.kspace.pppm_slab import SlabCellPPPM, _perm_left, _perm_right
 from ..integrate.verlet import NeighborPolicy
 from ..integrate.nvt import NVTConfig, NHChain, nhc_half
-from ..integrate.shake import (ShakeConstraints, shake_positions,
-                               rattle_velocities, make_clusters,
+from ..integrate.shake import (ShakeConstraints, make_clusters,
                                shake_positions_clustered,
                                rattle_velocities_clustered)
 
@@ -244,12 +243,18 @@ class SlabCellPairSimulation:
             # only; per-step SHAKE runs sharded, see _block_local)
             Lbox = np.asarray(self.box.lengths, np.float64)
             sc = self.shake
+            cl = self._shake_cl
+            rows = jnp.asarray(cl.rows_np(0))
 
             @jax.jit
             def settle(xs, vs):
-                xs2, _ = shake_positions(sc, xs, xs, vs, 1.0, Lbox)
-                vs2 = rattle_velocities(sc, xs2, vs, Lbox)
-                return xs2, vs2
+                x3 = tuple(xs[:, c] for c in range(3))
+                v3 = tuple(vs[:, c] for c in range(3))
+                xf, _ = shake_positions_clustered(sc, cl, x3, x3, v3,
+                                                  1.0, Lbox, rows)
+                vf = rattle_velocities_clustered(sc, cl, xf, v3, Lbox,
+                                                 rows)
+                return jnp.stack(xf, -1), jnp.stack(vf, -1)
 
             x_np, v_np = (np.asarray(a) for a in settle(
                 jnp.asarray(x_np), jnp.asarray(v_np)))

@@ -559,17 +559,20 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 bonded=bonded, topology=topo,
                 exclude_intra=exclude_intra,
                 cap=int(cfg["cap"]) if cfg.get("cap") else None)
-        pencil_ok = bool(ks) and (ks.get("name") == "pppm"
-                                  and style.cfg.coul == "long"
-                                  and not ks.get("slab")
-                                  and ks.get("diff", "ik") == "ik")
+        kname = ks.get("name") if ks else None
+        want_coul = (kname in ("pppm", "pppm/disp")
+                     and style.cfg.coul == "long")
+        want_disp = kname == "pppm/disp" and style.cfg.disp == "long"
+        pencil_ok = ((want_coul or want_disp)
+                     and not ks.get("slab")
+                     and ks.get("diff", "ik") == "ik"
+                     and not ks.get("gathered"))
         kset = None
         if ks and not pencil_ok:
-            # no pencil pipeline for this solver family (dispersion PPPM,
-            # ewald, slab-corrected/ad coulomb): run the single-device
-            # solver REPLICATED via all_gather'd planes — exact same
-            # physics as single-chip, right-sized for the reference's
-            # small-N dispersion workloads (in.hexane ~5k atoms)
+            # no pencil pipeline for this solver family (ewald,
+            # slab-corrected/ad solvers, or `gathered: true` opt-out):
+            # run the single-device solver REPLICATED via all_gather'd
+            # planes — exact same physics as single-chip
             if kspace is None:
                 raise NotImplementedError(
                     f"slab engine kspace: {ks.get('name')!r} built no "
@@ -583,35 +586,64 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                                       sim.grid.nslots)
         if pencil_ok:
             def kset(sim):
-                # size the mesh to the sim's cell grid so every cell holds
-                # a spline patch (same recipe as the CellPPPM branch) and
-                # ny tiles the device axis (the pencil-FFT all_to_all)
+                # size each mesh to the sim's cell grid so every cell
+                # holds a spline patch (same recipe as the CellPPPM
+                # branch) and ny tiles the device axis (pencil all_to_all)
                 import math as _math
 
-                order = ks.get("order", 5)
                 nc = np.asarray(sim.grid.nc)
                 L = np.asarray(box.lengths)
-                smin = []
-                for ax in range(3):
-                    s = (order + 1) // 2 + 2
-                    while True:
-                        h = L[ax] / (s * nc[ax])
-                        m = max(2, int(_math.ceil(0.5 * policy.skin / h
-                                                  - 1e-9)))
-                        if s >= (order + 1) // 2 + m:
-                            break
-                        s += 1
-                    smin.append(s)
-                mof = (int(nc[0]),
-                       int(np.lcm(int(nc[1]), n_dev)), int(nc[2]))
-                grid_min = tuple(int(s * c) for s, c in zip(smin, nc))
-                pm2 = setup_pppm(
-                    box, q, cutoff=ps.get("cut_coul", ps["cut"]),
-                    accuracy_rel=ks.get("accuracy", 1e-4), qqrd2e=u.qqrd2e,
-                    order=order, g_ewald=style.g_ewald, diff="ik",
-                    multiple_of=mof, grid_min=grid_min, acc_dtype=prec.acc)
-                sim.pair = sim.pair.replace(g_ewald=pm2.g_ewald)
-                return SlabCellPPPM(pm2, sim.grid, n_dev, skin=policy.skin)
+
+                def aligned(order):
+                    smin = []
+                    for ax in range(3):
+                        s = (order + 1) // 2 + 2
+                        while True:
+                            h = L[ax] / (s * nc[ax])
+                            m = max(2, int(_math.ceil(
+                                0.5 * policy.skin / h - 1e-9)))
+                            if s >= (order + 1) // 2 + m:
+                                break
+                            s += 1
+                        smin.append(s)
+                    mof = (int(nc[0]),
+                           int(np.lcm(int(nc[1]), n_dev)), int(nc[2]))
+                    return tuple(int(s * c)
+                                 for s, c in zip(smin, nc)), mof
+
+                parts = []
+                if want_coul:
+                    order = ks.get("order", 5)
+                    grid_min, mof = aligned(order)
+                    pm2 = setup_pppm(
+                        box, q, cutoff=ps.get("cut_coul", ps["cut"]),
+                        accuracy_rel=ks.get("accuracy", 1e-4),
+                        qqrd2e=u.qqrd2e, order=order,
+                        g_ewald=style.g_ewald, diff="ik",
+                        multiple_of=mof, grid_min=grid_min,
+                        acc_dtype=prec.acc)
+                    sim.pair = sim.pair.replace(g_ewald=pm2.g_ewald)
+                    parts.append(SlabCellPPPM(pm2, sim.grid, n_dev,
+                                              skin=policy.skin))
+                if want_disp:
+                    # dispersion pencil (geometric/arithmetic/no-mix all
+                    # run the channel pipeline; mix/B/g6/kw_mix from the
+                    # single-device setup above)
+                    from .models.kspace.pppm_slab import SlabCellPPPMDisp
+
+                    order6 = ks.get("order_disp", ks.get("order", 5))
+                    grid_min, mof = aligned(order6)
+                    pmd2 = setup_pppm_disp(
+                        box, B, typ, cutoff=ps["cut"], g_ewald_6=g6,
+                        acc_dtype=prec.acc, mix=mix, order=order6,
+                        multiple_of=mof, grid_min=grid_min, **kw_mix)
+                    parts.append(SlabCellPPPMDisp(
+                        pmd2, sim.grid, n_dev, typ, skin=policy.skin))
+                if len(parts) == 1:
+                    return parts[0]
+                from .models.kspace.pppm_slab import SlabCombinedKSpace
+
+                return SlabCombinedKSpace(parts)
         return SlabCellPairSimulation(
             system, style, mesh=slab_mesh(n_dev), units=u, precision=prec,
             dt=dt, neighbor=policy, thermostat=thermostat,

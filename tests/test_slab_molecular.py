@@ -352,6 +352,10 @@ def test_slab_hexane_disp_matches_single():
     c2 = cfg()
     c2["engine"] = "slab"
     c2["devices"] = 8
+    # pin the gathered adapter: it reuses the SAME single-device solver,
+    # so parity is reduction-order tight (the default pencil pipeline
+    # runs a cell-aligned mesh — gated in test_slab_disp.py instead)
+    c2["kspace_style"]["gathered"] = True
     simB = build_simulation(c2)
     assert isinstance(simB, SlabCellPairSimulation)
     assert simB.D == 8 and simB.rigid is not None
