@@ -100,15 +100,20 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         if rep and tilt is not None:
             raise NotImplementedError("replicate of a triclinic box")
         if rep:
+            pa_in = {"type": typ, "q": q, "image": image}
+            if v0 is not None:
+                # LAMMPS replicate copies per-atom velocities into every
+                # replica (replicate.cpp per-atom array tiling)
+                pa_in["v"] = v0
             (x, lo, hi, pa, bonds, angles, dihedrals, impropers,
              mol) = lattice.replicate(
                 x, lo, hi, tuple(rep),
-                per_atom={"type": typ, "q": q, "image": image},
+                per_atom=pa_in,
                 bonds=bonds, angles=angles, dihedrals=dihedrals,
                 impropers=impropers, molecule=mol,
             )
             typ, q, image = pa["type"], pa["q"], pa["image"]
-            v0 = None
+            v0 = pa.get("v")
     elif "lattice" in cfg:
         lc = cfg["lattice"]
         x, lo, hi = lattice.create_atoms(

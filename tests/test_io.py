@@ -60,6 +60,23 @@ def test_replicate(reference_dir):
     np.testing.assert_allclose(hi - lo, (d.box_hi - d.box_lo) * 4)
 
 
+def test_replicate_carries_velocities(reference_dir):
+    """LAMMPS replicate tiles every per-atom array including velocities
+    (replicate.cpp) — a deck with equilibrated data velocities and no
+    `velocity create` must NOT start cold after replicate (the
+    hexane_if / rhodo_32k decks)."""
+    d = read_data(f"{reference_dir}/examples/equilibrated_data.hexane")
+    assert np.abs(d.v).max() > 0
+    x, lo, hi, per_atom, *_ = lattice.replicate(
+        d.x, d.box_lo, d.box_hi, (1, 3, 1),
+        per_atom={"type": d.type, "v": d.v},
+    )
+    n = len(d.x)
+    assert per_atom["v"].shape == (3 * n, 3)
+    np.testing.assert_array_equal(per_atom["v"][:n], d.v)
+    np.testing.assert_array_equal(per_atom["v"][n:2 * n], d.v)
+
+
 def test_velocity_create():
     u = get_units("lj")
     m = np.ones(1000)
