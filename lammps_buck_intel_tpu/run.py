@@ -699,6 +699,14 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     if npt_fix is not None:
         if box.is_triclinic:
             raise NotImplementedError("fix npt on a triclinic box")
+        if rigid_fix is not None:
+            # host LAMMPS couples these through the dedicated
+            # `fix rigid/npt/small` (rigid-body barostat), not by stacking
+            # plain `fix npt` on rigid atoms — dropping the rigid fix here
+            # would double-integrate silently
+            raise NotImplementedError(
+                "fix npt with fix rigid/small (the rigid/npt/small "
+                "coupled barostat is not implemented)")
         from .integrate import NPTSimulation
 
         kspace, style = _npt_traced_kspace(kspace, box, q, ps, ks, u,

@@ -65,6 +65,23 @@ def test_hexane_deck_small(reference_dir):
     assert np.isfinite(rows[-1]["etotal"])
 
 
+def test_npt_plus_rigid_raises(reference_dir):
+    """Stacking plain `fix npt` on `fix rigid/small` must raise loudly:
+    host LAMMPS couples these through the dedicated fix rigid/npt/small
+    barostat, and silently dropping the rigid fix would double-integrate."""
+    import pytest
+    from lammps_buck_intel_tpu.run import build_simulation
+
+    cfg = _load("hexane.yaml")   # the rigid/small deck
+    for k in ("dump", "write_data", "write_restart", "run", "thermo"):
+        cfg.pop(k, None)
+    cfg["fixes"] = [f for f in cfg["fixes"] if f["name"] != "nvt"]
+    cfg["fixes"].append({"name": "npt", "t_start": 300.0, "t_damp": 100.0,
+                         "iso": [1.0, 1.0, 1000.0]})
+    with pytest.raises(NotImplementedError, match="rigid"):
+        build_simulation(cfg)
+
+
 def test_dump_roundtrip():
     cfg = _load("buck.yaml")
     cfg["lattice"].update(nx=4, ny=4, nz=4)
