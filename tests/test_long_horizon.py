@@ -57,8 +57,13 @@ def test_long_horizon_golden(path):
 # tolerances (vs the recorded trace; same deck, same seed, same
 # precision -> a fresh force evaluation must reproduce the recording
 # to accumulation noise.  A physics change shows up as >>0.1%).
+# press gets extra headroom: it is a small residual of cancelling
+# virial components (spce_if: press ~200 from ~50k-scale terms), so
+# CPU-vs-TPU f32 reduction order alone moves it ~1% (measured 0.77%
+# on the 18k-atom spce_if deck); a real physics change moves it far
+# more than 2%.
 _STEP0_FIELDS = {"temp": 1e-3, "evdwl": 2e-3, "ecoul": 2e-3,
-                 "elong": 2e-3, "emol": 2e-3, "press": 5e-3}
+                 "elong": 2e-3, "emol": 2e-3, "press": 2e-2}
 
 
 @pytest.mark.parametrize("path", GOLD or ["<missing>"])
