@@ -87,7 +87,7 @@ def grid_to_patches_slab(mesh_ext, ps: PatchSpec, nc_loc):
     return a.reshape(ncx * ncy * ncz, *ps.P)
 
 
-def fft3_slab(mesh_loc, axis: str, D: int):
+def fft3_slab(mesh_loc, axis: str, D: int, batch_dims: int = 0):
     """x-sharded brick (nx_loc, ny, nz) -> y-sharded half-spectrum pencils
     (nx, ny_loc, nz//2+1).  The all_to_all IS the reference's Remap.
 
@@ -96,24 +96,29 @@ def fft3_slab(mesh_loc, axis: str, D: int):
     rfft_z)), matching jnp.fft.rfftn): the even-grid Nyquist planes of the
     non-Hermitian ik field project differently under real(c2c) vs irfft,
     a ~1e-5 relative force difference that would break cross-engine
-    parity."""
-    h = jnp.fft.rfft(mesh_loc, axis=2)
-    h = jnp.fft.fft(h, axis=1)
+    parity.
+
+    batch_dims leading axes ride along (the dispersion pipeline batches
+    its nch channel meshes through ONE all_to_all instead of nch)."""
+    b = batch_dims
+    h = jnp.fft.rfft(mesh_loc, axis=b + 2)
+    h = jnp.fft.fft(h, axis=b + 1)
     if D > 1:
-        h = jax.lax.all_to_all(h, axis, split_axis=1, concat_axis=0,
-                               tiled=True)
-    return jnp.fft.fft(h, axis=0)
+        h = jax.lax.all_to_all(h, axis, split_axis=b + 1,
+                               concat_axis=b + 0, tiled=True)
+    return jnp.fft.fft(h, axis=b + 0)
 
 
-def ifft3_slab(spec, nz: int, axis: str, D: int):
+def ifft3_slab(spec, nz: int, axis: str, D: int, batch_dims: int = 0):
     """Inverse of fft3_slab: (nx, ny_loc, nz//2+1) -> real (nx_loc, ny, nz)
     (irfft along z, the jnp.fft.irfftn transform order)."""
-    t = jnp.fft.ifft(spec, axis=0)
+    b = batch_dims
+    t = jnp.fft.ifft(spec, axis=b + 0)
     if D > 1:
-        t = jax.lax.all_to_all(t, axis, split_axis=0, concat_axis=1,
-                               tiled=True)
-    t = jnp.fft.ifft(t, axis=1)
-    return jnp.fft.irfft(t, n=nz, axis=2)
+        t = jax.lax.all_to_all(t, axis, split_axis=b + 0,
+                               concat_axis=b + 1, tiled=True)
+    t = jnp.fft.ifft(t, axis=b + 1)
+    return jnp.fft.irfft(t, n=nz, axis=b + 2)
 
 
 class SlabCellPPPM:
@@ -342,13 +347,9 @@ class SlabCellPPPMDisp(SlabCellPPPM):
         self.nch = A.shape[0]
 
     def spectral_consts(self) -> dict:
-        pm = self.pm
-        nzh = pm.grid[2] // 2 + 1
-        from .pppm_cells import _half_weights
-
-        return dict(G=pm.greensfn[..., :nzh], kx=pm.kx, ky=pm.ky,
-                    kz=pm.kz[:nzh], wz=_half_weights(pm.grid[2]),
-                    vfac=pm.vfac[..., :nzh])
+        out = super().spectral_consts()
+        out["vfac"] = self.pm.vfac[..., :self.pm.grid[2] // 2 + 1]
+        return out
 
     def shardings(self, mesh, axis: str = "x"):
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -399,29 +400,32 @@ class SlabCellPPPMDisp(SlabCellPPPM):
             wyz = jnp.einsum("tay,taz->tayz", wyb, wzb)
             return jnp.einsum("tax,tayz->txyz", axb, wyz)
 
-        # ---- per-channel deposition + halo sum (make_rho_a analog) ----
-        meshes = []
+        # ---- per-channel deposition (make_rho_a analog); the overhang
+        # halo and the pencil FFT run ONCE on the stacked channel axis,
+        # so the collective count is mixing-rule independent ----
+        g_exts = []
         for c in range(self.nch):
             a2d = a_slots[c].reshape(ncell, cap)
             ax_t = padc(wx * a2d[:, :, None]).reshape(
                 nt, tile, cap, ps.P[0])
             pat = jax.lax.map(dep_tile, (ax_t, wy_t, wz_t))
             pat = pat.reshape(nt * tile, *ps.P)[:ncell]
-            G_ext = patches_to_grid_slab(pat, ps, grid_loc)
-            mesh = G_ext[Sx:-Sx]
-            if D > 1:
-                from_right = jax.lax.ppermute(G_ext[:Sx], axis,
-                                              _perm_left(D))
-                from_left = jax.lax.ppermute(G_ext[-Sx:], axis,
-                                             _perm_right(D))
-            else:
-                from_right, from_left = G_ext[:Sx], G_ext[-Sx:]
-            meshes.append(
-                mesh.at[-Sx:].add(from_right).at[:Sx].add(from_left))
+            g_exts.append(patches_to_grid_slab(pat, ps, grid_loc))
+        G_ext = jnp.stack(g_exts)                    # (nch, (ncx+2)Sx,...)
+        mesh_c = G_ext[:, Sx:-Sx]
+        if D > 1:
+            from_right = jax.lax.ppermute(G_ext[:, :Sx], axis,
+                                          _perm_left(D))
+            from_left = jax.lax.ppermute(G_ext[:, -Sx:], axis,
+                                         _perm_right(D))
+        else:
+            from_right, from_left = G_ext[:, :Sx], G_ext[:, -Sx:]
+        mesh_c = mesh_c.at[:, -Sx:].add(from_right).at[:, :Sx].add(
+            from_left)
 
         # ---- pencil FFTs + paired spectral solve ----
         nz = pm.grid[2]
-        S = jnp.stack([fft3_slab(m.astype(acc), axis, D) for m in meshes])
+        S = fft3_slab(mesh_c.astype(acc), axis, D, batch_dims=1)
         G = kc["G"].astype(acc)
         Pc = jnp.asarray(self.Pm, acc)
         chi = jnp.einsum("cd,dxyz->cxyz", Pc, S)
@@ -457,37 +461,41 @@ class SlabCellPPPMDisp(SlabCellPPPM):
         else:
             virial = jnp.zeros((6,), acc)
 
-        # ---- per-channel ik E-fields, halo, patch gather ----
+        # ---- ik E-fields: per Cartesian axis, ALL channels ride one
+        # inverse pencil FFT + one halo ppermute pair (vs 3*nch each) ----
         ngrid = pm.grid[0] * pm.grid[1] * pm.grid[2]
         scale = (1.0 / V) * ngrid
         wx_t = padc(wx).reshape(nt, tile, cap, ps.P[0])
 
         def gat_tile(args):
             wxb, wyb, wzb, eb = args
-            t1 = jnp.einsum("tax,txyz->tayz", wxb, eb)
-            t2 = jnp.einsum("tay,tayz->taz", wyb, t1)
-            return jnp.einsum("taz,taz->ta", wzb, t2)
+            t1 = jnp.einsum("tax,tcxyz->tcayz", wxb, eb)
+            t2 = jnp.einsum("tay,tcayz->tcaz", wyb, t1)
+            return jnp.einsum("taz,tcaz->tca", wzb, t2)
 
-        fout = [jnp.zeros((ncell * cap,), acc) for _ in range(3)]
-        for ci in range(self.nch):
-            phi_c = G * chi[ci]
-            a_c = a_slots[ci].astype(acc)
-            for ax_i, kax in enumerate((kx, ky, kz)):
-                ehat = (-1j) * kax * phi_c
-                em = (ifft3_slab(ehat, nz, axis, D) * scale).astype(flt)
-                if D > 1:
-                    left_h = jax.lax.ppermute(em[-Sx:], axis,
-                                              _perm_right(D))
-                    right_h = jax.lax.ppermute(em[:Sx], axis,
-                                               _perm_left(D))
-                else:
-                    left_h, right_h = em[-Sx:], em[:Sx]
-                em_ext = jnp.concatenate([left_h, em, right_h], axis=0)
-                ep = grid_to_patches_slab(em_ext, ps, grid_loc)
-                ep_t = padc(ep).reshape(nt, tile, *ps.P)
-                f = jax.lax.map(gat_tile, (wx_t, wy_t, wz_t, ep_t))
-                f = f.reshape(nt * tile, cap)[:ncell].reshape(-1)
-                fout[ax_i] = fout[ax_i] + f.astype(acc) * a_c
+        phi = G[None] * chi                          # (nch, nx, ny_loc, nzh)
+        a_cs = a_slots.astype(acc)                   # (nch, ns_loc)
+        fout = []
+        for kax in (kx, ky, kz):
+            ehat = (-1j) * kax[None] * phi
+            em = (ifft3_slab(ehat, nz, axis, D, batch_dims=1)
+                  * scale).astype(flt)               # (nch, nx_loc, ny, nz)
+            if D > 1:
+                left_h = jax.lax.ppermute(em[:, -Sx:], axis,
+                                          _perm_right(D))
+                right_h = jax.lax.ppermute(em[:, :Sx], axis,
+                                           _perm_left(D))
+            else:
+                left_h, right_h = em[:, -Sx:], em[:, :Sx]
+            em_ext = jnp.concatenate([left_h, em, right_h], axis=1)
+            ep = jax.vmap(
+                lambda m: grid_to_patches_slab(m, ps, grid_loc))(em_ext)
+            ep_t = padc(jnp.moveaxis(ep, 0, 1)).reshape(
+                nt, tile, self.nch, *ps.P)
+            f = jax.lax.map(gat_tile, (wx_t, wy_t, wz_t, ep_t))
+            f = jnp.moveaxis(f, 2, 0).reshape(        # (nch, nt*tile, cap)
+                self.nch, nt * tile, cap)[:, :ncell].reshape(self.nch, -1)
+            fout.append(jnp.einsum("cs,cs->s", f.astype(acc), a_cs))
         return fout[0], fout[1], fout[2], elong, virial
 
 

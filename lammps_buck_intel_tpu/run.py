@@ -332,6 +332,8 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 pmd = setup_pppm_disp(box, B, typ, cutoff=ps["cut"],
                                       g_ewald_6=g6, acc_dtype=prec.acc,
                                       mix=mix, diff=ks.get("diff", "ik"),
+                                      order=ks.get("order_disp",
+                                                   ks.get("order", 5)),
                                       **kw_mix)
                 if mix == "geometric":
                     solvers.append(BoundKSpace(pmd, B[typ]))

@@ -57,13 +57,18 @@ def test_long_horizon_golden(path):
 # tolerances (vs the recorded trace; same deck, same seed, same
 # precision -> a fresh force evaluation must reproduce the recording
 # to accumulation noise.  A physics change shows up as >>0.1%).
-# press gets extra headroom: it is a small residual of cancelling
-# virial components (spce_if: press ~200 from ~50k-scale terms), so
-# CPU-vs-TPU f32 reduction order alone moves it ~1% (measured 0.77%
-# on the 18k-atom spce_if deck); a real physics change moves it far
-# more than 2%.
 _STEP0_FIELDS = {"temp": 1e-3, "evdwl": 2e-3, "ecoul": 2e-3,
-                 "elong": 2e-3, "emol": 2e-3, "press": 2e-2}
+                 "elong": 2e-3, "emol": 2e-3, "press": 5e-3}
+
+
+def _press_tol(n_atoms: int) -> float:
+    """press is a small residual of cancelling virial components
+    (spce_if: press ~200 from ~50k-scale terms), so CPU-vs-TPU f32
+    reduction-order noise grows with deck size — measured 0.77% on the
+    18k-atom spce_if deck.  Big decks get 2% headroom; small decks
+    stay at the tight 0.5% gate (their accumulation noise is far
+    smaller, and a real physics change moves press much more)."""
+    return 2e-2 if n_atoms > 10000 else 5e-3
 
 
 @pytest.mark.parametrize("path", GOLD or ["<missing>"])
@@ -98,6 +103,8 @@ def test_step0_matches_golden(path):
     for key, rtol in _STEP0_FIELDS.items():
         if key not in ref:
             continue
+        if key == "press":
+            rtol = _press_tol(g["n_atoms"])
         tol = rtol * (scale if key not in ("temp", "press")
                       else max(abs(ref[key]), 1.0))
         assert abs(row[key] - ref[key]) <= tol, (
