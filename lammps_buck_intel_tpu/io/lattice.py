@@ -63,18 +63,28 @@ def replicate(
     dihedrals: np.ndarray | None = None,
     impropers: np.ndarray | None = None,
     molecule: np.ndarray | None = None,
+    tilt: np.ndarray | None = None,
 ):
     """LAMMPS ``replicate nx ny nz``: tile the box, remapping topology.
 
     per_atom: dict of (N,...) arrays tiled along atoms (type, q, v, image...).
     Bonded index lists are offset per replica; molecule ids are offset so
     replicas stay distinct molecules.
+    tilt: optional (xy, xz, yz) triclinic factors.  Replicas shift by the
+    box VECTORS A=(Lx,0,0), B=(xy,Ly,0), C=(xz,yz,Lz) and the returned
+    tilts scale the LAMMPS way (replicate.cpp): xy*ny, xz*nz, yz*nz.
     Returns (x, lo, hi, per_atom, bonds, angles, dihedrals, impropers,
-    molecule).
+    molecule) — plus the new tilt as a 10th element when tilt was given.
     """
     nx, ny, nz = nrep
     n = x.shape[0]
     L = hi - lo
+    xy, xz, yz = (0.0, 0.0, 0.0) if tilt is None else np.asarray(
+        tilt, np.float64)
+    # Row-stacked box vectors: shift(ix,iy,iz) = ix*A + iy*B + iz*C.
+    hmat = np.array([[L[0], 0.0, 0.0],
+                     [xy, L[1], 0.0],
+                     [xz, yz, L[2]]])
     # Unwrap by image flags BEFORE tiling: a molecule straddling an
     # original periodic boundary is only bonded through that boundary —
     # in the enlarged box the wrapped copies would sit a full original
@@ -83,14 +93,14 @@ def replicate(
     per_atom = dict(per_atom) if per_atom else {}
     img = per_atom.get("image")
     if img is not None:
-        x = x + np.asarray(img, np.float64) * L
+        x = x + np.asarray(img, np.float64) @ hmat
         per_atom["image"] = np.zeros_like(np.asarray(img))
     shifts = []
     for iz in range(nz):
         for iy in range(ny):
             for ix in range(nx):
                 shifts.append([ix, iy, iz])
-    shifts = np.asarray(shifts, dtype=np.float64) * L
+    shifts = np.asarray(shifts, dtype=np.float64) @ hmat
     nrep_total = len(shifts)
 
     x_new = (x[None, :, :] + shifts[:, None, :]).reshape(-1, 3)
@@ -117,7 +127,7 @@ def replicate(
             [molecule + r * nmol for r in range(nrep_total)]
         )
 
-    return (
+    out = (
         x_new,
         lo,
         hi_new,
@@ -128,3 +138,7 @@ def replicate(
         _rep_topo(impropers),
         molecule,
     )
+    if tilt is None:
+        return out
+    tilt_new = np.array([xy * ny, xz * nz, yz * nz])
+    return out + (tilt_new,)

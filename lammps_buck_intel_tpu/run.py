@@ -97,21 +97,22 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         if not np.abs(v0).any():
             v0 = None
         rep = cfg.get("replicate")
-        if rep and tilt is not None:
-            raise NotImplementedError("replicate of a triclinic box")
         if rep:
             pa_in = {"type": typ, "q": q, "image": image}
             if v0 is not None:
                 # LAMMPS replicate copies per-atom velocities into every
                 # replica (replicate.cpp per-atom array tiling)
                 pa_in["v"] = v0
-            (x, lo, hi, pa, bonds, angles, dihedrals, impropers,
-             mol) = lattice.replicate(
+            res = lattice.replicate(
                 x, lo, hi, tuple(rep),
                 per_atom=pa_in,
                 bonds=bonds, angles=angles, dihedrals=dihedrals,
-                impropers=impropers, molecule=mol,
+                impropers=impropers, molecule=mol, tilt=tilt,
             )
+            (x, lo, hi, pa, bonds, angles, dihedrals, impropers,
+             mol) = res[:9]
+            if tilt is not None:
+                tilt = res[9]
             typ, q, image = pa["type"], pa["q"], pa["image"]
             v0 = pa.get("v")
     elif "lattice" in cfg:
@@ -132,9 +133,19 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             raise ValueError("only block regions are supported")
         b = np.asarray(reg["bounds"], np.float64)  # [xlo,xhi,ylo,...]
         # region tests run on WRAPPED coordinates (replicate returns
-        # unwrapped straddler molecules)
-        xw = np.asarray(lo) + np.mod(x - np.asarray(lo),
-                                     np.asarray(hi) - np.asarray(lo))
+        # unwrapped straddler molecules); the region test itself is
+        # Cartesian (LAMMPS block regions are axis-aligned even in a
+        # tilted box) but wrapping follows the box VECTORS
+        if tilt is not None:
+            _L = np.asarray(hi) - np.asarray(lo)
+            _H = np.array([[_L[0], 0.0, 0.0],
+                           [tilt[0], _L[1], 0.0],
+                           [tilt[1], tilt[2], _L[2]]])
+            _lam = np.linalg.solve(_H.T, (x - np.asarray(lo)).T).T
+            xw = np.asarray(lo) + np.mod(_lam, 1.0) @ _H
+        else:
+            xw = np.asarray(lo) + np.mod(x - np.asarray(lo),
+                                         np.asarray(hi) - np.asarray(lo))
         inside = np.ones(len(x), bool)
         for ax in range(3):
             inside &= (xw[:, ax] >= b[2 * ax]) & (xw[:, ax] <= b[2 * ax + 1])
@@ -201,8 +212,6 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         )
 
     box = make_box(lo, hi, tilt=tilt)
-    if box.is_triclinic and cfg.get("delete_atoms"):
-        raise NotImplementedError("region delete in a triclinic box")
     topo = build_topology(n, bonds=bonds, angles=angles,
                           dihedrals=dihedrals, impropers=impropers) \
         if bonds is not None and len(bonds) else None

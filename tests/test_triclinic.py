@@ -360,3 +360,107 @@ def test_triclinic_cellpair_matches_nlist(tmp_path):
     for key in ("temp", "etotal", "press"):
         a, b = r_cp[key], r_nl[key]
         assert abs(a - b) <= 1e-7 * max(abs(a), abs(b), 1.0), (key, a, b)
+
+
+def _write_tri_deck(path, x, typ, q, Lb, tiltb):
+    n = len(x)
+    with open(path, "w") as f:
+        f.write("triclinic replicate deck\n\n")
+        f.write(f"{n} atoms\n2 atom types\n\n")
+        f.write(f"0.0 {Lb[0]} xlo xhi\n0.0 {Lb[1]} ylo yhi\n"
+                f"0.0 {Lb[2]} zlo zhi\n")
+        f.write(f"{tiltb[0]} {tiltb[1]} {tiltb[2]} xy xz yz\n")
+        f.write("\nMasses\n\n1 1.0\n2 1.0\n\nAtoms # charge\n\n")
+        for a in range(n):
+            f.write(f"{a+1} {typ[a]+1} {q[a]:.1f} "
+                    f"{x[a,0]:.12f} {x[a,1]:.12f} {x[a,2]:.12f}\n")
+
+
+def test_triclinic_replicate_energy_per_atom(tmp_path):
+    """``replicate`` of a triclinic box tiles along the BOX VECTORS
+    (replicate.cpp: shifts ix*A+iy*B+iz*C, xy*=ny, xz*=nz, yz*=nz).
+    Periodic tiling is energy-invariant, so per-atom pair + kspace
+    energy of the 2x1x1 replica must match the original deck."""
+    from lammps_buck_intel_tpu.run import build_simulation
+
+    x, box = random_atoms(64, seed=5)
+    n = len(x)
+    typ = np.arange(n) % 2
+    q = np.where(typ == 0, 1.0, -1.0)
+    data = tmp_path / "data.trirep"
+    _write_tri_deck(data, x, typ, q, L, TILT)
+
+    cfg = {
+        "units": "lj", "read_data": str(data), "engine": "nlist",
+        "precision": "double",
+        "pair_style": {"name": "buck/coul/long", "cut": 3.5,
+                       "coeffs": {"1 1": [1000.0, 0.32, 1.0],
+                                  "1 2": [800.0, 0.30, 0.8],
+                                  "2 2": [600.0, 0.35, 0.6]}},
+        "kspace_style": {"name": "pppm", "accuracy": 1e-6},
+        "neighbor": {"skin": 0.4},
+        "timestep": 0.0005,
+    }
+    sim1 = build_simulation(cfg)
+    th1 = sim1.thermo()
+
+    cfg2 = dict(cfg)
+    cfg2["replicate"] = [2, 1, 1]
+    sim2 = build_simulation(cfg2)
+    assert sim2.n_atoms == 2 * n
+    # the replica box really is tilted with the same tilt factors
+    assert sim2.state is not None
+    th2 = sim2.thermo()
+    e1 = (th1["evdwl"] + th1["ecoul"] + th1["elong"]) / n
+    e2 = (th2["evdwl"] + th2["ecoul"] + th2["elong"]) / (2 * n)
+    assert abs(e1 - e2) <= 5e-5 * max(abs(e1), 1.0), (e1, e2)
+    # pair split individually (kspace grids differ between the two box
+    # sizes at fixed accuracy, so elong+ecoul only match to solver acc)
+    assert abs(th2["evdwl"] / (2 * n) - th1["evdwl"] / n) <= 1e-9
+
+
+def test_triclinic_region_delete(tmp_path):
+    """Region delete in a tilted box: the block test is Cartesian but
+    wrapping follows the box vectors — atoms shifted by integer box
+    vectors delete identically to their wrapped images."""
+    from lammps_buck_intel_tpu.run import build_simulation
+
+    x, box = random_atoms(64, seed=7)
+    n = len(x)
+    typ = np.arange(n) % 2
+    q = np.where(typ == 0, 1.0, -1.0)
+    # expected: atoms (already wrapped: lamda in [0,1)) inside the block
+    bounds = np.array([2.0, 9.0, 0.0, 20.0, 3.0, 8.0])
+    inside = np.ones(n, bool)
+    for ax in range(3):
+        inside &= ((x[:, ax] >= bounds[2 * ax])
+                   & (x[:, ax] <= bounds[2 * ax + 1]))
+    n_del = int(inside.sum())
+    assert 0 < n_del < n  # the region must actually split the set
+
+    # shift half the atoms by +A+B+C: wrapped images are unchanged
+    H = np.array([[L[0], 0.0, 0.0],
+                  [TILT[0], L[1], 0.0],
+                  [TILT[1], TILT[2], L[2]]])
+    x_sh = x.copy()
+    x_sh[::2] += H.sum(axis=0)
+
+    data = tmp_path / "data.tridel"
+    _write_tri_deck(data, x_sh, typ, q, L, TILT)
+    cfg = {
+        "units": "lj", "read_data": str(data), "engine": "nlist",
+        "precision": "double",
+        "pair_style": {"name": "buck/coul/cut", "cut": 3.0,
+                       "cut_coul": 3.0,
+                       "coeffs": {"1 1": [1000.0, 0.32, 1.0],
+                                  "1 2": [800.0, 0.30, 0.8],
+                                  "2 2": [600.0, 0.35, 0.6]}},
+        "regions": {"slab": {"style": "block", "bounds": bounds.tolist()}},
+        "delete_atoms": [{"region": "slab"}],
+        "neighbor": {"skin": 0.4},
+        "timestep": 0.0005,
+    }
+    sim = build_simulation(cfg)
+    assert sim.n_atoms == n - n_del
+    th = sim.thermo()
+    assert np.isfinite(th["etotal"])
