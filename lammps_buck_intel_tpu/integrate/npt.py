@@ -51,13 +51,12 @@ class NPTConfig:
     flags: tuple = (True, True, True)   # barostatted axes
     couple: str = "xyz"     # "xyz" (iso) | "none" (aniso / z-only)
     mtk: bool = True
-    pchain: int = 0         # barostat thermostat chain (only 0 supported)
+    pchain: int = 0         # barostat thermostat chain length (host
+    # LAMMPS defaults to 3; in.rhodo sets pchain 0)
 
     def __post_init__(self):
-        if self.pchain != 0:
-            raise NotImplementedError(
-                "pchain > 0 barostat thermostats are not implemented "
-                "(in.rhodo uses pchain 0)")
+        if self.pchain < 0:
+            raise ValueError("pchain must be >= 0")
 
 
 class NPTState(NamedTuple):
@@ -70,14 +69,23 @@ class NPTState(NamedTuple):
     therm: jnp.ndarray    # (2, M) NH chain
     virial: jnp.ndarray   # (6,) from the last force evaluation
     overflow: jnp.ndarray = None  # () bool — sticky neighbor overflow
+    ptherm: jnp.ndarray = None    # (2, Mp) barostat NH chain (pchain)
 
 
 def nh_omega_dot_half(cfg: NPTConfig, u, n_atoms: int, dt: float,
-                      omega_dot, mv2, vir3, V, t_target, p_target):
+                      omega_dot, mv2, vir3, V, t_target, p_target,
+                      mv2_mtk=None):
     """Half-step barostat strain-rate update (fix_nh.cpp nh_omega_dot) —
     a pure function of psum-completed globals so the single-chip and
     slab engines share one copy.  mv2: (3,) per-axis sum m v_a^2 in
-    energy units; vir3: virial diagonal; V: traced volume."""
+    energy units; vir3: virial diagonal; V: traced volume.
+
+    mv2_mtk: kinetic term for the MTK correction when it differs from
+    the pressure's — rigid bodies couple the cell to COM momenta only,
+    so their MTK term uses sum_b M V_a^2 with n_atoms = nbody
+    (fix rigid/npt/small), while the pressure keeps the full atomic
+    mv2 + constraint virial (the molecular-pressure identity in
+    rigid.constraint_virial)."""
     p_cur = (mv2 + vir3) / V * u.nktv2p
     flags = np.asarray(cfg.flags, bool)
     if cfg.couple == "xyz":
@@ -92,7 +100,8 @@ def nh_omega_dot_half(cfg: NPTConfig, u, n_atoms: int, dt: float,
         # MTK kinetic term (nh_omega_dot mtk_term1): energy units,
         # so no nktv2p here
         pdim = max(int(flags.sum()), 1)
-        mtk1 = jnp.sum(jnp.where(jnp.asarray(flags), mv2, 0.0)) \
+        mk = mv2 if mv2_mtk is None else mv2_mtk
+        mtk1 = jnp.sum(jnp.where(jnp.asarray(flags), mk, 0.0)) \
             / (n_atoms * pdim)
         f_omega = f_omega + mtk1 / W
     f_omega = jnp.where(jnp.asarray(flags), f_omega, 0.0)
@@ -101,7 +110,8 @@ def nh_omega_dot_half(cfg: NPTConfig, u, n_atoms: int, dt: float,
 
 def nh_press_vfac(cfg: NPTConfig, n_atoms: int, dt: float, omega_dot):
     """nh_v_press velocity factor exp(-dt/2 (omega_dot + mtk_term2)),
-    (3,) — shared by both NPT engines."""
+    (3,) — shared by both NPT engines.  For rigid bodies pass
+    n_atoms = nbody (the factor scales COM velocities only)."""
     flags = np.asarray(cfg.flags, bool)
     if cfg.mtk:
         pdim = max(int(flags.sum()), 1)
@@ -111,6 +121,54 @@ def nh_press_vfac(cfg: NPTConfig, n_atoms: int, dt: float, omega_dot):
         mtk2 = 0.0
     return jnp.exp((-0.5 * dt) * jnp.where(
         jnp.asarray(flags), omega_dot + mtk2, 0.0))
+
+
+def baro_chain_half(cfg: NPTConfig, u, n_atoms: int, dt: float,
+                    omega_dot, ptherm, t_target):
+    """Half-step of the barostat thermostat chain (fix_nh.cpp
+    nhc_press_integrate): an NH chain coupled to the barostat kinetic
+    energy sum_a W omega_dot_a^2, all chain masses kT p_damp^2
+    (etap_mass), target pdim*kT.  Returns (new omega_dot, new ptherm).
+    Shared by the single-chip and slab NPT engines (both keep the
+    barostat state replicated)."""
+    m = cfg.pchain
+    flags = np.asarray(cfg.flags, bool)
+    pdim = max(int(flags.sum()), 1)
+    dt2, dt4, dt8 = 0.5 * dt, 0.25 * dt, 0.125 * dt
+    kt = u.boltz * jnp.maximum(t_target, 1e-30)
+    W = (n_atoms + 1) * kt * cfg.p_damp ** 2
+    q = kt * cfg.p_damp ** 2         # etap_mass, every link
+    ke2 = jnp.sum(jnp.where(jnp.asarray(flags),
+                            W * omega_dot * omega_dot, 0.0))
+    eta, ed = ptherm[0], ptherm[1]
+
+    # backward sweep (tail -> head), same ladder as nvt.nhc_half
+    g = [None] * m
+    g[0] = (ke2 - pdim * kt) / q
+    for k in range(1, m):
+        g[k] = (q * ed[k - 1] * ed[k - 1] - kt) / q
+    ed = ed.at[m - 1].add(g[m - 1] * dt4)
+    for k in range(m - 2, -1, -1):
+        expf = jnp.exp(-dt8 * ed[k + 1])
+        ed = ed.at[k].set((ed[k] * expf + g[k] * dt4) * expf)
+
+    scale = jnp.exp(-dt2 * ed[0])
+    od = jnp.where(jnp.asarray(flags), omega_dot * scale, omega_dot)
+    ke2 = ke2 * scale * scale
+    eta = eta + dt2 * ed
+
+    # forward sweep with the scaled barostat kinetic energy
+    g0 = (ke2 - pdim * kt) / q
+    expf = jnp.exp(-dt8 * ed[1]) if m > 1 else 1.0
+    ed = ed.at[0].set((ed[0] * expf + g0 * dt4) * expf)
+    for k in range(1, m - 1):
+        gk = (q * ed[k - 1] * ed[k - 1] - kt) / q
+        expf = jnp.exp(-dt8 * ed[k + 1])
+        ed = ed.at[k].set((ed[k] * expf + gk * dt4) * expf)
+    if m > 1:
+        gm = (q * ed[m - 2] * ed[m - 2] - kt) / q
+        ed = ed.at[m - 1].add(gm * dt4)
+    return od, jnp.stack([eta, ed])
 
 
 class NPTSimulation:
@@ -201,6 +259,7 @@ class NPTSimulation:
             therm=jnp.zeros((2, self._tchain), flt),
             virial=jnp.zeros((6,), self.precision.acc),
             overflow=jnp.zeros((), bool),
+            ptherm=jnp.zeros((2, npt.pchain), flt),
         )
         if shake is not None:
             # settle onto the constraint manifold (verlet.py settle analog)
@@ -318,6 +377,13 @@ class NPTSimulation:
     def _one_step(self, st: NPTState, t_target, p_target):
         cfg = self.thermostat
         dtf, dtv = self.dtf, self.dtv
+        # barostat thermostat chain first (fix_nh initial_integrate order:
+        # nhc_press_integrate -> nhc_temp_integrate -> nh_omega_dot)
+        if self.npt.pchain:
+            od, pt = baro_chain_half(self.npt, self.units, self.n_atoms,
+                                     self.dt, st.omega_dot, st.ptherm,
+                                     t_target)
+            st = st._replace(omega_dot=od, ptherm=pt)
         # thermostat half
         chain = NHChain(eta=st.therm[0], eta_dot=st.therm[1])
         scale, chain = nhc_half(cfg, chain, st.v, self._mass_col, t_target)
@@ -365,8 +431,15 @@ class NPTSimulation:
         st = self._omega_dot_half(st, p_target, t_target)
         chain = NHChain(eta=st.therm[0], eta_dot=st.therm[1])
         scale, chain = nhc_half(cfg, chain, st.v, self._mass_col, t_target)
-        return st._replace(v=st.v * scale,
-                           therm=jnp.stack([chain.eta, chain.eta_dot]))
+        st = st._replace(v=st.v * scale,
+                         therm=jnp.stack([chain.eta, chain.eta_dot]))
+        # barostat chain last (mirror of the initial-integrate order)
+        if self.npt.pchain:
+            od, pt = baro_chain_half(self.npt, self.units, self.n_atoms,
+                                     self.dt, st.omega_dot, st.ptherm,
+                                     t_target)
+            st = st._replace(omega_dot=od, ptherm=pt)
+        return st
 
     def _block(self, st: NPTState, nsteps: int, t_target,
                p_target) -> NPTState:
@@ -496,6 +569,12 @@ class NPTSimulation:
                       f"L=({L[0]:.4f},{L[1]:.4f},{L[2]:.4f})")
 
         t0 = time.perf_counter()
+        # config swapped mid-run (tests do sim.npt = NPTConfig(...)):
+        # re-seed the barostat chain if its length changed
+        if (self.state.ptherm is None
+                or self.state.ptherm.shape[1] != self.npt.pchain):
+            self.state = self.state._replace(ptherm=jnp.zeros(
+                (2, self.npt.pchain), self.precision.flt))
         if thermo_every:
             emit()
         cfg = self.thermostat

@@ -374,6 +374,9 @@ def _fix(a: list) -> dict:
                 i += 2
             else:
                 raise TranslateError(f"fix npt arg {k!r}")
+        # host LAMMPS defaults to pchain 3 (fix_nh.cpp ctor); literal
+        # scripts that do not say `pchain N` get the host default
+        out.setdefault("pchain", 3)
     elif style == "shake":
         out.update(name="shake", tol=float(args[0]),
                    iters=max(int(args[1]), 20))

@@ -41,7 +41,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..core.box import Box, make_box
 from ..core.units import Units, LJ
-from ..integrate.npt import NPTConfig, nh_omega_dot_half, nh_press_vfac
+from ..integrate.npt import (NPTConfig, nh_omega_dot_half, nh_press_vfac,
+                              baro_chain_half)
 from ..integrate.shake import (shake_positions_clustered,
                                rattle_velocities_clustered)
 from ..neighbor import cell_slots as cs
@@ -54,6 +55,7 @@ class NPTExtras(NamedTuple):
     boxL: jnp.ndarray       # (3,) traced box lengths
     omega_dot: jnp.ndarray  # (3,) barostat strain rates
     virial: jnp.ndarray     # (6,) GLOBAL virial from the last force pass
+    ptherm: jnp.ndarray = None  # (2, Mp) barostat NH chain (pchain)
 
 
 class SlabNPTSimulation(SlabCellPairSimulation):
@@ -85,8 +87,10 @@ class SlabNPTSimulation(SlabCellPairSimulation):
             boxL=jnp.asarray(L0, flt),
             omega_dot=jnp.zeros((3,), flt),
             virial=jnp.zeros((6,), self.precision.acc),
+            ptherm=jnp.zeros((2, npt.pchain), flt),
         )
-        self._extras_spec = NPTExtras(boxL=P(), omega_dot=P(), virial=P())
+        self._extras_spec = NPTExtras(boxL=P(), omega_dot=P(), virial=P(),
+                                      ptherm=P())
         self.extras = jax.tree.map(lambda a: jax.device_put(a, rep), ex)
         self._npt_chunk_fns: dict = {}
         self._thermo_jit = self._make_npt_thermo_fn()
@@ -177,6 +181,13 @@ class SlabNPTSimulation(SlabCellPairSimulation):
         def one_step(carry, _):
             st, ex = carry
             th = st.therm
+            # barostat thermostat chain first (fix_nh order; replicated
+            # pure function of the replicated omega_dot)
+            if self.npt.pchain:
+                od, pt = baro_chain_half(
+                    self.npt, self.units, self.n_atoms, self.dt,
+                    ex.omega_dot, ex.ptherm, t_target)
+                ex = ex._replace(omega_dot=od, ptherm=pt)
             # thermostat half (psum'd KE, replicated chain)
             scale, th = self._nhc_scale(st, th, minv, t_target)
             st = st._replace(vx=st.vx * scale, vy=st.vy * scale,
@@ -235,6 +246,11 @@ class SlabNPTSimulation(SlabCellPairSimulation):
             scale, th = self._nhc_scale(st, th, minv, t_target)
             st = st._replace(vx=st.vx * scale, vy=st.vy * scale,
                              vz=st.vz * scale, therm=th)
+            if self.npt.pchain:
+                od, pt = baro_chain_half(
+                    self.npt, self.units, self.n_atoms, self.dt,
+                    ex.omega_dot, ex.ptherm, t_target)
+                ex = ex._replace(omega_dot=od, ptherm=pt)
             return (st, ex), None
 
         (state, ex), _ = jax.lax.scan(one_step, (state, ex), None,

@@ -38,7 +38,8 @@ def save(path: str, sim) -> None:
             extra.update(npt_boxL=np.asarray(ex.boxL, np.float64),
                          npt_omega_dot=np.asarray(ex.omega_dot,
                                                   np.float64),
-                         npt_virial=np.asarray(ex.virial, np.float64))
+                         npt_virial=np.asarray(ex.virial, np.float64),
+                         npt_ptherm=np.asarray(ex.ptherm, np.float64))
     else:
         st = jax.device_get(sim.state)
         x, v, image, therm = st.x, st.v, st.image, st.therm
@@ -115,7 +116,10 @@ def resume(sim, ckpt: dict) -> None:
                 boxL=jnp.asarray(ckpt["npt_boxL"], flt),
                 omega_dot=jnp.asarray(ckpt["npt_omega_dot"], flt),
                 virial=jnp.asarray(ckpt["npt_virial"],
-                                   sim.precision.acc))
+                                   sim.precision.acc),
+                ptherm=(jnp.asarray(ckpt["npt_ptherm"], flt)
+                        if "npt_ptherm" in ckpt
+                        else jnp.zeros((2, sim.npt.pchain), flt)))
             sim.extras = jax.tree.map(
                 lambda a: jax.device_put(a, rep), ex)
             sim._shrink_guard(np.asarray(ckpt["npt_boxL"], np.float64))
@@ -154,10 +158,13 @@ def resume(sim, ckpt: dict) -> None:
 
         casts = dict(image=jnp.int32, overflow=bool,
                      virial=sim.precision.acc)
-        st = NPTState(**{
+        fields = {
             f: jnp.asarray(ckpt[f"slot_{f}"], casts.get(f, flt))
-            for f in NPTState._fields
-        })
+            for f in NPTState._fields if f"slot_{f}" in ckpt
+        }
+        if "ptherm" not in fields:   # pre-pchain checkpoint
+            fields["ptherm"] = jnp.zeros((2, sim.npt.pchain), flt)
+        st = NPTState(**fields)
         sim.state = jax.jit(sim._init_forces)(st)
         sim.step_count = ckpt["step_count"]
         return

@@ -440,3 +440,35 @@ def test_npt_deck_honors_pppm(tmp_path, capsys):
     for r in rows:
         assert np.isfinite(r["temp"]) and np.isfinite(r["press"])
     assert abs(rows[-1]["vol"] - rows[0]["vol"]) / rows[0]["vol"] > 1e-7
+
+
+def test_npt_pchain_barostat_chain():
+    """pchain > 0 (host LAMMPS default 3 — fix_nh.cpp nhc_press_integrate):
+    the chained barostat must hold the NVT-limit volume just like
+    pchain=0, the chain itself must evolve, and a pchain swap mid-run
+    must re-seed the chain state cleanly."""
+    sim = _make_npt("xyz", (True, True, True), barostat_on=False)
+    sim.run(1200, log=False)
+    rows = sim.run(600, thermo_every=100, log=False)
+    p_eq = float(np.mean([r["press"] for r in rows]))
+    V0 = rows[-1]["vol"]
+    sim.npt = NPTConfig(p_start=(p_eq,) * 3, p_stop=(p_eq,) * 3,
+                        p_damp=5.0, flags=(True, True, True),
+                        couple="xyz", mtk=True, pchain=3)
+    rows = sim.run(600, thermo_every=100, log=False)
+    for r in rows:
+        assert np.isfinite(r["temp"]) and np.isfinite(r["vol"])
+    Vs = [r["vol"] for r in rows[1:]]
+    assert abs(np.mean(Vs) - V0) / V0 < 0.06, (p_eq, V0, Vs)
+    Ts = [r["temp"] for r in rows[2:]]
+    assert abs(np.mean(Ts) - 1.0) < 0.15, Ts
+    # the chain really integrates (eta moves away from zero)
+    pt = np.asarray(jax.device_get(sim.state.ptherm))
+    assert pt.shape == (2, 3)
+    assert np.any(np.abs(pt[0]) > 0), pt
+    # swapping back to pchain=0 re-seeds and still runs
+    sim.npt = NPTConfig(p_start=(p_eq,) * 3, p_stop=(p_eq,) * 3,
+                        p_damp=5.0, flags=(True, True, True),
+                        couple="xyz", mtk=True, pchain=0)
+    rows = sim.run(50, thermo_every=50, log=False)
+    assert np.isfinite(rows[-1]["vol"])

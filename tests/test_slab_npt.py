@@ -222,3 +222,32 @@ def test_slab_npt_deck_wiring():
     assert sim.D == 8
     row = sim.thermo()
     assert np.isfinite(row["press"]) and np.isfinite(row["temp"])
+
+
+def test_slab_npt_pchain_matches_single_device():
+    """pchain=3 barostat thermostat chain on the slab mesh vs the
+    single-chip engine (both share integrate.npt.baro_chain_half; this
+    gates the replicated-state wiring and the fix_nh call order)."""
+    u, box, system, style, n = _lj_melt()
+    prec = get_precision("double")
+    nbr = NeighborPolicy(skin=0.3, every=5, check=False)
+    thermostat = NVTConfig(t_start=1.0, t_stop=1.0, t_damp=0.5, tchain=3)
+    npt_cfg = NPTConfig(p_start=(0.0,) * 3, p_stop=(0.0,) * 3,
+                        p_damp=5.0, flags=(True, True, True),
+                        couple="xyz", mtk=True, pchain=3)
+
+    simA = NPTSimulation(system, style, npt_cfg, thermostat, units=u,
+                         precision=prec, dt=0.004, neighbor=nbr)
+    simB = SlabNPTSimulation(system, style, npt_cfg, thermostat,
+                             mesh=slab_mesh(8), units=u,
+                             precision=prec, dt=0.004, neighbor=nbr)
+    _compare(simA.thermo(), simB.thermo(), FIELDS0)
+    rowsA = simA.run(20, thermo_every=10, log=False)
+    rowsB = simB.run(20, thermo_every=10, log=False)
+    for ra, rb in zip(rowsA, rowsB):
+        _compare(ra, rb, FIELDS_N)
+    # the chains on both engines really moved, identically
+    ptA = np.asarray(jax.device_get(simA.state.ptherm))
+    ptB = np.asarray(jax.device_get(simB.extras.ptherm))
+    assert np.any(np.abs(ptA[0]) > 0)
+    np.testing.assert_allclose(ptB, ptA, rtol=1e-7, atol=1e-12)
