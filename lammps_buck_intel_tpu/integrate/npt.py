@@ -70,6 +70,7 @@ class NPTState(NamedTuple):
     virial: jnp.ndarray   # (6,) from the last force evaluation
     overflow: jnp.ndarray = None  # () bool — sticky neighbor overflow
     ptherm: jnp.ndarray = None    # (2, Mp) barostat NH chain (pchain)
+    body: tuple = None            # rigid.BodyState (fix rigid/npt/small)
 
 
 def nh_omega_dot_half(cfg: NPTConfig, u, n_atoms: int, dt: float,
@@ -194,6 +195,8 @@ class NPTSimulation:
         box_headroom: float = 1.10,
         shake: Optional[ShakeConstraints] = None,
         topology=None,   # core Topology: special-bond exclusion source
+        rigid=None,      # rigid.RigidBodies (fix rigid/npt/small)
+        exclude_intra: bool = False,  # same-molecule pair exclusion
     ):
         self.units = units
         self.precision = precision or single()
@@ -231,18 +234,28 @@ class NPTSimulation:
         else:
             self.special_idx = np.zeros((n, 0), np.int32)
             self.special_code = np.zeros((n, 0), np.int8)
+        self._mol = None
+        if exclude_intra:
+            self._mol = np.asarray(jax.device_get(system.molecule),
+                                   np.int32)
         mass = np.asarray(jax.device_get(system.mass), np.float64)
         self._mass_col = mass[self.typ][:, None].astype(np.dtype(flt))
         self.dtf = float(0.5 * self.dt * units.ftm2v)
         self.dtv = float(self.dt)
 
         self.shake = shake
+        self.rigid = rigid
+        if rigid is not None and shake is not None:
+            raise ValueError(
+                "fix rigid/npt/small and fix shake are exclusive")
         self._shake_cl = make_clusters(shake) if shake is not None else None
         self._shake_rows = (jnp.asarray(self._shake_cl.rows_np(0))
                             if shake is not None else None)
         t_dof = 3 * n - 3
         if shake is not None:
             t_dof -= shake.n_constraints
+        if rigid is not None:
+            t_dof -= rigid.n_constraints
         t_dof = max(t_dof, 1)
         self.thermostat = dataclasses.replace(
             thermostat, dof=t_dof, boltz=units.boltz, mvv2e=units.mvv2e,
@@ -271,6 +284,16 @@ class NPTSimulation:
             vs = rattle_velocities_clustered(
                 shake, self._shake_cl, xs, v3, L0, self._shake_rows)
             st = st._replace(x=jnp.stack(xs, -1), v=jnp.stack(vs, -1))
+        if rigid is not None:
+            # project onto rigid motion (the settle analog): positions/
+            # velocities DERIVE from the body state from here on
+            from .rigid import (init_body_state, atom_positions,
+                                atom_velocities)
+
+            bs = init_body_state(rigid, v0, dtype=flt)
+            xa, d0 = atom_positions(rigid, bs)
+            va = atom_velocities(rigid, bs, d0)
+            st = st._replace(x=xa.astype(flt), v=va.astype(flt), body=bs)
         self._nl = None
         self.state = jax.jit(self._init_forces)(st)
         self.step_count = 0
@@ -290,7 +313,7 @@ class NPTSimulation:
     def _build_nl(self, x, boxL):
         box = self._traced_box(boxL)
         return build(x, box, self.spec, self.special_idx,
-                     self.special_code)
+                     self.special_code, mol=self._mol)
 
     def _forces(self, x, boxL, nl, kc=None, eflag=False):
         """Returns (f, virial) — or (f, virial, energies) with
@@ -337,6 +360,13 @@ class NPTSimulation:
     def _init_forces(self, st: NPTState) -> NPTState:
         nl = self._build_nl(st.x, st.boxL)
         f, virial = self._forces(st.x, st.boxL, nl, kc=self._kspace_kc(st))
+        if self.rigid is not None:
+            from .rigid import atom_positions, constraint_virial
+
+            _, d = atom_positions(self.rigid, st.body)
+            virial = virial + constraint_virial(
+                self.rigid, st.body, d, f, self.units.ftm2v,
+                self.precision.acc)
         return st._replace(f=f, virial=virial,
                            overflow=st.overflow | nl.overflow)
 
@@ -368,6 +398,98 @@ class NPTSimulation:
                                self.dt, st.omega_dot, mv2, st.virial[:3],
                                V, t_target, p_target)
         return st._replace(omega_dot=od)
+
+    # ---------- rigid-body NPT (fix rigid/npt/small) ----------
+
+    def _mv2_trans(self, bs):
+        """(3,) per-axis sum_b M_b V_a^2 (energy units) — the COM kinetic
+        term the rigid barostat's MTK correction uses (only COM momenta
+        couple to the cell)."""
+        acc = self.precision.acc
+        M = jnp.asarray(self.rigid.mtotal, np.float64).astype(acc)
+        return jnp.stack([
+            jnp.sum(M * bs.V[:, a].astype(acc) * bs.V[:, a].astype(acc))
+            for a in range(3)]) * self.units.mvv2e
+
+    def _omega_dot_half_rigid(self, st, p_target, t_target):
+        """Pressure from the full atomic mv2 + virial (incl. the rigid
+        constraint virial — the molecular-pressure identity), MTK terms
+        from COM momenta with nbody DOFs."""
+        _, mv2, V = self._press_current(st)
+        od = nh_omega_dot_half(self.npt, self.units, self.rigid.nbody,
+                               self.dt, st.omega_dot, mv2, st.virial[:3],
+                               V, t_target, p_target,
+                               mv2_mtk=self._mv2_trans(st.body))
+        return st._replace(omega_dot=od)
+
+    def _one_step_rigid(self, st: NPTState, t_target, p_target):
+        """fix rigid/npt/small: the NPT operator splitting of _one_step
+        with body-state integration (integrate/rigid.py) — the barostat
+        dilates body COMs about the box center and scales COM velocities
+        only; the thermostat scales both V and L (atomic KE == body KE).
+        Host contract: LAMMPS couples rigid bodies and a barostat through
+        the dedicated fix rigid/npt/small (fix_rigid_nh), never by
+        stacking plain fix npt on rigid atoms."""
+        from .rigid import (atom_positions, atom_velocities,
+                            initial_integrate_rigid, final_integrate_rigid,
+                            constraint_virial)
+
+        cfg = self.thermostat
+        rg = self.rigid
+        dtf, dtv = self.dtf, self.dtv
+        nb = rg.nbody
+        if self.npt.pchain:
+            od, pt = baro_chain_half(self.npt, self.units, nb,
+                                     self.dt, st.omega_dot, st.ptherm,
+                                     t_target)
+            st = st._replace(omega_dot=od, ptherm=pt)
+        # thermostat half: scale V and L; st.v scales linearly with both
+        chain = NHChain(eta=st.therm[0], eta_dot=st.therm[1])
+        scale, chain = nhc_half(cfg, chain, st.v, self._mass_col, t_target)
+        bs = st.body._replace(V=st.body.V * scale, L=st.body.L * scale)
+        st = st._replace(v=st.v * scale, body=bs,
+                         therm=jnp.stack([chain.eta, chain.eta_dot]))
+        # barostat half
+        st = self._omega_dot_half_rigid(st, p_target, t_target)
+        # barostat velocity scale: COM velocities only
+        fac = nh_press_vfac(self.npt, nb, self.dt, st.omega_dot)
+        bs = st.body._replace(V=st.body.V * fac[None, :])
+        # rigid half kick + drift
+        _, d = atom_positions(rg, bs)
+        bs = initial_integrate_rigid(rg, bs, st.f, d, dtv, dtf)
+        # COM + box dilation about the fixed center
+        flags = jnp.asarray(np.asarray(self.npt.flags, bool))
+        s = jnp.exp(dtv * jnp.where(flags, st.omega_dot, 0.0))
+        c = jnp.asarray(self._center, bs.X.dtype)
+        bs = bs._replace(X=c + (bs.X - c) * s[None, :])
+        boxL = st.boxL * s
+        # forces at the new configuration
+        xa, d2 = atom_positions(rg, bs)
+        xa = xa.astype(st.x.dtype)
+        nl = self._nl_carried
+        f, virial = self._forces(xa, boxL, nl, kc=self._kc_carried)
+        # rigid final kick, then barostat COM-velocity scale
+        bs = final_integrate_rigid(rg, bs, f, d2, dtf)
+        cvir = constraint_virial(rg, bs, d2, f, self.units.ftm2v,
+                                 self.precision.acc)
+        fac = nh_press_vfac(self.npt, nb, self.dt, st.omega_dot)
+        bs = bs._replace(V=bs.V * fac[None, :])
+        va = atom_velocities(rg, bs, d2).astype(st.v.dtype)
+        st = st._replace(x=xa, v=va, f=f, virial=virial + cvir,
+                         boxL=boxL, body=bs)
+        st = self._omega_dot_half_rigid(st, p_target, t_target)
+        # thermostat half
+        chain = NHChain(eta=st.therm[0], eta_dot=st.therm[1])
+        scale, chain = nhc_half(cfg, chain, st.v, self._mass_col, t_target)
+        bs = st.body._replace(V=st.body.V * scale, L=st.body.L * scale)
+        st = st._replace(v=st.v * scale, body=bs,
+                         therm=jnp.stack([chain.eta, chain.eta_dot]))
+        if self.npt.pchain:
+            od, pt = baro_chain_half(self.npt, self.units, nb,
+                                     self.dt, st.omega_dot, st.ptherm,
+                                     t_target)
+            st = st._replace(omega_dot=od, ptherm=pt)
+        return st
 
     def _press_vscale(self, st):
         """nh_v_press: v *= exp(-dt/2 (omega_dot + mtk_term2)) per axis."""
@@ -446,9 +568,13 @@ class NPTSimulation:
         """Rebuild + nsteps with the stale list (skin bound)."""
         from ..core.box import wrap
 
-        box = self._traced_box(st.boxL)
-        xw, im = wrap(st.x, st.image, box)
-        st = st._replace(x=xw, image=im)
+        if self.rigid is None:
+            box = self._traced_box(st.boxL)
+            xw, im = wrap(st.x, st.image, box)
+            st = st._replace(x=xw, image=im)
+        # rigid: positions derive from UNWRAPPED body COMs (the binning
+        # folds lamda; the pair kernel min-images) — same stance as
+        # verlet._block_rigid
         nl = self._build_nl(st.x, st.boxL)
         st = st._replace(overflow=st.overflow | nl.overflow)
         self._nl_carried = nl
@@ -456,9 +582,11 @@ class NPTSimulation:
         # re-setups PPPM when the box changes; TracedPPPM rebuilds its
         # influence function here, traced, once per block)
         self._kc_carried = self._kspace_kc(st)
+        step = (self._one_step_rigid if self.rigid is not None
+                else self._one_step)
 
         def body(s, _):
-            return self._one_step(s, t_target, p_target), None
+            return step(s, t_target, p_target), None
 
         st, _ = jax.lax.scan(body, st, None, length=nsteps)
         return st
@@ -486,6 +614,8 @@ class NPTSimulation:
         dof = 3 * self.n_atoms - 3
         if self.shake is not None:
             dof -= self.shake.n_constraints
+        if self.rigid is not None:
+            dof -= self.rigid.n_constraints
         dof = max(dof, 1)
         temp = sum_mv2 / (dof * u.boltz)
         ke = 0.5 * sum_mv2

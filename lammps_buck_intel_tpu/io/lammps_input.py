@@ -351,16 +351,26 @@ def _fix(a: list) -> dict:
                    t_stop=float(args[2]), t_damp=float(args[3]))
         if "tchain" in args:
             out["tchain"] = int(args[args.index("tchain") + 1])
-    elif style == "npt":
+    elif style in ("npt", "rigid/npt/small"):
+        if style == "rigid/npt/small":
+            # `fix rigid/npt/small molecule temp ... iso ...` — skip the
+            # bodystyle token (only `molecule` bodies are supported,
+            # matching fix rigid/small)
+            if args and args[0] == "molecule":
+                args = args[1:]
         assert args[0] == "temp"
-        out.update(name="npt", t_start=float(args[1]),
+        out.update(name=style, t_start=float(args[1]),
                    t_stop=float(args[2]), t_damp=float(args[3]))
         i = 4
         while i < len(args):
             k = args[i]
-            if k in ("iso", "aniso"):
+            if k == "iso":
                 out["iso"] = [float(args[i + 1]), float(args[i + 2]),
                               float(args[i + 3])]
+                i += 4
+            elif k == "aniso":
+                out["aniso"] = [float(args[i + 1]), float(args[i + 2]),
+                                float(args[i + 3])]
                 i += 4
             elif k in ("x", "y", "z"):
                 out[k] = [float(args[i + 1]), float(args[i + 2]),

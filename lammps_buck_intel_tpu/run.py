@@ -414,6 +414,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     shake = None
     npt_fix = None
     rigid_fix = None
+    rigid_npt = False
     exclude_intra = bool(cfg.get("exclude_intra", False))
     for fx in cfg.get("fixes", [{"name": "nve"}]):
         fn = fx["name"]
@@ -486,11 +487,21 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 rigid_fix = make_rigid_bodies(x, mol, mass_per_atom,
                                               box.lengths)
             exclude_intra = True
-        elif fn == "npt":
+        elif fn in ("npt", "rigid/npt/small"):
             # `fix npt temp T T Tdamp iso P P Pdamp` / the in.rhodo form
-            # `... z 0 0 1000 mtk no pchain 0 tchain 1`
+            # `... z 0 0 1000 mtk no pchain 0 tchain 1`; the rigid
+            # variant is host LAMMPS' coupled rigid-body barostat
+            # (fix_rigid_nh contract): same pressure keywords, bodies
+            # from molecules
             from .integrate import NPTConfig
 
+            if fn == "rigid/npt/small":
+                from .integrate import make_rigid_bodies
+
+                rigid_fix = make_rigid_bodies(x, mol, mass_per_atom,
+                                              box.lengths)
+                exclude_intra = True
+                rigid_npt = True
             thermostat = NVTConfig(
                 t_start=fx["t_start"],
                 t_stop=fx.get("t_stop", fx["t_start"]),
@@ -502,6 +513,13 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                     p_start=(pv[0],) * 3, p_stop=(pv[1],) * 3,
                     p_damp=pv[2], flags=(True, True, True),
                     couple="xyz", mtk=fx.get("mtk", True),
+                    pchain=fx.get("pchain", 0))
+            elif "aniso" in fx:
+                pv = fx["aniso"]
+                npt_fix = NPTConfig(
+                    p_start=(pv[0],) * 3, p_stop=(pv[1],) * 3,
+                    p_damp=pv[2], flags=(True, True, True),
+                    couple="none", mtk=fx.get("mtk", True),
                     pchain=fx.get("pchain", 0))
             else:
                 flags = [False, False, False]
@@ -710,14 +728,14 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     if npt_fix is not None:
         if box.is_triclinic:
             raise NotImplementedError("fix npt on a triclinic box")
-        if rigid_fix is not None:
+        if rigid_fix is not None and not rigid_npt:
             # host LAMMPS couples these through the dedicated
             # `fix rigid/npt/small` (rigid-body barostat), not by stacking
             # plain `fix npt` on rigid atoms — dropping the rigid fix here
             # would double-integrate silently
             raise NotImplementedError(
-                "fix npt with fix rigid/small (the rigid/npt/small "
-                "coupled barostat is not implemented)")
+                "fix npt with fix rigid/small (use the coupled "
+                "`fix rigid/npt/small` barostat instead)")
         from .integrate import NPTSimulation
 
         kspace, style = _npt_traced_kspace(kspace, box, q, ps, ks, u,
@@ -725,7 +743,9 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         return NPTSimulation(
             system, style, npt_fix, thermostat, kspace=kspace,
             bonded=bonded, units=u, precision=prec, dt=dt,
-            neighbor=policy, shake=shake, topology=topo)
+            neighbor=policy, shake=shake, topology=topo,
+            rigid=rigid_fix if rigid_npt else None,
+            exclude_intra=exclude_intra)
     if engine == "cellpair":
         use_cellpppm = (
             ks and ks.get("name") == "pppm"

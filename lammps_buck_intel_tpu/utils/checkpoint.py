@@ -32,7 +32,11 @@ def save(path: str, sim) -> None:
         # restores the exact slot permutation -> bit-exact continuation
         st = jax.device_get(sim.state)
         extra = {f"slot_{k}": np.asarray(p)
-                 for k, p in st._asdict().items() if p is not None}
+                 for k, p in st._asdict().items()
+                 if p is not None and not isinstance(p, tuple)}
+        # rigid body state (BodyState) is NOT saved verbatim: resume
+        # rebuilds it from atom x/v via the Kabsch fit (the established
+        # rigid-checkpoint contract, see the slab rigid branch below)
         if hasattr(sim, "extras"):  # slab NPT: replicated barostat state
             ex = jax.device_get(sim.extras)
             extra.update(npt_boxL=np.asarray(ex.boxL, np.float64),
@@ -164,6 +168,13 @@ def resume(sim, ckpt: dict) -> None:
         }
         if "ptherm" not in fields:   # pre-pchain checkpoint
             fields["ptherm"] = jnp.zeros((2, sim.npt.pchain), flt)
+        if getattr(sim, "rigid", None) is not None:
+            from ..integrate.rigid import body_state_from_atoms
+
+            fields["body"] = body_state_from_atoms(
+                sim.rigid, np.asarray(ckpt["slot_x"]),
+                np.asarray(ckpt["slot_v"]),
+                np.asarray(ckpt["slot_boxL"], np.float64), dtype=flt)
         st = NPTState(**fields)
         sim.state = jax.jit(sim._init_forces)(st)
         sim.step_count = ckpt["step_count"]

@@ -472,3 +472,160 @@ def test_npt_pchain_barostat_chain():
                         couple="xyz", mtk=True, pchain=0)
     rows = sim.run(50, thermo_every=50, log=False)
     assert np.isfinite(rows[-1]["vol"])
+
+
+def _rigid_triatomic_melt(n_side=3):
+    """Lattice of rigid triatomic molecules (LJ only, no charges) — the
+    fix rigid/npt/small workload."""
+    from lammps_buck_intel_tpu.integrate import make_rigid_bodies
+
+    u = get_units("lj")
+    base = np.array([[0.0, 0, 0], [1.0, 0, 0], [0, 1.2, 0]])
+    rng = np.random.default_rng(11)
+    xs, mols = [], []
+    m = 0
+    for i in range(n_side):
+        for j in range(n_side):
+            for k in range(n_side):
+                org = np.array([2.0 + 4.0 * i, 2.0 + 4.0 * j,
+                                2.0 + 4.0 * k])
+                xs.append(base + org + rng.uniform(-0.05, 0.05, 3))
+                mols += [m] * 3
+                m += 1
+    x = np.concatenate(xs)
+    mol = np.asarray(mols, np.int32)
+    typ = np.tile(np.array([0, 1, 1], np.int32), m)
+    mass = np.array([16.0, 1.0])
+    box = make_box([0] * 3, [4.0 * n_side] * 3, dtype=jnp.float64)
+    v0 = np.random.default_rng(5).normal(scale=0.1, size=(3 * m, 3))
+    rb = make_rigid_bodies(x, mol, mass[typ], box.lengths)
+    style = build_lj(2, {(0, 0): (0.3, 1.0), (0, 1): (0.2, 0.9),
+                         (1, 1): (0.15, 0.8)},
+                     cut_global=2.5, dtype=jnp.float64)
+    system = make_system(x, box, type=typ, v=v0, molecule=mol,
+                         mass=mass, dtype=jnp.float64)
+    return u, system, style, rb
+
+
+def test_rigid_npt_small():
+    """fix rigid/npt/small: the barostat dilates body COMs — rigidity is
+    bit-tight through the barostat, temperature thermostats to target,
+    and at the measured equilibrium pressure the volume holds (NVT
+    limit), same gate as the atom barostat."""
+    from lammps_buck_intel_tpu.integrate.rigid import atom_positions
+
+    u, system, style, rb = _rigid_triatomic_melt()
+    prec = get_precision("double")
+    thermostat = NVTConfig(t_start=0.3, t_stop=0.3, t_damp=0.5, tchain=3)
+    npt_off = NPTConfig(p_start=(0.0,) * 3, p_stop=(0.0,) * 3, p_damp=5.0,
+                        flags=(False, False, False), couple="xyz")
+    sim = NPTSimulation(system, style, npt_off, thermostat, units=u,
+                        precision=prec, dt=0.004, rigid=rb,
+                        exclude_intra=True,
+                        neighbor=NeighborPolicy(skin=0.4, every=5,
+                                                check=False))
+    sim.run(800, log=False)                      # NVT equilibrate
+    rows = sim.run(400, thermo_every=100, log=False)
+    p_eq = float(np.mean([r["press"] for r in rows]))
+    V0 = rows[-1]["vol"]
+    sim.npt = NPTConfig(p_start=(p_eq,) * 3, p_stop=(p_eq,) * 3,
+                        p_damp=5.0, flags=(True, True, True),
+                        couple="xyz", mtk=True, pchain=3)
+    rows = sim.run(600, thermo_every=100, log=False)
+    for r in rows:
+        assert np.isfinite(r["temp"]) and np.isfinite(r["vol"])
+    Vs = [r["vol"] for r in rows[1:]]
+    assert abs(np.mean(Vs) - V0) / V0 < 0.08, (p_eq, V0, Vs)
+    Ts = [r["temp"] for r in rows[2:]]
+    assert abs(np.mean(Ts) - 0.3) / 0.3 < 0.25, Ts
+    # the barostat really moved the box, isotropically
+    L = rows[-1]["boxL"]
+    assert abs(L[0] - L[1]) < 1e-10 and abs(L[1] - L[2]) < 1e-10
+    # rigidity is exact: every molecule's internal distances match the
+    # build geometry to f64 through thermostat+barostat scaling
+    xa, _ = atom_positions(rb, sim.state.body)
+    xa = np.asarray(jax.device_get(xa)).reshape(-1, 3, 3)
+    d01 = np.linalg.norm(xa[:, 1] - xa[:, 0], axis=1)
+    d02 = np.linalg.norm(xa[:, 2] - xa[:, 0], axis=1)
+    np.testing.assert_allclose(d01, 1.0, rtol=1e-9)
+    np.testing.assert_allclose(d02, 1.2, rtol=1e-9)
+
+
+def test_rigid_npt_deck_and_guard(tmp_path):
+    """Deck surface: fixes: [rigid/npt/small] builds NPTSimulation with
+    bodies; stacking plain npt on rigid/small still raises loudly."""
+    from lammps_buck_intel_tpu.run import build_simulation
+    from lammps_buck_intel_tpu.integrate import NPTSimulation as NPTSim
+
+    u, system, style, rb = _rigid_triatomic_melt()
+    # write a data file with molecules
+    x = np.asarray(jax.device_get(system.x))
+    typ = np.asarray(jax.device_get(system.type))
+    mol = np.asarray(jax.device_get(system.molecule))
+    n = len(x)
+    data = tmp_path / "data.rigid"
+    with open(data, "w") as f:
+        f.write("rigid triatomics\n\n")
+        f.write(f"{n} atoms\n2 atom types\n\n")
+        f.write("0.0 12.0 xlo xhi\n0.0 12.0 ylo yhi\n0.0 12.0 zlo zhi\n")
+        f.write("\nMasses\n\n1 16.0\n2 1.0\n\nAtoms # full\n\n")
+        for a in range(n):
+            f.write(f"{a+1} {mol[a]+1} {typ[a]+1} 0.0 "
+                    f"{x[a,0]:.12f} {x[a,1]:.12f} {x[a,2]:.12f}\n")
+    cfg = {
+        "units": "lj", "read_data": str(data), "atom_style": "full",
+        "precision": "double",
+        "pair_style": {"name": "lj/cut", "cut": 2.5,
+                       "coeffs": {"1 1": [0.3, 1.0], "1 2": [0.2, 0.9],
+                                  "2 2": [0.15, 0.8]}},
+        "velocity": {"temp": 0.3, "seed": 99},
+        "fixes": [{"name": "rigid/npt/small", "t_start": 0.3,
+                   "t_damp": 0.5, "iso": [0.5, 0.5, 5.0], "pchain": 3}],
+        "neighbor": {"skin": 0.4, "every": 5, "check": False},
+        "timestep": 0.004,
+    }
+    sim = build_simulation(cfg)
+    assert isinstance(sim, NPTSim) and sim.rigid is not None
+    rows = sim.run(20, thermo_every=10, log=False)
+    assert np.isfinite(rows[-1]["vol"])
+    # plain npt stacked on rigid/small still raises
+    cfg_bad = dict(cfg)
+    cfg_bad["fixes"] = [
+        {"name": "rigid/small"},
+        {"name": "npt", "t_start": 0.3, "t_damp": 0.5,
+         "iso": [0.5, 0.5, 5.0]}]
+    with pytest.raises(NotImplementedError, match="rigid"):
+        build_simulation(cfg_bad)
+
+
+def test_rigid_npt_checkpoint_resume(tmp_path):
+    """Rigid NPT checkpoint: body state rebuilds from atoms (Kabsch) and
+    the continued run stays rigid and finite."""
+    from lammps_buck_intel_tpu.utils import checkpoint as ckpt
+    from lammps_buck_intel_tpu.integrate.rigid import atom_positions
+
+    u, system, style, rb = _rigid_triatomic_melt()
+    prec = get_precision("double")
+    thermostat = NVTConfig(t_start=0.3, t_stop=0.3, t_damp=0.5, tchain=3)
+    npt_cfg = NPTConfig(p_start=(0.0,) * 3, p_stop=(0.0,) * 3,
+                        p_damp=20.0, flags=(True, True, True),
+                        couple="xyz", pchain=2)
+    mk = lambda: NPTSimulation(  # noqa: E731
+        system, style, npt_cfg, thermostat, units=u, precision=prec,
+        dt=0.004, rigid=rb, exclude_intra=True,
+        neighbor=NeighborPolicy(skin=0.4, every=5, check=False))
+    sim = mk()
+    sim.run(30, log=False)
+    path = str(tmp_path / "rigid_npt.npz")
+    ckpt.save(path, sim)
+    boxL_a = np.asarray(jax.device_get(sim.state.boxL))
+
+    sim2 = mk()
+    ckpt.resume(sim2, ckpt.load(path))
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(sim2.state.boxL)), boxL_a, rtol=1e-12)
+    xa = np.asarray(jax.device_get(atom_positions(rb, sim2.state.body)[0]))
+    xb = np.asarray(jax.device_get(sim.state.x))
+    np.testing.assert_allclose(xa, xb, atol=1e-8)
+    sim2.run(20, log=False)
+    assert np.isfinite(sim2.thermo()["press"])
