@@ -216,12 +216,31 @@ class NPTSimulation:
         self._center = np.asarray(box0.lo) + 0.5 * L0
         self._L0 = L0
         self._headroom = float(box_headroom)
+        # triclinic: tilts DERIVE from the traced lengths via the LAMMPS
+        # scale rules (fix_nh scalexy/scalexz/scaleyz default yes: xy
+        # scales with ly, xz and yz with lz), so box vectors scale
+        # uniformly by their axis factor and the dilation map
+        # M = h0 diag(s) h0^-1 is constant in time (diagonals commute)
+        self._tilt0 = (np.asarray(box0.tilt, np.float64)
+                       if getattr(box0, "is_triclinic", False) else None)
+        if self._tilt0 is not None:
+            if shake is not None or rigid is not None:
+                raise NotImplementedError(
+                    "fix npt on a triclinic box with shake/rigid "
+                    "(constraint min-image is orthogonal-only)")
+            self._h0 = np.asarray(box0.h_matrix, np.float64)
+            self._h0_inv = np.asarray(box0.h_inv, np.float64)
         # static bin geometry sized for a box GROWN by `box_headroom`:
         # bins only get larger if the box shrinks; cell size >= cutneigh
         # must hold for the smallest box reached, so size the count from
         # the initial box and validate at rebuilds (overflow flag).
+        # (tilted cells: the perpendicular widths bound the cutoff, and
+        # they scale exactly per axis under the vector-scaled dilation)
         cutneigh = float(np.sqrt(pair.cutsq_max)) + self.neighbor.skin
-        self.spec = make_spec(n, L0, cutneigh * box_headroom)
+        pw = (np.asarray(box0.perp_widths, np.float64)
+              if self._tilt0 is not None else None)
+        self.spec = make_spec(n, L0, cutneigh * box_headroom,
+                              perp_widths=pw)
 
         self.typ = np.asarray(jax.device_get(system.type), np.int32)
         self.q = np.asarray(jax.device_get(system.q), np.float64)
@@ -303,10 +322,21 @@ class NPTSimulation:
 
     # ---------- box helpers ----------
 
+    def _tilt_of(self, boxL):
+        """Traced (3,) [xy, xz, yz] derived from the traced lengths
+        (LAMMPS scale rules: xy ~ ly, xz ~ lz, yz ~ lz); None when
+        orthogonal."""
+        if self._tilt0 is None:
+            return None
+        t = jnp.asarray(self._tilt0, boxL.dtype)
+        s = boxL / jnp.asarray(self._L0, boxL.dtype)
+        return jnp.stack([t[0] * s[1], t[1] * s[2], t[2] * s[2]])
+
     def _traced_box(self, boxL) -> Box:
         c = jnp.asarray(self._center, boxL.dtype)
         return Box(lo=c - 0.5 * boxL, hi=c + 0.5 * boxL,
-                   periodic=np.array([True, True, True]))
+                   periodic=np.array([True, True, True]),
+                   tilt=self._tilt_of(boxL))
 
     # ---------- forces ----------
 
@@ -334,6 +364,8 @@ class NPTSimulation:
         emol = jnp.zeros((), acc)
         if self.kspace is not None:
             kw = {"kc": kc} if kc is not None else {}
+            if self._tilt0 is not None:
+                kw["tilt"] = self._tilt_of(boxL)
             kr = self.kspace.compute_traced(
                 x, jnp.asarray(self.q, x.dtype), boxL,
                 eflag=eflag, vflag=True, **kw)
@@ -523,7 +555,15 @@ class NPTSimulation:
         flags = jnp.asarray(np.asarray(self.npt.flags, bool))
         s = jnp.exp(dtv * jnp.where(flags, st.omega_dot, 0.0))
         c = jnp.asarray(self._center, x.dtype)
-        x = c + (x - c) * s[None, :]
+        if self._tilt0 is not None:
+            # lamda-invariant dilation of a tilted cell: box VECTORS
+            # scale by their axis factor (h' = h0 diag(cum*s)), so
+            # x' = c + M (x - c) with M = h0 diag(s) h0^-1
+            M = (jnp.asarray(self._h0, x.dtype) * s[None, :]) \
+                @ jnp.asarray(self._h0_inv, x.dtype)
+            x = c + (x - c) @ M.T
+        else:
+            x = c + (x - c) * s[None, :]
         boxL = st.boxL * s
         vir_c = 0.0
         if self.shake is not None:
@@ -675,7 +715,14 @@ class NPTSimulation:
     @property
     def current_box(self) -> Box:
         L = np.asarray(jax.device_get(self.state.boxL), np.float64)
-        return make_box(self._center - 0.5 * L, self._center + 0.5 * L)
+        tilt = None
+        if self._tilt0 is not None:
+            sc = L / self._L0
+            tilt = np.array([self._tilt0[0] * sc[1],
+                             self._tilt0[1] * sc[2],
+                             self._tilt0[2] * sc[2]])
+        return make_box(self._center - 0.5 * L, self._center + 0.5 * L,
+                        tilt=tilt)
 
     @property
     def box(self) -> Box:

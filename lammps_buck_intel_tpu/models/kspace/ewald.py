@@ -48,13 +48,16 @@ class Ewald:
         return _ewald_compute(self, x, q, eflag, vflag)
 
     def compute_traced(self, x, q, L, eflag: bool = True,
-                       vflag: bool = True):
+                       vflag: bool = True, tilt=None):
         """Variable-cell form (NPT): k = 2 pi m / L with L a traced (3,)
         array; prefactors recomputed from the traced volume.  The integer
         k-set is fixed at setup (resized only on re-setup, matching
         LAMMPS' kspace setup-on-box-change cadence for modest dilations).
+        tilt: optional traced (3,) [xy, xz, yz] for a variable TRICLINIC
+        cell — k = 2 pi h^-T m with the traced upper-triangular h.
         """
-        return _ewald_compute_traced(self, x, q, L, eflag, vflag)
+        return _ewald_compute_traced(self, x, q, L, eflag, vflag,
+                                     tilt=tilt)
 
     @property
     def elong_self(self) -> float:
@@ -178,12 +181,25 @@ def _ewald_compute(ew: Ewald, x, q, eflag: bool, vflag: bool) -> KSpaceResult:
 
 
 def _ewald_compute_traced(ew: Ewald, x, q, L, eflag: bool,
-                          vflag: bool) -> KSpaceResult:
+                          vflag: bool, tilt=None) -> KSpaceResult:
     """Traced-box Ewald (see Ewald.compute_traced)."""
     flt = x.dtype
     acc = ew.acc_dtype
     m = jnp.asarray(ew.mvecs, flt)                       # (K, 3)
-    kv = (2.0 * math.pi) * m / L[None, :].astype(flt)    # traced (K, 3)
+    if tilt is None:
+        kv = (2.0 * math.pi) * m / L[None, :].astype(flt)  # traced (K, 3)
+    else:
+        # k = 2 pi h^-T m  ==  2 pi m @ h_inv (Box.h_inv's closed form,
+        # traced entries)
+        lx, ly, lz = L[0], L[1], L[2]
+        xy, xz, yz = tilt[0], tilt[1], tilt[2]
+        hinv = jnp.stack([
+            jnp.stack([1.0 / lx, -xy / (lx * ly),
+                       (xy * yz - ly * xz) / (lx * ly * lz)]),
+            jnp.stack([jnp.zeros_like(lx), 1.0 / ly, -yz / (ly * lz)]),
+            jnp.stack([jnp.zeros_like(lx), jnp.zeros_like(lx), 1.0 / lz]),
+        ]).astype(flt)
+        kv = (2.0 * math.pi) * (m @ hinv)
     ksq = jnp.sum(kv * kv, axis=1)
     vol = (L[0] * L[1] * L[2]).astype(flt)
     g2 = ew.g_ewald**2

@@ -40,6 +40,8 @@ def _npt_traced_kspace(kspace, box, q, ps, ks, u, prec, style):
     try:
         return TracedPPPM(kspace, center), style
     except NotImplementedError:
+        from .models.kspace import setup_ewald
+
         print("# fix npt: this pppm variant (ad/slab/triclinic) "
               "is box-baked; substituting ewald at the same "
               "accuracy", file=sys.stderr)
@@ -726,8 +728,6 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
     common = dict(topology=topo, kspace=kspace, units=u, precision=prec,
                   dt=dt, neighbor=policy)
     if npt_fix is not None:
-        if box.is_triclinic:
-            raise NotImplementedError("fix npt on a triclinic box")
         if rigid_fix is not None and not rigid_npt:
             # host LAMMPS couples these through the dedicated
             # `fix rigid/npt/small` (rigid-body barostat), not by stacking

@@ -629,3 +629,149 @@ def test_rigid_npt_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(xa, xb, atol=1e-8)
     sim2.run(20, log=False)
     assert np.isfinite(sim2.thermo()["press"])
+
+
+# ---------------- triclinic NPT (traced tilted cell) ----------------
+
+
+def _tri_melt(tilt, nx=5, temp=1.0):
+    """LJ melt in a tilted box: same fcc geometry as _lj_melt but the box
+    carries tilt factors (atoms start identically — tilt only affects
+    the PBC images, which an fcc block away from the walls barely feels
+    at step 0, so near-zero tilt must reproduce the orthogonal run)."""
+    u = get_units("lj")
+    xs, lo, hi = lattice.create_atoms("fcc", 0.8442, nx, nx, nx)
+    n = len(xs)
+    v0 = velocity.create(n, temp, 2934, np.ones(n), u)
+    box = make_box(lo, hi, tilt=tilt)
+    system = make_system(xs, box, v=v0, dtype=jnp.float64)
+    style = build_lj(1, {0: (1.0, 1.0)}, cut_global=2.5, dtype=jnp.float64)
+    return u, box, system, style, n
+
+
+def test_npt_triclinic_near_ortho_limit():
+    """A tilted box with tilt -> 0 must reproduce the orthogonal NPT
+    engine exactly (same operator splitting; the triclinic branch runs
+    the lamda-invariant dilation M = h0 diag(s) h0^-1)."""
+    u, box, system, style, n = _tri_melt(tilt=[1e-9, -1e-9, 1e-9])
+    prec = get_precision("double")
+    thermostat = NVTConfig(t_start=1.0, t_stop=1.0, t_damp=0.5, tchain=3)
+    npt_cfg = NPTConfig(p_start=(2.0,) * 3, p_stop=(2.0,) * 3, p_damp=5.0,
+                        flags=(True, True, True), couple="xyz", mtk=True)
+    nbr = NeighborPolicy(skin=0.3, every=5, check=False)
+    simT = NPTSimulation(system, style, npt_cfg, thermostat, units=u,
+                         precision=prec, dt=0.004, neighbor=nbr)
+    assert simT._tilt0 is not None  # really exercising the tilted branch
+    simO = _make_npt("xyz", (True, True, True), barostat_on=True,
+                     p_target=2.0)
+    rowsT = simT.run(40, thermo_every=20, log=False)
+    rowsO = simO.run(40, thermo_every=20, log=False)
+    for rt, ro in zip(rowsT, rowsO):
+        for key in ("temp", "press", "vol", "etotal"):
+            a, b = float(rt[key]), float(ro[key])
+            assert abs(a - b) <= 1e-6 * max(abs(a), abs(b), 1.0), \
+                (key, a, b)
+
+
+def test_npt_triclinic_iso_holds_volume_and_tilt_ratios():
+    """Real tilt, iso barostat at the measured equilibrium pressure:
+    volume holds (NVT limit) and the tilt factors scale with their
+    associated dimensions (fix_nh scalexy/scalexz/scaleyz yes), so
+    xy/ly, xz/lz, yz/lz stay constant."""
+    tilt = [2.0, -1.5, 1.2]
+    u, box, system, style, n = _tri_melt(tilt=tilt)
+    prec = get_precision("double")
+    thermostat = NVTConfig(t_start=1.0, t_stop=1.0, t_damp=0.5, tchain=3)
+    off = NPTConfig(p_start=(0.0,) * 3, p_stop=(0.0,) * 3, p_damp=5.0,
+                    flags=(False, False, False), couple="xyz")
+    nbr = NeighborPolicy(skin=0.3, every=5, check=False)
+    sim = NPTSimulation(system, style, off, thermostat, units=u,
+                        precision=prec, dt=0.004, neighbor=nbr)
+    sim.run(1000, log=False)
+    rows = sim.run(400, thermo_every=100, log=False)
+    p_eq = float(np.mean([r["press"] for r in rows]))
+    V0 = rows[-1]["vol"]
+    sim.npt = NPTConfig(p_start=(p_eq,) * 3, p_stop=(p_eq,) * 3,
+                        p_damp=5.0, flags=(True, True, True),
+                        couple="xyz", mtk=True, pchain=3)
+    rows = sim.run(600, thermo_every=100, log=False)
+    Vs = [r["vol"] for r in rows[1:]]
+    assert abs(np.mean(Vs) - V0) / V0 < 0.06, (p_eq, V0, Vs)
+    Ts = [r["temp"] for r in rows[2:]]
+    assert abs(np.mean(Ts) - 1.0) < 0.15, Ts
+    cb = sim.current_box
+    L = np.asarray(cb.lengths)
+    L0 = np.asarray(box.lengths)
+    assert abs(L[0] - L0[0]) > 1e-9   # the box really moved
+    t = np.asarray(cb.tilt)
+    np.testing.assert_allclose(t[0] / L[1], tilt[0] / L0[1], rtol=1e-12)
+    np.testing.assert_allclose(t[1] / L[2], tilt[1] / L0[2], rtol=1e-12)
+    np.testing.assert_allclose(t[2] / L[2], tilt[2] / L0[2], rtol=1e-12)
+
+
+def test_npt_triclinic_deck_with_kspace(tmp_path):
+    """Deck surface: charged triclinic deck + pppm + fix npt builds (the
+    triclinic solver substitutes traced Ewald, loudly) and runs with a
+    finite energy ledger; step-0 pressure matches the NVE triclinic
+    engine's (same virial machinery, FD-validated elsewhere)."""
+    from lammps_buck_intel_tpu.run import build_simulation
+
+    L = np.array([12.0, 11.0, 10.0])
+    TILT3 = np.array([3.0, -2.5, 2.0])
+    H = np.array([[L[0], 0.0, 0.0],
+                  [TILT3[0], L[1], 0.0],
+                  [TILT3[1], TILT3[2], L[2]]])
+    rng = np.random.default_rng(8)
+    m = 5
+    sfrac = np.stack(np.meshgrid(*[(np.arange(m) + 0.5) / m] * 3,
+                                 indexing="ij"), -1).reshape(-1, 3)
+    sfrac = (sfrac + 0.2 * (rng.random(sfrac.shape) - 0.5) / m) % 1.0
+    x = sfrac @ H
+    n = len(x)
+    typ = np.arange(n) % 2
+    q = np.where(typ == 0, 1.0, -1.0)
+    if n % 2:
+        q[-1] = 0.0
+    data = tmp_path / "data.trinpt"
+    with open(data, "w") as f:
+        f.write("triclinic npt deck\n\n")
+        f.write(f"{n} atoms\n2 atom types\n\n")
+        f.write(f"0.0 {L[0]} xlo xhi\n0.0 {L[1]} ylo yhi\n"
+                f"0.0 {L[2]} zlo zhi\n")
+        f.write(f"{TILT3[0]} {TILT3[1]} {TILT3[2]} xy xz yz\n")
+        f.write("\nMasses\n\n1 1.0\n2 1.0\n\nAtoms # charge\n\n")
+        for a in range(n):
+            f.write(f"{a+1} {typ[a]+1} {q[a]:.1f} "
+                    f"{x[a,0]:.12f} {x[a,1]:.12f} {x[a,2]:.12f}\n")
+    cfg = {
+        "units": "lj", "read_data": str(data), "precision": "double",
+        "pair_style": {"name": "buck/coul/long", "cut": 3.5,
+                       "coeffs": {"1 1": [1000.0, 0.32, 1.0],
+                                  "1 2": [800.0, 0.30, 0.8],
+                                  "2 2": [600.0, 0.35, 0.6]}},
+        "kspace_style": {"name": "pppm", "accuracy": 1e-5},
+        "velocity": {"temp": 0.3, "seed": 7},
+        "fixes": [{"name": "npt", "t_start": 0.3, "t_damp": 0.5,
+                   "iso": [0.0, 0.0, 20.0]}],
+        "neighbor": {"skin": 0.4, "every": 5, "check": False},
+        "timestep": 0.0005,
+    }
+    sim = build_simulation(cfg)
+    assert sim._tilt0 is not None
+    rows = sim.run(30, thermo_every=15, log=False)
+    for r in rows:
+        assert np.isfinite(r["etotal"]) and np.isfinite(r["press"])
+        assert r["elong"] != 0.0
+    # step-0 energies against the (golden-FD-validated) NVE engine
+    cfg_nve = {k: v for k, v in cfg.items() if k != "fixes"}
+    cfg_nve["engine"] = "nlist"
+    sim_nve = build_simulation(cfg_nve)
+    th = sim_nve.thermo()
+    sim0 = build_simulation(cfg)
+    r0 = sim0.thermo()
+    for key in ("evdwl", "ecoul"):
+        a, b = float(r0[key]), float(th[key])
+        assert abs(a - b) <= 1e-8 * max(abs(a), abs(b), 1.0), (key, a, b)
+    # elong: traced Ewald vs the deck's own pppm agree to solver accuracy
+    a, b = float(r0["elong"]), float(th["elong"])
+    assert abs(a - b) <= 2e-3 * max(abs(a), abs(b), 1.0), (a, b)
