@@ -28,8 +28,9 @@ def _npt_traced_kspace(kspace, box, q, ps, ks, u, prec, style):
     kspace_style pppm under a variable cell: host LAMMPS re-runs
     PPPM::setup() on box change; the TPU equivalent rebuilds the
     box-baked tables from the TRACED box at reneighbor cadence
-    (models/kspace/pppm_npt.py TracedPPPM).  ad/slab/triclinic PPPM
-    variants fall back to Ewald at the deck accuracy (loudly).
+    (models/kspace/pppm_npt.py TracedPPPM; ik AND ad differentiation,
+    slab-corrected solvers).  Triclinic PPPM falls back to the traced-h
+    Ewald at the deck accuracy (loudly).
     Returns (kspace, style) — style's g_ewald changes on the fallback."""
     if kspace is None or hasattr(kspace, "compute_traced"):
         return kspace, style
@@ -42,9 +43,8 @@ def _npt_traced_kspace(kspace, box, q, ps, ks, u, prec, style):
     except NotImplementedError:
         from .models.kspace import setup_ewald
 
-        print("# fix npt: this pppm variant (ad/slab/triclinic) "
-              "is box-baked; substituting ewald at the same "
-              "accuracy", file=sys.stderr)
+        print("# fix npt: triclinic pppm is box-baked; substituting "
+              "the traced-h ewald at the same accuracy", file=sys.stderr)
         ew = setup_ewald(box, q,
                          cutoff=ps.get("cut_coul", ps["cut"]),
                          accuracy_rel=ks.get("accuracy", 1e-4),

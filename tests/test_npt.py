@@ -392,6 +392,106 @@ def test_traced_pppm_rescaled_box_matches_fresh_setup():
                                np.asarray(r0.virial), rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.parametrize("diff,slab", [("ad", None), ("ik", 3.0),
+                                       ("ad", 3.0)])
+def test_traced_pppm_variants_match_fresh_setup(diff, slab):
+    """The ad-differentiation and slab-corrected TracedPPPM variants equal
+    a FRESH setup_pppm at both the setup box and a dilated box — incl. the
+    re-FIT ad self-force sine series (sf_coeff rebuilt from the traced
+    influence function) and the traced Yeh-Berkowitz dipole term."""
+    from lammps_buck_intel_tpu.models.kspace import setup_pppm, TracedPPPM
+
+    box, x, q, L, n = _charged_sys()
+    pm = setup_pppm(box, q, cutoff=3.5, accuracy_rel=1e-4, qqrd2e=1.0,
+                    acc_dtype=jnp.float64, diff=diff, slab=slab)
+    tp = TracedPPPM(pm, center=0.5 * L)
+    qj = jnp.asarray(q, jnp.float64)
+    fn = jax.jit(lambda xx, LL: tp.compute_traced(xx, qj, LL))
+
+    # at the setup box: the traced tables reproduce the host-numpy ones
+    kc = tp.tables(jnp.asarray(L, jnp.float64))
+    np.testing.assert_allclose(np.asarray(kc["G"]), pm.greensfn,
+                               rtol=1e-10, atol=1e-13)
+    if diff == "ad":
+        np.testing.assert_allclose(np.asarray(kc["sf"]), pm.sf_sine,
+                                   rtol=1e-8, atol=1e-15)
+
+    s = np.array([1.05, 0.98, 1.03])
+    L1 = L * s
+    x1 = x * s[None, :] + 0.5 * (L - L1)[None, :]
+    box1 = make_box(0.5 * (L - L1), 0.5 * (L + L1))
+    pm1 = setup_pppm(box1, q, cutoff=3.5, accuracy_rel=1e-4, qqrd2e=1.0,
+                     acc_dtype=jnp.float64, g_ewald=pm.g_ewald,
+                     grid=pm.grid, order=pm.order, diff=diff, slab=slab)
+    for pmref, xs, Ls in ((pm, x, L), (pm1, x1, L1)):
+        xj = jnp.asarray(xs, jnp.float64)
+        r0 = pmref.compute(xj, qj)
+        r1 = fn(xj, jnp.asarray(Ls, jnp.float64))
+        np.testing.assert_allclose(np.asarray(r1.f), np.asarray(r0.f),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(float(r1.elong), float(r0.elong),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(r1.virial),
+                                   np.asarray(r0.virial), rtol=1e-8,
+                                   atol=1e-10)
+
+
+def test_npt_deck_honors_pppm_ad(tmp_path, capsys):
+    """A `fix npt` + `kspace_style pppm` deck with ad differentiation runs
+    TracedPPPM (no Ewald substitution) and matches the ik deck's thermo to
+    solver accuracy."""
+    from lammps_buck_intel_tpu.run import build_simulation
+    from lammps_buck_intel_tpu.models.kspace import TracedPPPM
+
+    cfg = _npt_pppm_deck_cfg(tmp_path)
+    rows = {}
+    for diff in ("ik", "ad"):
+        c = dict(cfg)
+        c["kspace_style"] = dict(cfg["kspace_style"], diff=diff)
+        sim = build_simulation(c)
+        err = capsys.readouterr().err
+        assert "substituting" not in err
+        assert isinstance(sim.kspace, TracedPPPM)
+        rows[diff] = sim.run(40, thermo_every=20, log=False)
+    for ra, rb in zip(rows["ik"], rows["ad"]):
+        assert np.isfinite(ra["etotal"]) and np.isfinite(rb["etotal"])
+        np.testing.assert_allclose(rb["etotal"], ra["etotal"], rtol=2e-4)
+        np.testing.assert_allclose(rb["press"], ra["press"], atol=200.0)
+
+
+def _npt_pppm_deck_cfg(tmp_path):
+    m, a = 4, 2.8
+    idx = np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"),
+                   -1).reshape(-1, 3)
+    x = (idx + 0.5) * a
+    q = np.where(idx.sum(1) % 2 == 0, 0.5, -0.5).astype(np.float64)
+    n = len(q)
+    L = np.full(3, m * a)
+    data = tmp_path / "data.chg"
+    with open(data, "w") as f:
+        f.write("charged lattice\n\n")
+        f.write(f"{n} atoms\n1 atom types\n\n")
+        for ax, Lax in zip("xyz", L):
+            f.write(f"0.0 {Lax} {ax}lo {ax}hi\n")
+        f.write("\nMasses\n\n1 20.0\n\nAtoms # charge\n\n")
+        for i in range(n):
+            f.write(f"{i+1} 1 {q[i]:.10f} "
+                    f"{x[i,0]:.8f} {x[i,1]:.8f} {x[i,2]:.8f}\n")
+    return {
+        "units": "real", "precision": "double",
+        "read_data": str(data),
+        "pair_style": {"name": "lj/cut/coul/long", "cut": 4.0,
+                       "cut_coul": 4.0,
+                       "coeffs": {"1 1": [0.2, 2.5]}},
+        "kspace_style": {"name": "pppm", "accuracy": 1e-4},
+        "velocity": {"temp": 300.0, "seed": 11},
+        "neighbor": {"skin": 1.0, "every": 5, "check": False},
+        "fixes": [{"name": "npt", "t_start": 300.0, "t_damp": 50.0,
+                   "iso": [100.0, 100.0, 500.0], "tchain": 1}],
+        "timestep": 0.5,
+    }
+
+
 def test_npt_deck_honors_pppm(tmp_path, capsys):
     """A `fix npt` + `kspace_style pppm` deck runs the PPPM solver (no
     Ewald substitution note) and stays finite with a moving box."""
