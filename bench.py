@@ -106,11 +106,13 @@ def main():
             c["pair_kernel"] = kernel
         return build_simulation(c)
 
-    # ---- auto-tune the inner-step pair kernel (guarded; the XLA
-    # default always survives a variant failure).  Disable with
-    # BENCH_AUTOTUNE=0 for a single-kernel run. ----
+    # ---- pair-kernel selection.  Default: XLA only — the hand Pallas
+    # variants have lost every hardware A/B (57 vs 33 ms/step, PERF.md)
+    # and the extra trials triple compile wall time on this 1-core host,
+    # risking the driver's bench timeout.  BENCH_AUTOTUNE=full re-runs
+    # the full A/B when re-evaluating the Pallas kernels. ----
     candidates = ["xla"]
-    if platform != "cpu" and os.environ.get("BENCH_AUTOTUNE", "1") != "0":
+    if platform != "cpu" and os.environ.get("BENCH_AUTOTUNE") == "full":
         candidates += ["pallas_v3", "pallas_v2"]
     best = None
     trials = {}

@@ -15,3 +15,4 @@ __version__ = "0.1.0"
 from . import core
 from . import io
 from . import utils
+from . import computes

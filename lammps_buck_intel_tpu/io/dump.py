@@ -132,3 +132,75 @@ def read_lammpstrj(path: str):
         frames.append(dict(step=step, lo=lo, hi=hi, cols=cols, data=data))
         i += 9 + n
     return frames
+
+
+_STRESS_COLS = ("c_stress[1]", "c_stress[2]", "c_stress[3]",
+                "c_stress[4]", "c_stress[5]", "c_stress[6]")
+
+
+def write_custom(path: str, sim, columns, append: bool = True,
+                 scope=None) -> None:
+    """``dump custom`` analog: arbitrary per-atom columns in lammpstrj
+    framing.  Supported columns: id, type, x/y/z, vx/vy/vz, fx/fy/fz,
+    q, c_pe (compute pe/atom) and c_stress[1..6] (compute stress/atom).
+    ``scope`` forwards the compute keyword list (e.g. ("pair", "kspace"))
+    to the per-atom computes."""
+    import jax
+
+    from .. import computes
+
+    if hasattr(sim, "get_atoms"):
+        a = sim.get_atoms()
+        x, v, f = (np.asarray(a["x"]), np.asarray(a["v"]),
+                   np.asarray(a.get("f", np.zeros_like(a["x"]))))
+        typ = np.asarray(a.get("typ", getattr(sim, "typ", None)))
+        q = np.asarray(a.get("q")) if a.get("q") is not None else None
+    else:
+        st = jax.device_get(sim.state)
+        x, v = np.asarray(st.x), np.asarray(st.v)
+        f = np.asarray(getattr(st, "f", np.zeros_like(x)))
+        typ = np.asarray(sim.typ)
+        q = np.asarray(sim.q)
+    n = len(x)
+    sc = tuple(scope) if scope else None
+    cache = {}
+
+    def col(name):
+        if name == "id":
+            return np.arange(1, n + 1, dtype=np.float64)
+        if name == "type":
+            return typ.astype(np.float64) + 1
+        base = {"x": x, "y": x, "z": x, "vx": v, "vy": v, "vz": v,
+                "fx": f, "fy": f, "fz": f}
+        if name in base:
+            return base[name][:, "xyz".index(name[-1])]
+        if name == "q":
+            if q is None:
+                raise ValueError("dump custom q: deck has no charges")
+            return q.astype(np.float64)
+        if name == "c_pe":
+            if "pe" not in cache:
+                cache["pe"] = computes.evaluate(sim, "pe/atom", sc)
+            return cache["pe"]
+        if name in _STRESS_COLS:
+            if "stress" not in cache:
+                cache["stress"] = computes.evaluate(sim, "stress/atom", sc)
+            return cache["stress"][:, _STRESS_COLS.index(name)]
+        raise NotImplementedError(f"dump custom column {name!r}")
+
+    cols = [col(c) for c in columns]
+    box = sim.current_box if hasattr(sim, "current_box") else sim.box
+    lo = np.asarray(box.lo, np.float64)
+    hi = np.asarray(box.hi, np.float64)
+    mode = "a" if append else "w"
+    with open(path, mode) as fh:
+        fh.write("ITEM: TIMESTEP\n")
+        fh.write(f"{sim.step_count}\n")
+        fh.write("ITEM: NUMBER OF ATOMS\n")
+        fh.write(f"{n}\n")
+        fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+        for ax in range(3):
+            fh.write(f"{lo[ax]:.16e} {hi[ax]:.16e}\n")
+        fh.write("ITEM: ATOMS " + " ".join(columns) + "\n")
+        for i in range(n):
+            fh.write(" ".join(f"{c[i]:.8g}" for c in cols) + "\n")

@@ -15,10 +15,11 @@ pair_coeff (with * wildcards), pair_modify mix, kspace_style
 (ewald/pppm/pppm/disp), kspace_modify (force/disp/*, slab, mesh, gewald),
 bond/angle/dihedral/improper styles + coeffs, special_bonds, neighbor,
 neigh_modify, fix (nve/nvt/npt/shake/rigid small), timestep, thermo,
-thermo_style (accepted, formatting ours), dump image/custom (mapped to
-the PPM/lammpstrj writers), dump_modify (ignored), replicate,
-delete_atoms region, read_data, run.  Unknown commands raise — silent
-skips would fake coverage.
+thermo_style (accepted, formatting ours), dump image/custom (PPM /
+lammpstrj writers; custom columns incl. c_<ID> compute references),
+compute (pe/atom, stress/atom — per-atom columns for dump custom),
+dump_modify (ignored), replicate, delete_atoms region, read_data, run.
+Unknown commands raise — silent skips would fake coverage.
 
 Deviations (documented): `thermo_style one/multi` both print our thermo
 table.  Translated velocities use the host-LAMMPS RanPark stream
@@ -112,6 +113,7 @@ def translate(path: str) -> dict:
     raw_pair_coeffs = []      # (ti, tj, [vals])
     mix = None
     fixes = []
+    computes = {}             # compute ID -> {name, scope}
     deferred_delete = []      # (region_name, mol_flag)
     bonded_styles = {}
     bonded_coeffs = {"bond": {}, "angle": {}, "dihedral": {},
@@ -275,9 +277,49 @@ def translate(path: str) -> dict:
                 d["file"] = fname
                 if "size" in a:
                     d["size"] = int(a[a.index("size") + 1])
+            elif style == "custom":
+                # dump custom: per-atom columns; c_<ID> references map to
+                # the registered computes (pe/atom, stress/atom)
+                d["style"] = "custom"
+                d["file"] = fname.replace("*", "")
+                cols = []
+                for c in a[5:]:
+                    if c.startswith("c_"):
+                        base = c[2:].split("[")[0]
+                        reg = computes.get(base)
+                        if reg is None:
+                            raise TranslateError(
+                                f"dump custom {c!r}: compute {base!r} not "
+                                "defined")
+                        if reg["name"] == "pe/atom":
+                            cols.append("c_pe")
+                        else:  # stress/atom
+                            if "[" in c:
+                                cols.append("c_stress[" + c.split("[")[1])
+                            else:
+                                cols += [f"c_stress[{k}]"
+                                         for k in range(1, 7)]
+                        if reg.get("scope"):
+                            d["scope"] = reg["scope"]
+                    else:
+                        cols.append(c)
+                d["columns"] = cols
             else:
                 d["file"] = fname.replace("*", "")
             cfg["dump"] = d
+        elif cmd == "compute":
+            # compute ID group style [keywords...]; only the per-atom
+            # computes the engines tally are accepted (loud otherwise)
+            if a[2] not in ("pe/atom", "stress/atom"):
+                raise TranslateError(f"compute {a[2]!r}")
+            scope = [k for k in a[3:] if k in ("pair", "kspace")]
+            bad = [k for k in a[3:] if k not in ("pair", "kspace")]
+            if bad:
+                raise TranslateError(
+                    f"compute {a[2]} keywords {bad!r}: only pair/kspace "
+                    "contributions are tallied per-atom")
+            computes[a[0]] = {"name": a[2],
+                              "scope": scope or None}
         elif cmd == "dump_modify":
             pass
         elif cmd == "delete_atoms":

@@ -841,6 +841,12 @@ def run_deck(cfg: dict, log: bool = True):
                     dmp["file"].replace("*", str(sim.step_count)), sim,
                     size=int(dmp.get("size", 512)),
                     view=dmp.get("view", "xy"))
+            elif style == "custom":
+                # `dump custom` incl. per-atom computes (c_pe, c_stress)
+                dumpmod.write_custom(
+                    dmp["file"], sim,
+                    dmp.get("columns", ["id", "type", "x", "y", "z"]),
+                    append=append, scope=dmp.get("scope"))
             else:
                 dumpmod.write_lammpstrj(dmp["file"], sim, append=append)
 

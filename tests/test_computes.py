@@ -1,0 +1,180 @@
+"""Per-atom computes: compute pe/atom + stress/atom and dump custom.
+
+Gates the LAMMPS compute contract (compute_pe_atom.cpp /
+compute_stress_atom.cpp) over the per-atom tallies the reference fork
+keeps (pair_buck_intel.cpp:303-322 eflag_atom/vflag_atom;
+pppm_intel.cpp:224-252 per-atom kspace): the per-atom sums must pin to
+the GLOBAL thermo scalars on both engines.
+"""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+import yaml
+
+from lammps_buck_intel_tpu import computes
+from lammps_buck_intel_tpu.run import run_deck, build_simulation
+
+DECKS = os.path.join(os.path.dirname(__file__), "..", "examples", "decks")
+
+
+def _load(name):
+    with open(os.path.join(DECKS, name)) as f:
+        return yaml.safe_load(f)
+
+
+@pytest.fixture(scope="module")
+def silica_sim(reference_dir):
+    """buck/coul/long + PPPM, 1,200 atoms, a few steps in, f64."""
+    cfg = _load("buck_coul_long.yaml")
+    cfg.pop("replicate")
+    cfg["kspace_style"] = {"name": "pppm", "accuracy": 1e-4}
+    cfg["run"] = 4
+    cfg["thermo"] = 2
+    cfg["precision"] = "double"
+    sim, rows = run_deck(cfg, log=False)
+    return sim, rows[-1]
+
+
+def test_pe_atom_pins_to_thermo(silica_sim):
+    sim, row = silica_sim
+    e = computes.pe_atom(sim)
+    assert e.shape == (sim.n_atoms,)
+    total = row["epair"]  # epair already includes elong (thermo ledger)
+    assert abs(e.sum() - total) <= 2e-5 * abs(total), (e.sum(), total)
+
+
+def test_stress_atom_pressure_identity(silica_sim):
+    sim, row = silica_sim
+    s = computes.stress_atom(sim)
+    assert s.shape == (sim.n_atoms, 6)
+    vol = float(np.prod(np.asarray(sim.box.lengths)))
+    press = -(s[:, 0].sum() + s[:, 1].sum() + s[:, 2].sum()) / (3.0 * vol)
+    assert abs(press - row["press"]) <= 2e-4 * max(abs(row["press"]), 1.0)
+
+
+def test_pe_atom_cellpair_engine(silica_sim):
+    """Cell-pair engine snapshot feeds the same compute path."""
+    cfg = _load("buck_coul_long.yaml")
+    cfg.pop("replicate")
+    cfg["kspace_style"] = {"name": "pppm", "accuracy": 1e-4}
+    cfg["run"] = 0
+    cfg["engine"] = "cellpair"
+    sim = build_simulation(cfg)
+    row = sim.thermo()
+    e = computes.pe_atom(sim)
+    total = row["epair"]  # epair already includes elong (thermo ledger)
+    # f32 engine snapshot vs f32 per-atom accumulation
+    assert abs(e.sum() - total) <= 5e-4 * abs(total), (e.sum(), total)
+
+
+def test_bonded_deck_needs_explicit_scope(silica_sim):
+    """Decks with bonded topology must name the supported partial scope
+    (the `compute pe/atom pair kspace` form) — partial sums are never
+    returned silently."""
+    sim, _ = silica_sim
+    saved = sim.bonded
+    sim.bonded = object()  # stand-in: any bound bonded style
+    try:
+        with pytest.raises(ValueError, match="explicit"):
+            computes.pe_atom(sim)
+        # explicit scope is the LAMMPS-sanctioned partial request
+        e = computes.pe_atom(sim, scope=("pair", "kspace"))
+        assert e.shape == (sim.n_atoms,)
+    finally:
+        sim.bonded = saved
+
+
+def test_pe_atom_hexane_dispersion(reference_dir):
+    """Molecular deck: rigid same-molecule exclusion + dispersion-PPPM
+    per-atom shares (pppm_disp_intel.cpp:512-537) pin to thermo."""
+    cfg = _load("hexane.yaml")
+    cfg["run"] = 0
+    sim = build_simulation(cfg)
+    row = sim.thermo()
+    e = computes.pe_atom(sim)
+    total = row["epair"]  # epair already includes elong (thermo ledger)
+    assert abs(e.sum() - total) <= 5e-3 * abs(total), (e.sum(), total)
+
+
+def test_pe_atom_rejects_unknown_scope(silica_sim):
+    sim, _ = silica_sim
+    with pytest.raises(NotImplementedError, match="bond"):
+        computes.pe_atom(sim, scope=("pair", "bond"))
+
+
+def test_dump_custom_roundtrip(silica_sim):
+    from lammps_buck_intel_tpu.io import dump as dumpmod
+
+    sim, row = silica_sim
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "f.dump")
+        cols = ["id", "type", "x", "y", "z", "q", "c_pe",
+                "c_stress[1]", "c_stress[2]", "c_stress[3]"]
+        dumpmod.write_custom(path, sim, cols, append=False)
+        frames = dumpmod.read_lammpstrj(path)
+    assert len(frames) == 1
+    f = frames[0]
+    assert f["cols"] == cols
+    d = f["data"]
+    assert d.shape == (sim.n_atoms, len(cols))
+    total = row["epair"]  # epair already includes elong (thermo ledger)
+    assert abs(d[:, cols.index("c_pe")].sum() - total) \
+        <= 1e-4 * abs(total)
+    # ids 1..N, types 1-based
+    assert d[0, 0] == 1 and d[-1, 0] == sim.n_atoms
+    assert d[:, 1].min() >= 1
+
+
+def test_translator_compute_dump_custom(tmp_path, reference_dir):
+    from lammps_buck_intel_tpu.io.lammps_input import (
+        translate, TranslateError,
+    )
+
+    script = tmp_path / "in.custom"
+    script.write_text(
+        "units lj\n"
+        "atom_style atomic\n"
+        "lattice fcc 0.8442\n"
+        "region box block 0 3 0 3 0 3\n"
+        "create_box 1 box\n"
+        "create_atoms 1 box\n"
+        "mass 1 1.0\n"
+        "velocity all create 1.44 87287 loop geom\n"
+        "pair_style buck 2.5\n"
+        "pair_coeff 1 1 1.0 0.2 -0.8\n"
+        "neighbor 0.3 bin\n"
+        "fix 1 all nve\n"
+        "compute myp all pe/atom pair\n"
+        "compute mys all stress/atom\n"
+        "dump 1 all custom 10 out.dump id type x y z c_myp c_mys[1]\n"
+        "run 0\n"
+    )
+    cfg = translate(str(script))
+    d = cfg["dump"]
+    assert d["style"] == "custom"
+    assert d["columns"] == ["id", "type", "x", "y", "z", "c_pe",
+                            "c_stress[1]"]
+    bad = tmp_path / "in.bad"
+    bad.write_text("compute c1 all coord/atom cutoff 2.0\nrun 0\n")
+    with pytest.raises(TranslateError):
+        translate(str(bad))
+
+
+def test_run_deck_dump_custom(reference_dir):
+    cfg = _load("buck.yaml")
+    cfg["lattice"].update(nx=3, ny=3, nz=3)
+    cfg["run"] = 4
+    cfg["thermo"] = 2
+    with tempfile.TemporaryDirectory() as td:
+        cfg["dump"] = {"style": "custom", "every": 2,
+                       "file": os.path.join(td, "c.dump"),
+                       "columns": ["id", "type", "x", "y", "z", "c_pe"]}
+        sim, rows = run_deck(cfg, log=False)
+        from lammps_buck_intel_tpu.io.dump import read_lammpstrj
+
+        frames = read_lammpstrj(cfg["dump"]["file"])
+    assert len(frames) == 3  # step 0, 2, 4
+    e_last = frames[-1]["data"][:, 5].sum()
+    assert abs(e_last - rows[-1]["epair"]) <= 5e-4 * abs(rows[-1]["epair"])
