@@ -180,7 +180,19 @@ def _check_scope(sim, scope):
 _DEFAULT = _PAIR_KSPACE
 
 
-def pe_atom(sim, scope=_DEFAULT) -> np.ndarray:
+def _cached(cache, key, fn):
+    """Frame-level memo: pe_atom and stress_atom discard half of each
+    (eatom, vatom) solver result — a shared per-frame cache runs the
+    expensive pair + kspace per-atom passes ONCE when a dump requests
+    both computes (advisor r3)."""
+    if cache is None:
+        return fn()
+    if key not in cache:
+        cache[key] = fn()
+    return cache[key]
+
+
+def pe_atom(sim, scope=_DEFAULT, cache=None) -> np.ndarray:
     """``compute pe/atom`` (compute_pe_atom.cpp contract): per-atom
     potential energy over the requested contributions.  Pins to thermo:
     sum == epair (+ elong) on pair/kspace decks."""
@@ -189,15 +201,18 @@ def pe_atom(sim, scope=_DEFAULT) -> np.ndarray:
     n = x.shape[0]
     e = jnp.zeros((n,), np.float64)
     if "pair" in scope:
-        ep, _ = _pair_peratom(sim, x, typ, q, box)
+        ep, _ = _cached(cache, "pair",
+                        lambda: _pair_peratom(sim, x, typ, q, box))
         e = e + ep.astype(np.float64)
     if "kspace" in scope and sim.kspace is not None:
-        ek, _ = _kspace_peratom(sim, x, typ, q, n)
+        ek, _ = _cached(cache, "kspace",
+                        lambda: _kspace_peratom(sim, x, typ, q, n))
         e = e + ek.astype(np.float64)
     return np.asarray(jax.device_get(e))
 
 
-def stress_atom(sim, scope=_DEFAULT, include_ke: bool = True) -> np.ndarray:
+def stress_atom(sim, scope=_DEFAULT, include_ke: bool = True,
+                cache=None) -> np.ndarray:
     """``compute stress/atom`` (compute_stress_atom.cpp contract):
     per-atom stress in pressure*volume units,
     S_i = -(mvv2e * m v⊗v + W_i) * nktv2p, so the global identity
@@ -209,10 +224,12 @@ def stress_atom(sim, scope=_DEFAULT, include_ke: bool = True) -> np.ndarray:
     u = sim.units
     w = jnp.zeros((n, 6), np.float64)
     if "pair" in scope:
-        _, vp = _pair_peratom(sim, x, typ, q, box)
+        _, vp = _cached(cache, "pair",
+                        lambda: _pair_peratom(sim, x, typ, q, box))
         w = w + vp.astype(np.float64)
     if "kspace" in scope and sim.kspace is not None:
-        _, vk = _kspace_peratom(sim, x, typ, q, n)
+        _, vk = _cached(cache, "kspace",
+                        lambda: _kspace_peratom(sim, x, typ, q, n))
         w = w + vk.astype(np.float64)
     if include_ke:
         vv = jnp.asarray(v, np.float64)
@@ -231,11 +248,13 @@ def stress_atom(sim, scope=_DEFAULT, include_ke: bool = True) -> np.ndarray:
 _COMPUTES = {"pe/atom": pe_atom, "stress/atom": stress_atom}
 
 
-def evaluate(sim, name: str, scope=None):
+def evaluate(sim, name: str, scope=None, cache=None):
     """Evaluate a named compute on the current frame.  ``scope`` is the
-    optional LAMMPS keyword list (e.g. ["pair", "kspace"])."""
+    optional LAMMPS keyword list (e.g. ["pair", "kspace"]); ``cache`` an
+    optional per-frame dict sharing the pair/kspace per-atom passes
+    between computes (see _cached)."""
     fn = _COMPUTES.get(name)
     if fn is None:
         raise NotImplementedError(
             f"compute {name!r}: only {sorted(_COMPUTES)} implemented")
-    return fn(sim, tuple(scope) if scope else _DEFAULT)
+    return fn(sim, tuple(scope) if scope else _DEFAULT, cache=cache)

@@ -18,27 +18,54 @@ def _atoms_of(sim):
     return np.asarray(st.x), sim.typ, np.asarray(st.v)
 
 
+def _box_bounds_lines(box):
+    """(header, 3 bound lines) in lammpstrj convention.  Triclinic boxes
+    use the ``xy xz yz`` header with LAMMPS' tilt-adjusted bounds
+    (dump.cpp BOX BOUNDS xy xz yz): xlo_bound = xlo + min(0, xy, xz,
+    xy+xz) etc. — an orthorhombic header would misrepresent the cell
+    (advisor r3)."""
+    lo = np.asarray(box.lo, np.float64)
+    hi = np.asarray(box.hi, np.float64)
+    tilt = getattr(box, "tilt", None)
+    if tilt is None or not getattr(box, "is_triclinic", False):
+        return ("ITEM: BOX BOUNDS pp pp pp\n",
+                [f"{lo[ax]:.16e} {hi[ax]:.16e}\n" for ax in range(3)])
+    xy, xz, yz = (float(t) for t in np.asarray(tilt, np.float64))
+    xlo_b = lo[0] + min(0.0, xy, xz, xy + xz)
+    xhi_b = hi[0] + max(0.0, xy, xz, xy + xz)
+    ylo_b = lo[1] + min(0.0, yz)
+    yhi_b = hi[1] + max(0.0, yz)
+    return ("ITEM: BOX BOUNDS xy xz yz pp pp pp\n",
+            [f"{xlo_b:.16e} {xhi_b:.16e} {xy:.16e}\n",
+             f"{ylo_b:.16e} {yhi_b:.16e} {xz:.16e}\n",
+             f"{lo[2]:.16e} {hi[2]:.16e} {yz:.16e}\n"])
+
+
 def write_lammpstrj(path: str, sim, append: bool = True) -> None:
     x, typ, v = _atoms_of(sim)
-    lo = np.asarray(sim.box.lo, np.float64)
-    hi = np.asarray(sim.box.hi, np.float64)
+    box = sim.box
+    lo = np.asarray(box.lo, np.float64)
+    hi = np.asarray(box.hi, np.float64)
     n = len(x)
     # native fast path (the reference's dump machinery is host C++ too);
-    # python fallback below writes the identical format
+    # python fallback below writes the identical format.  Triclinic boxes
+    # take the python path (the native writer emits orthorhombic bounds).
     from . import fastdata
 
-    if fastdata.write_lammpstrj_frame(path, append, sim.step_count,
-                                      lo, hi, x, v, typ):
-        return
+    if not getattr(box, "is_triclinic", False):
+        if fastdata.write_lammpstrj_frame(path, append, sim.step_count,
+                                          lo, hi, x, v, typ):
+            return
+    header, bound_lines = _box_bounds_lines(box)
     mode = "a" if append else "w"
     with open(path, mode) as f:
         f.write("ITEM: TIMESTEP\n")
         f.write(f"{sim.step_count}\n")
         f.write("ITEM: NUMBER OF ATOMS\n")
         f.write(f"{n}\n")
-        f.write("ITEM: BOX BOUNDS pp pp pp\n")
-        for ax in range(3):
-            f.write(f"{lo[ax]:.16e} {hi[ax]:.16e}\n")
+        f.write(header)
+        for ln in bound_lines:
+            f.write(ln)
         f.write("ITEM: ATOMS id type x y z vx vy vz\n")
         for i in range(n):
             f.write(
@@ -123,8 +150,8 @@ def read_lammpstrj(path: str):
         lo = np.zeros(3)
         hi = np.zeros(3)
         for ax in range(3):
-            a, b = lines[i + 5 + ax].split()
-            lo[ax], hi[ax] = float(a), float(b)
+            parts = lines[i + 5 + ax].split()
+            lo[ax], hi[ax] = float(parts[0]), float(parts[1])
         cols = lines[i + 8].split()[2:]
         data = np.array(
             [[float(t) for t in lines[i + 9 + k].split()] for k in range(n)]
@@ -139,12 +166,15 @@ _STRESS_COLS = ("c_stress[1]", "c_stress[2]", "c_stress[3]",
 
 
 def write_custom(path: str, sim, columns, append: bool = True,
-                 scope=None) -> None:
+                 scope=None, scopes=None) -> None:
     """``dump custom`` analog: arbitrary per-atom columns in lammpstrj
     framing.  Supported columns: id, type, x/y/z, vx/vy/vz, fx/fy/fz,
     q, c_pe (compute pe/atom) and c_stress[1..6] (compute stress/atom).
-    ``scope`` forwards the compute keyword list (e.g. ("pair", "kspace"))
-    to the per-atom computes."""
+    ``scope`` forwards one compute keyword list (e.g. ("pair", "kspace"))
+    to every per-atom compute; ``scopes`` maps PER compute — {"pe": [...],
+    "stress": [...]} — so two computes with different keywords never
+    share one scope (advisor r3 medium).  The expensive pair/kspace
+    per-atom passes run once per frame via a shared cache."""
     import jax
 
     from .. import computes
@@ -162,8 +192,13 @@ def write_custom(path: str, sim, columns, append: bool = True,
         typ = np.asarray(sim.typ)
         q = np.asarray(sim.q)
     n = len(x)
-    sc = tuple(scope) if scope else None
-    cache = {}
+    scopes = scopes or {}
+    sc_pe = scopes.get("pe", scope)
+    sc_stress = scopes.get("stress", scope)
+    sc_pe = tuple(sc_pe) if sc_pe else None
+    sc_stress = tuple(sc_stress) if sc_stress else None
+    cache = {}        # per-column memo
+    frame_cache = {}  # shared pair/kspace per-atom passes
 
     def col(name):
         if name == "id":
@@ -180,27 +215,28 @@ def write_custom(path: str, sim, columns, append: bool = True,
             return q.astype(np.float64)
         if name == "c_pe":
             if "pe" not in cache:
-                cache["pe"] = computes.evaluate(sim, "pe/atom", sc)
+                cache["pe"] = computes.evaluate(sim, "pe/atom", sc_pe,
+                                                cache=frame_cache)
             return cache["pe"]
         if name in _STRESS_COLS:
             if "stress" not in cache:
-                cache["stress"] = computes.evaluate(sim, "stress/atom", sc)
+                cache["stress"] = computes.evaluate(
+                    sim, "stress/atom", sc_stress, cache=frame_cache)
             return cache["stress"][:, _STRESS_COLS.index(name)]
         raise NotImplementedError(f"dump custom column {name!r}")
 
     cols = [col(c) for c in columns]
     box = sim.current_box if hasattr(sim, "current_box") else sim.box
-    lo = np.asarray(box.lo, np.float64)
-    hi = np.asarray(box.hi, np.float64)
+    header, bound_lines = _box_bounds_lines(box)
     mode = "a" if append else "w"
     with open(path, mode) as fh:
         fh.write("ITEM: TIMESTEP\n")
         fh.write(f"{sim.step_count}\n")
         fh.write("ITEM: NUMBER OF ATOMS\n")
         fh.write(f"{n}\n")
-        fh.write("ITEM: BOX BOUNDS pp pp pp\n")
-        for ax in range(3):
-            fh.write(f"{lo[ax]:.16e} {hi[ax]:.16e}\n")
+        fh.write(header)
+        for ln in bound_lines:
+            fh.write(ln)
         fh.write("ITEM: ATOMS " + " ".join(columns) + "\n")
         for i in range(n):
             fh.write(" ".join(f"{c[i]:.8g}" for c in cols) + "\n")

@@ -266,6 +266,12 @@ def translate(path: str) -> dict:
             pass  # one/multi: formatting is ours
         elif cmd == "dump":
             # dump id group style every file args...
+            if a[1] != "all":
+                # LAMMPS restricts dump output to group members; we dump
+                # every atom — a silent difference (advisor r3), so loud
+                raise TranslateError(
+                    f"dump group {a[1]!r}: only 'all' is supported "
+                    "(per-group dumps are not implemented)")
             style = a[2]
             every = int(a[3])
             # OUTPUT paths resolve against the CWD (the script dir may be
@@ -279,10 +285,14 @@ def translate(path: str) -> dict:
                     d["size"] = int(a[a.index("size") + 1])
             elif style == "custom":
                 # dump custom: per-atom columns; c_<ID> references map to
-                # the registered computes (pe/atom, stress/atom)
+                # the registered computes (pe/atom, stress/atom).  Each
+                # referenced compute keeps ITS OWN keyword scope (advisor
+                # r3 medium: a dump-level scope let one compute's
+                # keywords silently rescope another's columns)
                 d["style"] = "custom"
                 d["file"] = fname.replace("*", "")
                 cols = []
+                scopes = {}
                 for c in a[5:]:
                     if c.startswith("c_"):
                         base = c[2:].split("[")[0]
@@ -293,23 +303,30 @@ def translate(path: str) -> dict:
                                 "defined")
                         if reg["name"] == "pe/atom":
                             cols.append("c_pe")
+                            scopes["pe"] = reg.get("scope")
                         else:  # stress/atom
                             if "[" in c:
                                 cols.append("c_stress[" + c.split("[")[1])
                             else:
                                 cols += [f"c_stress[{k}]"
                                          for k in range(1, 7)]
-                        if reg.get("scope"):
-                            d["scope"] = reg["scope"]
+                            scopes["stress"] = reg.get("scope")
                     else:
                         cols.append(c)
                 d["columns"] = cols
+                if scopes:
+                    d["scopes"] = scopes
             else:
                 d["file"] = fname.replace("*", "")
             cfg["dump"] = d
         elif cmd == "compute":
             # compute ID group style [keywords...]; only the per-atom
             # computes the engines tally are accepted (loud otherwise)
+            if a[1] != "all":
+                # per-group computes zero non-members in LAMMPS; we
+                # evaluate every atom — reject rather than silently differ
+                raise TranslateError(
+                    f"compute group {a[1]!r}: only 'all' is supported")
             if a[2] not in ("pe/atom", "stress/atom"):
                 raise TranslateError(f"compute {a[2]!r}")
             scope = [k for k in a[3:] if k in ("pair", "kspace")]

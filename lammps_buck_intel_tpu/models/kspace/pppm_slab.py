@@ -623,8 +623,15 @@ class GatheredKSpace:
         xs = jnp.stack([ag(state.x), ag(state.y), ag(state.z)], -1)
         q = ag(state.q)
         kw = {"kc": kc} if kc is not None else {}
-        kr = self.solver.compute_traced(xs, q, boxL, eflag=eflag,
-                                        vflag=vflag, **kw)
+        if hasattr(self.solver, "compute_traced_slot"):
+            # dispersion solvers bake atom-ordered channel charges:
+            # gather through aid (clamped; pad row = zero charge)
+            aidc = jnp.minimum(ag(state.aid), self.n_atoms)
+            kr = self.solver.compute_traced_slot(
+                xs, aidc, q, boxL, eflag=eflag, vflag=vflag, **kw)
+        else:
+            kr = self.solver.compute_traced(xs, q, boxL, eflag=eflag,
+                                            vflag=vflag, **kw)
         if self.D > 1:
             d = jax.lax.axis_index(axis)
             f = jax.lax.dynamic_slice_in_dim(

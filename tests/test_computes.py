@@ -178,3 +178,75 @@ def test_run_deck_dump_custom(reference_dir):
     assert len(frames) == 3  # step 0, 2, 4
     e_last = frames[-1]["data"][:, 5].sum()
     assert abs(e_last - rows[-1]["epair"]) <= 5e-4 * abs(rows[-1]["epair"])
+
+
+def test_translator_per_compute_scopes(tmp_path):
+    """Advisor r3 medium: a dump referencing TWO computes must carry each
+    compute's OWN keyword scope — a scoped pe/atom next to an unscoped
+    stress/atom must not rescope the stress columns."""
+    from lammps_buck_intel_tpu.io.lammps_input import (
+        translate, TranslateError,
+    )
+
+    script = tmp_path / "in.scopes"
+    script.write_text(
+        "units lj\n"
+        "atom_style atomic\n"
+        "lattice fcc 0.8442\n"
+        "region box block 0 3 0 3 0 3\n"
+        "create_box 1 box\n"
+        "create_atoms 1 box\n"
+        "mass 1 1.0\n"
+        "pair_style buck 2.5\n"
+        "pair_coeff 1 1 1.0 0.2 -0.8\n"
+        "fix 1 all nve\n"
+        "compute myp all pe/atom pair\n"
+        "compute mys all stress/atom\n"
+        "dump 1 all custom 10 out.dump id c_myp c_mys[1]\n"
+        "run 0\n"
+    )
+    cfg = translate(str(script))
+    d = cfg["dump"]
+    assert d["scopes"]["pe"] == ["pair"]
+    assert d["scopes"]["stress"] is None
+    assert "scope" not in d
+
+    # non-'all' groups silently differ from LAMMPS output -> loud
+    g1 = tmp_path / "in.grp1"
+    g1.write_text("units lj\ncompute c1 sub pe/atom\nrun 0\n")
+    with pytest.raises(TranslateError, match="group"):
+        translate(str(g1))
+    g2 = tmp_path / "in.grp2"
+    g2.write_text("units lj\ndump 1 sub custom 10 o.d id x y z\nrun 0\n")
+    with pytest.raises(TranslateError, match="group"):
+        translate(str(g2))
+
+
+def test_dump_custom_shared_frame_cache(silica_sim, monkeypatch):
+    """c_pe + c_stress columns in one dump run the pair and kspace
+    per-atom passes ONCE (advisor r3: each compute used to re-run the
+    full neighbor build + FFT solves, discarding half)."""
+    from lammps_buck_intel_tpu.io import dump as dumpmod
+    from lammps_buck_intel_tpu import computes as cmod
+
+    sim, row = silica_sim
+    calls = {"pair": 0, "kspace": 0}
+    orig_pair = cmod._pair_peratom
+    orig_kspace = cmod._kspace_peratom
+
+    def count_pair(*a, **k):
+        calls["pair"] += 1
+        return orig_pair(*a, **k)
+
+    def count_kspace(*a, **k):
+        calls["kspace"] += 1
+        return orig_kspace(*a, **k)
+
+    monkeypatch.setattr(cmod, "_pair_peratom", count_pair)
+    monkeypatch.setattr(cmod, "_kspace_peratom", count_kspace)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "f.dump")
+        dumpmod.write_custom(path, sim,
+                             ["id", "c_pe", "c_stress[1]", "c_stress[4]"],
+                             append=False)
+    assert calls == {"pair": 1, "kspace": 1}

@@ -259,3 +259,52 @@ def test_native_writers_match_python(tmp_path, monkeypatch):
     tp = tmp_path / "python.lammpstrj"
     dumpmod.write_lammpstrj(str(tp), Sim(), append=False)
     assert tn.read_bytes() == tp.read_bytes()
+
+
+def test_dump_triclinic_box_bounds(tmp_path):
+    """Triclinic frames carry the LAMMPS `xy xz yz` bounds header with
+    tilt-adjusted bounds (dump.cpp convention) — an orthorhombic header
+    would misrepresent the cell (advisor r3)."""
+    import jax.numpy as jnp
+    from lammps_buck_intel_tpu.core import (
+        make_box, make_system, get_units, get_precision,
+    )
+    from lammps_buck_intel_tpu.models.pair import build_lj
+    from lammps_buck_intel_tpu.integrate import Simulation
+    from lammps_buck_intel_tpu.io import dump as dumpmod
+
+    u = get_units("lj")
+    L = np.array([6.0, 5.0, 7.0])
+    tilt = (0.8, 0.4, -0.6)
+    rng = np.random.default_rng(2)
+    lam = rng.uniform(0, 1, (24, 3))
+    H = np.array([[L[0], 0, 0], [tilt[0], L[1], 0],
+                  [tilt[1], tilt[2], L[2]]])
+    x = lam @ H
+    box = make_box(np.zeros(3), L, tilt=tilt)
+    sys_ = make_system(x, box, mass=np.array([1.0]),
+                       dtype=jnp.float64)
+    style = build_lj(1, {0: (1.0, 1.0)}, cut_global=2.0,
+                     dtype=jnp.float64)
+    sim = Simulation(sys_, style, units=u,
+                     precision=get_precision("double"))
+    for writer, fname in ((dumpmod.write_lammpstrj, "t.lammpstrj"),):
+        path = str(tmp_path / fname)
+        writer(path, sim, append=False)
+        lines = open(path).read().splitlines()
+        ib = lines.index("ITEM: BOX BOUNDS xy xz yz pp pp pp")
+        b0 = [float(v) for v in lines[ib + 1].split()]
+        b1 = [float(v) for v in lines[ib + 2].split()]
+        b2 = [float(v) for v in lines[ib + 3].split()]
+        # tilt columns
+        assert b0[2] == tilt[0] and b1[2] == tilt[1] and b2[2] == tilt[2]
+        # LAMMPS bound adjustment: xlo_bound = xlo + min(0,xy,xz,xy+xz)
+        assert b0[0] == min(0.0, tilt[0], tilt[1], tilt[0] + tilt[1])
+        assert b0[1] == L[0] + max(0.0, tilt[0], tilt[1],
+                                   tilt[0] + tilt[1])
+        assert b1[0] == min(0.0, tilt[2]) and b1[1] == L[1] + max(
+            0.0, tilt[2])
+    # custom dump shares the header helper
+    path = str(tmp_path / "t.custom")
+    dumpmod.write_custom(path, sim, ["id", "x", "y", "z"], append=False)
+    assert "ITEM: BOX BOUNDS xy xz yz pp pp pp" in open(path).read()
