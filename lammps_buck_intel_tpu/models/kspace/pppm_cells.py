@@ -515,6 +515,174 @@ def gather_columns(pm: PPPM, ps: PatchSpec, cs: ColumnSpec, grid: CellGrid,
     return [o.reshape(-1, A)[:ncol].reshape(-1) for o in outs]
 
 
+def _z_window_starts(ps: PatchSpec, ncz: int, nz: int):
+    """Static z-window start index per z-cell (periodic)."""
+    return [(cz * ps.S[2] - ps.lo_off[2]) % nz for cz in range(ncz)]
+
+
+def _z_onehot(ps: PatchSpec, ncz: int, nz: int) -> np.ndarray:
+    """(ncz * Pz, nz) one-hot: patch-local z rows -> mesh z (overlaps
+    between adjacent cells' windows ADD, as deposition requires)."""
+    Pz = ps.P[2]
+    Z = np.zeros((ncz * Pz, nz), np.float32)
+    for cz, start in enumerate(_z_window_starts(ps, ncz, nz)):
+        for p in range(Pz):
+            Z[cz * Pz + p, (start + p) % nz] = 1.0
+    return Z
+
+
+def _z_slice_windows(a, ps: PatchSpec, ncz: int, nz: int):
+    """(..., nz) -> (..., ncz, Pz): static per-z-cell window extraction
+    by contiguous slices (+wrap), stacked on a new axis -2 — pure data
+    movement, no gather."""
+    Pz = ps.P[2]
+    parts = []
+    for start in _z_window_starts(ps, ncz, nz):
+        if start + Pz <= nz:
+            parts.append(a[..., start:start + Pz])
+        else:
+            l1 = nz - start
+            parts.append(jnp.concatenate(
+                [a[..., start:], a[..., :Pz - l1]], axis=-1))
+    return jnp.stack(parts, axis=-2)
+
+
+def deposit_rho_zblock(pm: PPPM, ps: PatchSpec, cs: ColumnSpec,
+                       grid: CellGrid, state: SlotState, ax_mats):
+    """Two-stage deposition: per-(column, z-cell) patch-local matmuls,
+    then a static one-hot z fold.
+
+    The "columns" engine contracts every slot against FULL-length
+    (nz,) z rows — nz/Pz (~6x) zero-work, measured as the dominant
+    kspace cost at production mesh sizes.  Here stage 1 runs the MXU
+    batched matmul at the patch-local z extent
+    (batch (col, z-cell): (Pz x cap) @ (cap x PXY)) and stage 2 folds
+    the (ncz * Pz) patch rows onto the (nz,) mesh with one static
+    one-hot matmul — same arithmetic, ~5x fewer multiplies."""
+    ncol, A, PXY = cs.ncol, cs.A, cs.PXY
+    cap = grid.cap
+    ncz = grid.nc[2]
+    Px, Py = ps.P[0], ps.P[1]
+    Pz = ps.P[2]
+    nz = pm.grid[2]
+    wx = _axis_weights(pm, ps, grid, state.x, 0).reshape(ncol, A, Px)
+    wy = _axis_weights(pm, ps, grid, state.y, 1).reshape(ncol, A, Py)
+    wz = _axis_weights(pm, ps, grid, state.z, 2)          # (NS, Pz) local
+    wzq = (wz * state.q[:, None]).reshape(ncol, ncz, cap, Pz)
+    Z = jnp.asarray(_z_onehot(ps, ncz, nz))
+
+    tile = cs.col_tile
+    wx_t = _col_tiles(wx, tile, ncol)
+    wy_t = _col_tiles(wy, tile, ncol)
+    wz_t = _col_tiles(wzq, tile, ncol)
+
+    Kx, Ky = _spread_mats(Px, Py)
+
+    def one_tile(args):
+        wxb, wyb, wzb = args
+        wxy = jnp.einsum("tax,xp->tap", wxb, jnp.asarray(Kx)) \
+            * jnp.einsum("tay,yp->tap", wyb, jnp.asarray(Ky))
+        wxy = wxy.reshape(-1, ncz, cap, PXY)
+        m = jnp.einsum("tkaw,tkap->tkwp", wzb, wxy)       # (t,ncz,Pz,PXY)
+        m = m.reshape(-1, ncz * Pz, PXY)
+        return jnp.einsum("twp,wz->tpz", m, Z)            # (t, PXY, nz)
+
+    cols = jax.lax.map(one_tile, (wx_t, wy_t, wz_t))
+    cols = cols.reshape(-1, PXY, nz)[:ncol]
+    return _fold_xy_cols(cols, ps, grid, ax_mats, pm.grid)
+
+
+def gather_zblock(pm: PPPM, ps: PatchSpec, cs: ColumnSpec, grid: CellGrid,
+                  state: SlotState, meshes, ax_mats, mode: str = "ik"):
+    """Two-stage field interpolation (see deposit_rho_zblock): static
+    z-window slices, then batched (cap x PXY) @ (PXY x C*Pz) matmuls
+    with the channel and patch-z axes merged on the lane dim, then a
+    tiny per-slot z-weight reduction on the VPU.
+
+    mode="ik": meshes (Ex, Ey, Ez) -> per-slot field components.
+    mode="ad": meshes (U,) -> (-dU/dx, -dU/dy, -dU/dz) via derivative
+    splines.  mode="value": meshes -> interpolated values."""
+    ncol, A, PXY = cs.ncol, cs.A, cs.PXY
+    cap = grid.cap
+    ncz = grid.nc[2]
+    Px, Py = ps.P[0], ps.P[1]
+    Pz = ps.P[2]
+    nz = pm.grid[2]
+    flt = state.x.dtype
+
+    ad = mode == "ad"
+    if ad:
+        wx, dwx = _axis_weights(pm, ps, grid, state.x, 0, deriv=True)
+        wy, dwy = _axis_weights(pm, ps, grid, state.y, 1, deriv=True)
+        wz, dwz = _axis_weights(pm, ps, grid, state.z, 2, deriv=True)
+        dwx = (dwx * (-1.0 / pm.h[0])).reshape(ncol, A, Px)
+        dwy = (dwy * (-1.0 / pm.h[1])).reshape(ncol, A, Py)
+        dwz = dwz * (-1.0 / pm.h[2])
+        wx = wx.reshape(ncol, A, Px)
+        wy = wy.reshape(ncol, A, Py)
+    else:
+        wx = _axis_weights(pm, ps, grid, state.x, 0).reshape(ncol, A, Px)
+        wy = _axis_weights(pm, ps, grid, state.y, 1).reshape(ncol, A, Py)
+        wz = _axis_weights(pm, ps, grid, state.z, 2)      # (NS, Pz)
+
+    em = jnp.stack([m.astype(flt) for m in meshes])       # (C, nx, ny, nz)
+    C = em.shape[0]
+    ecols = _expand_xy_cols(em, ps, grid, ax_mats)        # (C, ncol, PXY, nz)
+    ew = _z_slice_windows(ecols, ps, ncz, nz)             # (C,ncol,PXY,ncz,Pz)
+    # merge (C, Pz) onto the lane dim: (ncol, ncz, PXY, C*Pz)
+    ew = jnp.transpose(ew, (1, 3, 2, 0, 4)).reshape(ncol, ncz, PXY, C * Pz)
+
+    tile = cs.col_tile
+    wx_t = _col_tiles(wx, tile, ncol)
+    wy_t = _col_tiles(wy, tile, ncol)
+    e_t = _col_tiles(ew, tile, ncol)
+    wz_r = wz.reshape(ncol, ncz, cap, Pz)
+    wz_t = _col_tiles(wz_r, tile, ncol)
+    if ad:
+        dwx_t = _col_tiles(dwx, tile, ncol)
+        dwy_t = _col_tiles(dwy, tile, ncol)
+        dwz_t = _col_tiles(dwz.reshape(ncol, ncz, cap, Pz), tile, ncol)
+
+    Kx, Ky = _spread_mats(Px, Py)
+
+    if ad:
+        def one_tile(args):
+            wxb, wyb, dwxb, dwyb, wzb, dwzb, eb = args
+            kxm, kym = jnp.asarray(Kx), jnp.asarray(Ky)
+            xb = jnp.einsum("tax,xp->tap", wxb, kxm)
+            yb = jnp.einsum("tay,yp->tap", wyb, kym)
+            dxb = jnp.einsum("tax,xp->tap", dwxb, kxm)
+            dyb = jnp.einsum("tay,yp->tap", dwyb, kym)
+            outs = []
+            for wxyb in (dxb * yb, xb * dyb, xb * yb):
+                w4 = wxyb.reshape(-1, ncz, cap, PXY)
+                t = jnp.einsum("tkap,tkpw->tkaw", w4, eb)  # (t,ncz,cap,Pz)
+                outs.append(t)
+            fx = jnp.sum(outs[0] * wzb, -1)
+            fy = jnp.sum(outs[1] * wzb, -1)
+            fz = jnp.sum(outs[2] * dwzb, -1)
+            return (fx.reshape(-1, ncz * cap), fy.reshape(-1, ncz * cap),
+                    fz.reshape(-1, ncz * cap))
+
+        outs = jax.lax.map(
+            one_tile, (wx_t, wy_t, dwx_t, dwy_t, wz_t, dwz_t, e_t))
+        return [o.reshape(-1, A)[:ncol].reshape(-1) for o in outs]
+
+    def one_tile(args):
+        wxb, wyb, wzb, eb = args
+        wxy = jnp.einsum("tax,xp->tap", wxb, jnp.asarray(Kx)) \
+            * jnp.einsum("tay,yp->tap", wyb, jnp.asarray(Ky))
+        wxy = wxy.reshape(-1, ncz, cap, PXY)
+        # (t, ncz, cap, C*Pz): ONE batched matmul, K = PXY on the MXU
+        t = jnp.einsum("tkap,tkpw->tkaw", wxy, eb)
+        t = t.reshape(-1, ncz, cap, C, Pz)
+        out = jnp.sum(t * wzb[:, :, :, None, :], -1)      # (t,ncz,cap,C)
+        return tuple(out[..., c].reshape(-1, ncz * cap) for c in range(C))
+
+    outs = jax.lax.map(one_tile, (wx_t, wy_t, wz_t, e_t))
+    return [o.reshape(-1, A)[:ncol].reshape(-1) for o in outs]
+
+
 def _half_weights(nz: int):
     """rfft spectrum weights along z: interior k planes count twice."""
     nzh = nz // 2 + 1
@@ -540,15 +708,23 @@ class CellPPPM:
                  per_slot_charge=None, skin: Optional[float] = None,
                  transfer: str = "columns"):
         self.pm = pm
+        self._margin0 = margin
+        self._skin0 = skin
+        # kspace rides the COARSE (reach-1) view of the slot planes:
+        # z-refined pair cells are contiguous, so merging them back into
+        # cutneigh-sized cells is a free reshape (CellGrid.coarse) and
+        # the patch geometry keeps its reach-1 contract
+        grid = grid.coarse()
         self.grid = grid
         self.ps = make_patch_spec(pm, grid, margin=margin, skin=skin)
         # dispersion mode: override 'charge' source (B per slot is dynamic
         # via typ; caller passes a per-TYPE table instead)
         self.b_per_type = per_slot_charge
-        # transfer engine: "columns" (MXU column-block matmuls, fast) or
+        # transfer engine: "zblock" (two-stage patch-local z matmuls —
+        # fastest measured), "columns" (full-length z rows), or
         # "patches" (per-cell bricks; reference form, also the per-atom path)
         self.transfer = transfer
-        if transfer == "columns":
+        if transfer in ("columns", "zblock"):
             self.cspec = make_column_spec(self.ps, grid, pm.grid[2])
             self.ax_mats = (
                 _onehot_expand(pm.grid[0], grid.nc[0], self.ps.S[0],
@@ -557,7 +733,17 @@ class CellPPPM:
                                self.ps.P[1], self.ps.lo_off[1]),
             )
 
+    def rebind(self, grid: CellGrid) -> "CellPPPM":
+        """Same solver bound to a re-sized cell grid (the engine's
+        overflow auto-grow: cap changed, mesh/geometry unchanged)."""
+        return CellPPPM(self.pm, grid, margin=self._margin0,
+                        per_slot_charge=self.b_per_type, skin=self._skin0,
+                        transfer=self.transfer)
+
     def _deposit(self, state: SlotState):
+        if self.transfer == "zblock":
+            return deposit_rho_zblock(self.pm, self.ps, self.cspec,
+                                      self.grid, state, self.ax_mats)
         if self.transfer == "columns":
             return deposit_rho_columns(self.pm, self.ps, self.cspec,
                                        self.grid, state, self.ax_mats)
@@ -682,7 +868,11 @@ class CellPPPM:
             # ONE inverse FFT -> potential mesh; derivative-spline gather
             u = (jnp.real(jnp.fft.irfftn(phi_hat, s=pm.grid))
                  * (scale * ngrid)).astype(flt)
-            if self.transfer == "columns":
+            if self.transfer == "zblock":
+                fx, fy, fz = gather_zblock(
+                    pm, ps, self.cspec, grid, state, [u], self.ax_mats,
+                    mode="ad")
+            elif self.transfer == "columns":
                 fx, fy, fz = gather_columns(
                     pm, ps, self.cspec, grid, state, [u], self.ax_mats,
                     mode="ad")
@@ -792,7 +982,11 @@ class CellPPPM:
         ehat = jnp.stack([(-1j) * kax * phi_hat for kax in (kx, ky, kz)])
         e_stack = (jnp.fft.irfftn(ehat, s=pm.grid, axes=(1, 2, 3))
                    * (scale * ngrid)).astype(flt)
-        if self.transfer == "columns":
+        if self.transfer == "zblock":
+            fx, fy, fz = gather_zblock(
+                pm, self.ps, self.cspec, self.grid, state,
+                [e_stack[0], e_stack[1], e_stack[2]], self.ax_mats)
+        elif self.transfer == "columns":
             fx, fy, fz = gather_columns(
                 pm, self.ps, self.cspec, self.grid, state,
                 [e_stack[0], e_stack[1], e_stack[2]], self.ax_mats)

@@ -43,10 +43,11 @@ class CellPairResult(NamedTuple):
     virial: jnp.ndarray
 
 
-def _cell_tile_size(cap: int, ncell: int, budget_bytes: float = 2.5e8) -> int:
-    """Cells per lax.map tile: bound the ~6 live (tile, cap, 27*cap) f32
-    temporaries to ~budget."""
-    per_cell = 6 * cap * 27 * cap * 4
+def _cell_tile_size(cap: int, ncell: int, budget_bytes: float = 2.5e8,
+                    stencil: int = 27) -> int:
+    """Cells per lax.map tile: bound the ~6 live (tile, cap, stencil*cap)
+    f32 temporaries to ~budget."""
+    per_cell = 6 * cap * stencil * cap * 4
     t = max(8, int(budget_bytes / max(per_cell, 1)))
     return min(ncell, t)
 
@@ -215,31 +216,54 @@ def compute_cell_tiles(
                           virial=virial)
 
 
-def _half_shift_tables(nc: tuple) -> np.ndarray:
-    """Per-(cell, half-offset) periodic shift indicators.
+def half_offsets(reach_z: int = 1) -> np.ndarray:
+    """(K, 3) self + lexicographically-positive cell offsets for the
+    Newton half stencil: ox, oy in {-1, 0, 1}, oz in [-reach_z, reach_z].
+    Self (0,0,0) is row 0 (the kernel's i<j dedup block).  K = 9r + 5.
 
-    Column k of the 27-table (k = 13..26 is the self + 13-offset half
-    stencil) reaches offset o_k; a j-cell gathered through a periodic wrap
-    sits one box length away from its true image.  Returns s (ncell, 14, 3)
-    in {-1, 0, +1}: true j position = gathered position + s * L.  Static,
-    host-side — replaces the per-pair minimum-image rounding (exact for
-    nc >= 3: any pair whose direct path exceeds the cutoff is masked, and
-    the wrapped image is provably outside the cutoff too).
+    z-only refinement needs no corner pruning: the minimum box-to-box
+    distance of any kept offset is (reach_z-1) * edge_z < cutneigh by
+    construction (edge_z >= cutneigh / reach_z)."""
+    offs = [(0, 0, 0)]
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in range(-reach_z, reach_z + 1):
+                if (ox, oy, oz) > (0, 0, 0):
+                    offs.append((ox, oy, oz))
+    return np.asarray(offs, np.int64)
+
+
+def half_stencil_tables(nc: tuple, offs: np.ndarray):
+    """Static per-(cell, half-offset) tables for the Newton kernel.
+
+    Returns (half (ncell, K) j-cell ids of cell + off, inv (ncell, K)
+    i-cell ids of cell - off for reaction routing, shifts (ncell, K, 3)
+    in {-1, 0, +1}: true j position = gathered position + s * L).  The
+    shift replaces the per-pair minimum-image rounding (exact for
+    nc >= 2*|off|+1 per axis: wrap is at most one box length, and any
+    pair whose direct path exceeds the cutoff is masked while the
+    wrapped image is provably outside the cutoff too).
     """
     ncx, ncy, ncz = nc
     ci, cj, ck = np.meshgrid(
         np.arange(ncx), np.arange(ncy), np.arange(ncz), indexing="ij")
     cells = np.stack([ci.reshape(-1), cj.reshape(-1), ck.reshape(-1)], -1)
+    ncv = np.asarray(nc)
+    K = offs.shape[0]
+    ncell = cells.shape[0]
+    half = np.zeros((ncell, K), np.int32)
+    inv = np.zeros((ncell, K), np.int32)
     # float64: the shift*L product must round at the TARGET precision, not
     # f32 (an f32-rounded box length costs ~1e-6 force error in f64 runs)
-    out = np.zeros((cells.shape[0], 14, 3), np.float64)
-    ncv = np.asarray(nc)
-    for k in range(14):
-        col = 13 + k
-        off = np.asarray([col // 9 - 1, (col // 3) % 3 - 1, col % 3 - 1])
-        tgt = cells + off
-        out[:, k, :] = (tgt >= ncv).astype(np.float64) - (tgt < 0)
-    return out
+    shifts = np.zeros((ncell, K, 3), np.float64)
+    for k in range(K):
+        tgt = cells + offs[k]
+        shifts[:, k, :] = (tgt >= ncv).astype(np.float64) - (tgt < 0)
+        w = np.mod(tgt, ncv)
+        half[:, k] = (w[:, 0] * ncy + w[:, 1]) * ncz + w[:, 2]
+        wi = np.mod(cells - offs[k], ncv)
+        inv[:, k] = (wi[:, 0] * ncy + wi[:, 1]) * ncz + wi[:, 2]
+    return half, inv, shifts
 
 
 def compute_cell_tiles_newton(
@@ -257,20 +281,21 @@ def compute_cell_tiles_newton(
 ) -> CellPairResult:
     """Half-stencil form of the dense kernel (Newton's 3rd law).
 
-    Instead of evaluating all 27 neighbor tiles per cell and keeping only
-    the i-side force sum, evaluate 14 (self + the 13 lexicographically
-    positive offsets) and accumulate BOTH sides: f_i from the j-axis
+    Instead of evaluating all neighbor tiles per cell and keeping only
+    the i-side force sum, evaluate K = self + the lexicographically
+    positive offsets (14 at reach_z=1, 9r+5 in general — see
+    half_offsets) and accumulate BOTH sides: f_i from the j-axis
     reduction, and the reaction forces -sum_i fs*d routed back to the
-    j-cells through the static inverse offset permutation (column 13-k is
-    the negation of column 13+k).  This is the reference's half neighbor
-    list + Newton flag (pair_buck_intel.cpp:236-275 runs full lists; host
-    LAMMPS defaults to `newton on` half lists) in dense-tile form — ~1.9x
-    less pair physics for two cheap extra reductions and 13 static row
-    gathers.  j coordinates are pre-shifted by the per-(cell, offset)
-    periodic wrap (see _half_shift_tables), removing the per-pair
-    minimum-image rounding entirely.
+    j-cells through the static negated-offset table.  This is the
+    reference's half neighbor list + Newton flag
+    (pair_buck_intel.cpp:236-275 runs full lists; host LAMMPS defaults
+    to `newton on` half lists) in dense-tile form — ~1.9x less pair
+    physics for two cheap extra reductions and K-1 static row gathers.
+    j coordinates are pre-shifted by the per-(cell, offset) periodic
+    wrap (see half_stencil_tables), removing the per-pair minimum-image
+    rounding entirely.  grid.reach_z > 1 runs the density-adaptive
+    z-refined stencil (fewer candidates per atom at equal coverage).
     """
-    nbr_np = grid.nbr_array()
     ncell = grid.ncell
     cap = grid.cap
     n = grid.n_atoms
@@ -280,8 +305,9 @@ def compute_cell_tiles_newton(
     has_special = (slot_special_idx is not None
                    and slot_special_idx.shape[1] > 0)
 
-    half = np.ascontiguousarray(nbr_np[:, 13:27])          # (ncell, 14)
-    shifts = _half_shift_tables(grid.nc)                   # (ncell, 14, 3)
+    offs = half_offsets(grid.reach_z)
+    K = offs.shape[0]
+    half, inv_np, shifts = half_stencil_tables(grid.nc, offs)
     # cartesian shift per (cell, half-offset, axis): orthogonal boxes use
     # diag(L); a triclinic h mixes lamda shifts into all three axes
     # (cells are uniform in lamda space, so the {-1,0,+1} table is the
@@ -290,8 +316,8 @@ def compute_cell_tiles_newton(
               else np.asarray(h_matrix, np.float64))
     shift_cart = np.einsum("ckb,ab->cka", shifts, h_cart)
 
-    # temporaries are (tile, cap, 14*cap): half the full-stencil footprint
-    tile = _cell_tile_size(cap, ncell, budget_bytes=1.8e8)
+    # temporaries are (tile, cap, K*cap): half the full-stencil footprint
+    tile = _cell_tile_size(cap, ncell, budget_bytes=1.8e8, stencil=K)
     nt = -(-ncell // tile)
     pad = nt * tile - ncell
 
@@ -301,11 +327,11 @@ def compute_cell_tiles_newton(
     half_j = jnp.asarray(half)
 
     def jv(p, shift_ax=None):
-        a = p.reshape(ncell, cap)[half_j]                  # (ncell, 14, cap)
+        a = p.reshape(ncell, cap)[half_j]                  # (ncell, K, cap)
         if shift_ax is not None:
             s = shift_cart[:, :, shift_ax]
             a = a + jnp.asarray(s, flt)[:, :, None]
-        return a.reshape(ncell, 14 * cap)
+        return a.reshape(ncell, K * cap)
 
     def tiled(a, fill=0):
         if pad:
@@ -346,8 +372,8 @@ def compute_cell_tiles_newton(
         mj_t = jnp.zeros((nt, tile, 0), jnp.int32)
 
     flat_tables = np.asarray(style.tables).reshape(ntypes * ntypes, -1)
-    # static: which of the 14*cap j-columns form the self block
-    self_block = np.zeros((14 * cap,), bool)
+    # static: which of the K*cap j-columns form the self block
+    self_block = np.zeros((K * cap,), bool)
     self_block[:cap] = True
     self_block_j = jnp.asarray(self_block)
 
@@ -433,16 +459,16 @@ def compute_cell_tiles_newton(
     fx = uncell(fx_t)
     fy = uncell(fy_t)
     fz = uncell(fz_t)
-    g = [gx_t.reshape(nt * tile, 14, cap)[:ncell],
-         gy_t.reshape(nt * tile, 14, cap)[:ncell],
-         gz_t.reshape(nt * tile, 14, cap)[:ncell]]
-    # route reaction forces back: contribution computed at i-cell
-    # nbr[c, 13-k] lands on j-cell c (column 13-k holds the negated offset)
+    g = [gx_t.reshape(nt * tile, K, cap)[:ncell],
+         gy_t.reshape(nt * tile, K, cap)[:ncell],
+         gz_t.reshape(nt * tile, K, cap)[:ncell]]
+    # route reaction forces back: the contribution computed at i-cell
+    # c - off_k (the negated-offset table) lands on j-cell c
     fx = fx + g[0][:, 0]
     fy = fy + g[1][:, 0]
     fz = fz + g[2][:, 0]
-    for k in range(1, 14):
-        inv = jnp.asarray(nbr_np[:, 13 - k])
+    for k in range(1, K):
+        inv = jnp.asarray(inv_np[:, k])
         fx = fx + g[0][:, k][inv]
         fy = fy + g[1][:, k][inv]
         fz = fz + g[2][:, k][inv]
@@ -495,6 +521,9 @@ def compute_cellpair(
     if slot_mol is not None:
         planes["mol"] = slot_mol
     h = box.h_matrix if box.is_triclinic else None
+    if grid.reach_z > 1 and not (newton or h is not None):
+        raise NotImplementedError(
+            "z-refined cell grids run the Newton half-stencil kernel only")
     if newton or h is not None:
         return compute_cell_tiles_newton(
             style, box.lengths, grid, planes,

@@ -371,15 +371,18 @@ def pair_terms(style: PairStyle, rsq, coef, qi, qj, f_lj, f_coul, *, eflag: bool
             fvdw = rep_f - g8 * x2 * rsq * (((6.0 * a2 + 6.0) * a2 + 3.0) * a2 + 1.0)
             evdwl = rep_e - g6 * x2 * ((a2 + 1.0) * a2 + 0.5)
             # special-bond correction is ADDITIVE on the undamped pair term
-            # (the k-space part cannot be specialed per-pair):
-            tadd = f_lj - 1.0
-            if cfg.vdw == "buck":
-                fvdw = fvdw + tadd * (rep_f - r6inv * c1)
-                evdwl = evdwl + tadd * (rep_e - e1 * r6inv)
-            else:
-                tl = r6inv * (1.0 - f_lj)
-                fvdw = fvdw + tl * (c1 - r6inv * c0)
-                evdwl = evdwl + tl * (e1 - r6inv * e0)
+            # (the k-space part cannot be specialed per-pair); statically
+            # elided when the deck has no special bonds (f_lj is the
+            # python scalar 1.0 — XLA won't fold 0.0 * x)
+            if not (isinstance(f_lj, float) and f_lj == 1.0):
+                tadd = f_lj - 1.0
+                if cfg.vdw == "buck":
+                    fvdw = fvdw + tadd * (rep_f - r6inv * c1)
+                    evdwl = evdwl + tadd * (rep_e - e1 * r6inv)
+                else:
+                    tl = r6inv * (1.0 - f_lj)
+                    fvdw = fvdw + tl * (c1 - r6inv * c0)
+                    evdwl = evdwl + tl * (e1 - r6inv * e0)
         else:
             fvdw = rep_f - r6inv * c1
             evdwl = (rep_e - e1 * r6inv - offset) * f_lj
@@ -393,7 +396,9 @@ def pair_terms(style: PairStyle, rsq, coef, qi, qj, f_lj, f_coul, *, eflag: bool
         fcoul = zero
     else:
         qq = float(style.qqrd2e) * qi * qj
-        rinv = jnp.sqrt(r2inv)
+        # rinv from the already-computed r and r2inv (one multiply); a
+        # second jnp.sqrt here measured as a real slice of the pair phase
+        rinv = r * r2inv
         if cfg.coul == "cut":
             fcoul = qq * rinv * f_coul
             ecoul = fcoul
@@ -404,10 +409,14 @@ def pair_terms(style: PairStyle, rsq, coef, qi, qj, f_lj, f_coul, *, eflag: bool
             erfc = erfc_approx(grij, expm2, dtype)
             fcoul = prefactor * (erfc + float(EWALD_F) * grij * expm2)
             ecoul = prefactor * erfc
-            # subtractive special handling (k-space includes ALL pairs):
-            adjust = (1.0 - f_coul) * prefactor
-            fcoul = fcoul - adjust
-            ecoul = ecoul - adjust
+            # subtractive special handling (k-space includes ALL pairs);
+            # statically elided when the deck has no special bonds
+            # (f_coul stays the python scalar 1.0 — XLA keeps 0.0 * x
+            # for NaN semantics, so fold it here)
+            if not (isinstance(f_coul, float) and f_coul == 1.0):
+                adjust = (1.0 - f_coul) * prefactor
+                fcoul = fcoul - adjust
+                ecoul = ecoul - adjust
         in_coul = rsq < cut_coulsq
         fcoul = jnp.where(in_coul, fcoul, zero)
         ecoul = jnp.where(in_coul, ecoul, zero)

