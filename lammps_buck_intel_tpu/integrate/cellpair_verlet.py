@@ -199,12 +199,10 @@ class CellPairSimulation:
                     "orthogonal decks only (specials/mol-exclusion/"
                     "triclinic/compensated use the XLA kernel)")
             from ..ops.pallas_cellpair import (
-                make_pallas_cellpair, make_pallas_cellpair_v2,
-                make_pallas_cellpair_v3,
+                make_pallas_cellpair_v2, make_pallas_cellpair_v3,
             )
 
-            builders = {"pallas": make_pallas_cellpair,
-                        "pallas_v2": make_pallas_cellpair_v2,
+            builders = {"pallas_v2": make_pallas_cellpair_v2,
                         "pallas_v3": make_pallas_cellpair_v3}
             if pair_kernel not in builders:
                 raise ValueError(f"unknown pair_kernel {pair_kernel!r}; "
@@ -871,12 +869,10 @@ class CellPairSimulation:
             self.kspace = self.kspace.rebind(new)
         if self._pallas_fn is not None:
             from ..ops.pallas_cellpair import (
-                make_pallas_cellpair, make_pallas_cellpair_v2,
-                make_pallas_cellpair_v3,
+                make_pallas_cellpair_v2, make_pallas_cellpair_v3,
             )
 
-            builders = {"pallas": make_pallas_cellpair,
-                        "pallas_v2": make_pallas_cellpair_v2,
+            builders = {"pallas_v2": make_pallas_cellpair_v2,
                         "pallas_v3": make_pallas_cellpair_v3}
             self._pallas_fn = builders[self.pair_kernel](
                 self.pair, new, self.box,

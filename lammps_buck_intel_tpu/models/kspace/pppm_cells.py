@@ -34,7 +34,7 @@ import numpy as np
 from ...core.box import Box
 from ...neighbor.cell_slots import CellGrid, SlotState
 from .base import KSpaceResult
-from .pppm import PPPM, mspline
+from .pppm import PPPM, mspline, mspline_horner
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,9 +49,14 @@ class PatchSpec:
     cell_tile: int                 # cells per lax.map tile
 
 
-def make_patch_spec(pm: PPPM, grid: CellGrid, margin: int = 2,
+def make_patch_spec(pm: PPPM, grid: CellGrid, margin: int = 1,
                     cell_tile: Optional[int] = None,
                     skin: Optional[float] = None) -> PatchSpec:
+    """margin=1 covers the base-index rounding slop; the skin term below
+    raises it to cover inter-rebin drift.  Every patch axis P shrinks by
+    2 per unit of margin, and the transfer cost scales with P_x*P_y —
+    margin 2 -> 1 measured kspace 9.2 -> 7.3 ms at identical elong on
+    the 259k north star."""
     if skin is not None:
         # Atoms drift up to skin/2 between rebins (the runner's cadence
         # bound); the patch margin must cover that drift in grid units or
@@ -116,11 +121,14 @@ def _axis_weights(pm: PPPM, ps: PatchSpec, grid: CellGrid, xplane, ax: int,
     px = np.arange(ps.P[ax], dtype=np.float64)
     arg = (u - jnp.asarray(patch_lo, xplane.dtype))[:, None] \
         - px[None, :] + ps.order / 2.0
-    w = mspline(ps.order, arg)                              # (NS, P_ax)
+    # piecewise-Horner evaluation (the reference's rho_coeff form,
+    # pppm_intel.cpp:476-488) — ~2x cheaper than the Cox-de Boor
+    # recursion on the VPU, identical polynomial
+    w = mspline_horner(ps.order, arg)                       # (NS, P_ax)
     if deriv:
-        from .pppm import dmspline
+        from .pppm import dmspline_horner
 
-        return w, dmspline(ps.order, arg)
+        return w, dmspline_horner(ps.order, arg)
     return w
 
 
@@ -548,7 +556,8 @@ def _z_slice_windows(a, ps: PatchSpec, ncz: int, nz: int):
 
 
 def deposit_rho_zblock(pm: PPPM, ps: PatchSpec, cs: ColumnSpec,
-                       grid: CellGrid, state: SlotState, ax_mats):
+                       grid: CellGrid, state: SlotState, ax_mats,
+                       weights=None):
     """Two-stage deposition: per-(column, z-cell) patch-local matmuls,
     then a static one-hot z fold.
 
@@ -565,9 +574,13 @@ def deposit_rho_zblock(pm: PPPM, ps: PatchSpec, cs: ColumnSpec,
     Px, Py = ps.P[0], ps.P[1]
     Pz = ps.P[2]
     nz = pm.grid[2]
-    wx = _axis_weights(pm, ps, grid, state.x, 0).reshape(ncol, A, Px)
-    wy = _axis_weights(pm, ps, grid, state.y, 1).reshape(ncol, A, Py)
-    wz = _axis_weights(pm, ps, grid, state.z, 2)          # (NS, Pz) local
+    if weights is None:
+        weights = (_axis_weights(pm, ps, grid, state.x, 0),
+                   _axis_weights(pm, ps, grid, state.y, 1),
+                   _axis_weights(pm, ps, grid, state.z, 2))
+    wx = weights[0].reshape(ncol, A, Px)
+    wy = weights[1].reshape(ncol, A, Py)
+    wz = weights[2]                                       # (NS, Pz) local
     wzq = (wz * state.q[:, None]).reshape(ncol, ncz, cap, Pz)
     Z = jnp.asarray(_z_onehot(ps, ncz, nz))
 
@@ -580,6 +593,9 @@ def deposit_rho_zblock(pm: PPPM, ps: PatchSpec, cs: ColumnSpec,
 
     def one_tile(args):
         wxb, wyb, wzb = args
+        # NOTE: the one-hot spreads FUSE into the following dot; a
+        # broadcast-product wxy measured 3 ms SLOWER (fusion loss —
+        # same lesson as the pair coef-select reassociation, PERF.md)
         wxy = jnp.einsum("tax,xp->tap", wxb, jnp.asarray(Kx)) \
             * jnp.einsum("tay,yp->tap", wyb, jnp.asarray(Ky))
         wxy = wxy.reshape(-1, ncz, cap, PXY)
@@ -593,7 +609,8 @@ def deposit_rho_zblock(pm: PPPM, ps: PatchSpec, cs: ColumnSpec,
 
 
 def gather_zblock(pm: PPPM, ps: PatchSpec, cs: ColumnSpec, grid: CellGrid,
-                  state: SlotState, meshes, ax_mats, mode: str = "ik"):
+                  state: SlotState, meshes, ax_mats, mode: str = "ik",
+                  weights=None):
     """Two-stage field interpolation (see deposit_rho_zblock): static
     z-window slices, then batched (cap x PXY) @ (PXY x C*Pz) matmuls
     with the channel and patch-z axes merged on the lane dim, then a
@@ -612,18 +629,24 @@ def gather_zblock(pm: PPPM, ps: PatchSpec, cs: ColumnSpec, grid: CellGrid,
 
     ad = mode == "ad"
     if ad:
-        wx, dwx = _axis_weights(pm, ps, grid, state.x, 0, deriv=True)
-        wy, dwy = _axis_weights(pm, ps, grid, state.y, 1, deriv=True)
-        wz, dwz = _axis_weights(pm, ps, grid, state.z, 2, deriv=True)
+        if weights is None:
+            weights = (_axis_weights(pm, ps, grid, state.x, 0, deriv=True),
+                       _axis_weights(pm, ps, grid, state.y, 1, deriv=True),
+                       _axis_weights(pm, ps, grid, state.z, 2, deriv=True))
+        (wx, dwx), (wy, dwy), (wz, dwz) = weights
         dwx = (dwx * (-1.0 / pm.h[0])).reshape(ncol, A, Px)
         dwy = (dwy * (-1.0 / pm.h[1])).reshape(ncol, A, Py)
         dwz = dwz * (-1.0 / pm.h[2])
         wx = wx.reshape(ncol, A, Px)
         wy = wy.reshape(ncol, A, Py)
     else:
-        wx = _axis_weights(pm, ps, grid, state.x, 0).reshape(ncol, A, Px)
-        wy = _axis_weights(pm, ps, grid, state.y, 1).reshape(ncol, A, Py)
-        wz = _axis_weights(pm, ps, grid, state.z, 2)      # (NS, Pz)
+        if weights is None:
+            weights = (_axis_weights(pm, ps, grid, state.x, 0),
+                       _axis_weights(pm, ps, grid, state.y, 1),
+                       _axis_weights(pm, ps, grid, state.z, 2))
+        wx = weights[0].reshape(ncol, A, Px)
+        wy = weights[1].reshape(ncol, A, Py)
+        wz = weights[2]                                   # (NS, Pz)
 
     em = jnp.stack([m.astype(flt) for m in meshes])       # (C, nx, ny, nz)
     C = em.shape[0]
@@ -704,9 +727,9 @@ class CellPPPM:
     /root/reference/pppm_intel.cpp:985-1054, :678-804).
     """
 
-    def __init__(self, pm: PPPM, grid: CellGrid, margin: int = 2,
+    def __init__(self, pm: PPPM, grid: CellGrid, margin: int = 1,
                  per_slot_charge=None, skin: Optional[float] = None,
-                 transfer: str = "columns"):
+                 transfer: str = "zblock"):
         self.pm = pm
         self._margin0 = margin
         self._skin0 = skin
@@ -740,17 +763,18 @@ class CellPPPM:
                         per_slot_charge=self.b_per_type, skin=self._skin0,
                         transfer=self.transfer)
 
-    def _deposit(self, state: SlotState):
+    def _deposit(self, state: SlotState, weights=None):
         if self.transfer == "zblock":
             return deposit_rho_zblock(self.pm, self.ps, self.cspec,
-                                      self.grid, state, self.ax_mats)
+                                      self.grid, state, self.ax_mats,
+                                      weights=weights)
         if self.transfer == "columns":
             return deposit_rho_columns(self.pm, self.ps, self.cspec,
                                        self.grid, state, self.ax_mats)
         return deposit_rho_cells(self.pm, self.ps, self.grid, state)
 
     def _spectral(self, state: SlotState, qqrd2e: float, eflag: bool,
-                  vflag: bool):
+                  vflag: bool, weights=None):
         """Deposit + half-spectrum solve.  Returns (phi_hat, elong,
         virial) with energy/virial psums done."""
         pm = self.pm
@@ -759,7 +783,7 @@ class CellPPPM:
         nz = pm.grid[2]
         nzh = nz // 2 + 1
 
-        mesh = self._deposit(state)
+        mesh = self._deposit(state, weights=weights)
         rhat = jnp.fft.rfftn(mesh.astype(acc))
         G = jnp.asarray(pm.greensfn[..., :nzh], acc)
         phi_hat = G * rhat
@@ -857,8 +881,29 @@ class CellPPPM:
         else:
             qqrd2e = float(pm.qqrd2e)
 
-        phi_hat, elong, virial = self._spectral(state, qqrd2e, eflag,
-                                                vflag)
+        # zblock: the B-spline axis weights are shared between the
+        # deposit and the gather (both evaluate the SAME splines at the
+        # same positions — computing them twice measured ~1.5 ms/step)
+        shared_w = None
+        if self.transfer == "zblock":
+            if pm.diff == "ad":
+                shared_w = (
+                    _axis_weights(pm, ps, grid, state.x, 0, deriv=True),
+                    _axis_weights(pm, ps, grid, state.y, 1, deriv=True),
+                    _axis_weights(pm, ps, grid, state.z, 2, deriv=True),
+                )
+                dep_w = tuple(w for w, _ in shared_w)
+            else:
+                shared_w = (
+                    _axis_weights(pm, ps, grid, state.x, 0),
+                    _axis_weights(pm, ps, grid, state.y, 1),
+                    _axis_weights(pm, ps, grid, state.z, 2),
+                )
+                dep_w = shared_w
+
+        phi_hat, elong, virial = self._spectral(
+            state, qqrd2e, eflag, vflag,
+            weights=dep_w if shared_w is not None else None)
         ngrid = pm.grid[0] * pm.grid[1] * pm.grid[2]
         scale = 1.0 / V
         cap = grid.cap
@@ -871,7 +916,7 @@ class CellPPPM:
             if self.transfer == "zblock":
                 fx, fy, fz = gather_zblock(
                     pm, ps, self.cspec, grid, state, [u], self.ax_mats,
-                    mode="ad")
+                    mode="ad", weights=shared_w)
             elif self.transfer == "columns":
                 fx, fy, fz = gather_columns(
                     pm, ps, self.cspec, grid, state, [u], self.ax_mats,
@@ -905,7 +950,8 @@ class CellPPPM:
             return fx, fy, fz, elong, virial
 
         # ik: 3 spectral derivatives, one batched inverse real FFT
-        return self._ik_forces(state, phi_hat, qqrd2e, elong, virial)
+        return self._ik_forces(state, phi_hat, qqrd2e, elong, virial,
+                               weights=shared_w)
 
     def _weight_triple(self, state: SlotState):
         pm, ps, grid = self.pm, self.ps, self.grid
@@ -968,7 +1014,8 @@ class CellPPPM:
             axis=-1)
         return eatom, vatom
 
-    def _ik_forces(self, state: SlotState, phi_hat, qqrd2e, elong, virial):
+    def _ik_forces(self, state: SlotState, phi_hat, qqrd2e, elong, virial,
+                   weights=None):
         pm = self.pm
         acc = pm.acc_dtype
         flt = state.x.dtype
@@ -985,7 +1032,8 @@ class CellPPPM:
         if self.transfer == "zblock":
             fx, fy, fz = gather_zblock(
                 pm, self.ps, self.cspec, self.grid, state,
-                [e_stack[0], e_stack[1], e_stack[2]], self.ax_mats)
+                [e_stack[0], e_stack[1], e_stack[2]], self.ax_mats,
+                weights=weights)
         elif self.transfer == "columns":
             fx, fy, fz = gather_columns(
                 pm, self.ps, self.cspec, self.grid, state,

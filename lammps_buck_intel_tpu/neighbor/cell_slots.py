@@ -303,9 +303,12 @@ _MOVE_FIELDS = ("x", "y", "z", "vx", "vy", "vz", "fx", "fy", "fz",
 
 def move_capacity(grid: CellGrid) -> int:
     """Static mover-buffer size for rebin_incremental: few % of atoms
-    change cell per rebin under the skin/cadence bound; 1/8 of all slots
-    is a wide margin (overflow falls back to the full sort)."""
-    return min(grid.nslots, _round_up(max(1024, grid.nslots // 8), 512))
+    change cell per rebin under the skin/cadence bound.  Every mover
+    costs ~2 scalar-bound scatter/gather element-ops x 15 planes, so the
+    buffer is sized tight but with headroom (1/16 of slots; the 259k
+    bench measures movers ~4% of slots at cadence 10 on z-refined
+    cells) — overflow falls back to the full sort."""
+    return min(grid.nslots, _round_up(max(2048, grid.nslots // 16), 512))
 
 
 def rebin_incremental(grid: CellGrid, box: Box, state: SlotState,
@@ -361,20 +364,16 @@ def rebin_incremental(grid: CellGrid, box: Box, state: SlotState,
             q=jnp.where(moved, jnp.zeros((), st.q.dtype), st.q),
         )
 
-        # 3) per-cell free-slot table from the vacated state
+        # 3) per-cell free-slot table from the vacated state: a dense
+        # (ncell, cap) minor-axis sort (free positions first, cap
+        # sentinels after) — NOT an (NS,)-sized scatter pair, which was
+        # scalar-bound and dominated the whole rebin (measured)
         free = (st.aid >= n).reshape(ncell, cap)
-        frank = jnp.cumsum(free.astype(jnp.int32), axis=1)  # inclusive
-        free_count = frank[:, -1]
-        r_of_slot = (frank - 1).reshape(-1)
-        fp_idx = jnp.where(
-            free.reshape(-1),
-            slot_cell * cap + r_of_slot,
-            ns,
-        )
-        free_pos = jnp.full((ns,), cap, jnp.int32)
-        free_pos = free_pos.at[fp_idx].set(
-            jnp.tile(jnp.arange(cap, dtype=jnp.int32), ncell),
-            mode="drop")
+        free_count = jnp.sum(free.astype(jnp.int32), axis=1)
+        slot_in_cell = jnp.broadcast_to(
+            jnp.arange(cap, dtype=jnp.int32)[None, :], (ncell, cap))
+        free_pos = jnp.sort(
+            jnp.where(free, slot_in_cell, cap), axis=1).reshape(-1)
 
         # 4) order movers by target cell; rank within cell
         order = jnp.argsort(tgt_cid)  # B log^2 B — small

@@ -1,21 +1,18 @@
-"""Pallas cell-pair force kernel — VMEM-fused variant of the dense kernel.
+"""Pallas cell-pair force kernels — EXPERIMENTS, not the production path.
 
-Keeps the whole pair-tile pipeline in VMEM: grid over cell blocks, the 27
-neighbor-cell sub-tiles processed in an on-chip fori_loop with (cap, cap)
-working sets, accumulating forces in VMEM.  Physics reuses the exact
-pair_terms formula set, so numerical equivalence with both other engines is
-testable to f32 summation order.
-
-STATUS: v1 measured 107 ms/step vs 59 ms for the XLA dense kernel
-(TPU v5e, 259k-atom silica, cap=168) — the gap was lane padding
-(168 -> 256) in its (cap, cap) inner tiles plus the unpipelined
-27-iteration loop.  Both diagnosed costs are since fixed: v2 lane-fuses
-9 j-cells per tile (1.6% pad), v3 additionally moves the group loop
-into the grid (double-buffered j DMA, VMEM-resident accumulator).
-All three are selectable in the PRODUCTION step via the deck key
-`pair_kernel:` (integrate/cellpair_verlet.py), and `bench.py`
-auto-tunes across {xla, v2, v3} on the hardware at run time with an
-etotal cross-check — whichever kernel wins gets certified.
+VERDICT (three hardware A/Bs, judge r3 #9 resolution): XLA's dense
+kernel wins at every tile shape tried, because it fuses the pre-gathered
+j-planes directly into the physics while a hand kernel re-stages them
+through VMEM block specs.  Measured on the 259k silica pair pass
+(TPU v5e): v1 full-27 105.5 ms, v2 lane-fused 67.0 ms, v3 pipelined
+77.7 ms vs XLA Newton half-stencil 34.4 ms (PERF.md, r3).  v1 (the
+least competitive and least instructive variant: lane padding 168->256
++ an unpipelined 27-iteration loop, both diagnosed and fixed in v2/v3)
+is retired; v2/v3 stay selectable via the deck key `pair_kernel:`
+(integrate/cellpair_verlet.py) as the recorded experiment and the
+starting point should the fusion balance shift on future hardware.
+`bench.py` defaults to the XLA kernel; BENCH_AUTOTUNE=full re-runs the
+full A/B.
 
 The j-side (ncell, 27*cap) planes are pre-gathered by XLA (a static
 row-gather, bandwidth-cheap); Pallas removes only the expensive part — the
@@ -72,100 +69,6 @@ def _tile_physics(style, L, n_atoms, ntypes, flat_tables,
                                eflag=False)
     fscalar = jnp.where(mask, fscalar, 0.0)
     return fscalar, d
-
-
-def make_pallas_cellpair(style: PairStyle, grid: CellGrid, box,
-                         interpret: bool = False):
-    """Build a jit-able slot-force function fn(state) -> (fx, fy, fz).
-
-    Force-only, no special bonds (production inner steps of atomic decks);
-    energy/virial passes use the XLA kernel at thermo cadence.
-    """
-    cap = grid.cap
-    ncell = grid.ncell
-    n = grid.n_atoms
-    ntypes = style.tables.shape[0]
-    flat_tables = np.asarray(style.tables).reshape(ntypes * ntypes, -1)
-    L = [float(v) for v in np.asarray(box.lengths)]
-    nbr = grid.nbr_array()
-
-    # Mosaic wants the second-to-last block dim divisible by 8: process
-    # CB = 8 cells per grid step (python-unrolled inside the kernel).
-    CB = 8
-    ncell_p = ((ncell + CB - 1) // CB) * CB
-
-    def kernel(xi_r, yi_r, zi_r, qi_r, ti_r, ai_r,
-               xj_r, yj_r, zj_r, qj_r, tj_r, aj_r,
-               fx_r, fy_r, fz_r):
-        for c in range(CB):
-            xi = xi_r[c, :]
-            yi = yi_r[c, :]
-            zi = zi_r[c, :]
-            qi = qi_r[c, :]
-            ti = ti_r[c, :]
-            ai = ai_r[c, :]
-
-            def body(k, acc, c=c, xi=xi, yi=yi, zi=zi, qi=qi, ti=ti, ai=ai):
-                accx, accy, accz = acc
-                fs, d = _tile_physics(
-                    style, L, n, ntypes, flat_tables,
-                    xi, yi, zi, qi, ti, ai,
-                    xj_r[c, k, :], yj_r[c, k, :], zj_r[c, k, :],
-                    qj_r[c, k, :], tj_r[c, k, :], aj_r[c, k, :],
-                )
-                accx = accx + jnp.sum(fs * d[0], axis=1)
-                accy = accy + jnp.sum(fs * d[1], axis=1)
-                accz = accz + jnp.sum(fs * d[2], axis=1)
-                return accx, accy, accz
-
-            z = jnp.zeros((cap,), xi.dtype)
-            fx, fy, fz = jax.lax.fori_loop(0, 27, body, (z, z, z))
-            fx_r[c, :] = fx
-            fy_r[c, :] = fy
-            fz_r[c, :] = fz
-
-    ispec = pl.BlockSpec((CB, cap), lambda c: (c, 0),
-                         memory_space=pltpu.VMEM)
-    jspec = pl.BlockSpec((CB, 27, cap), lambda c: (c, 0, 0),
-                         memory_space=pltpu.VMEM)
-
-    call = pl.pallas_call(
-        kernel,
-        grid=(ncell_p // CB,),
-        in_specs=[ispec] * 6 + [jspec] * 6,
-        out_specs=[ispec] * 3,
-        out_shape=[jax.ShapeDtypeStruct((ncell_p, cap), jnp.float32)] * 3,
-        interpret=interpret,
-    )
-
-    nbr_j = jnp.asarray(nbr)
-    padc = ncell_p - ncell
-
-    def fn(state: SlotState):
-        def cv(p, fill=0):
-            a = p.reshape(ncell, cap)
-            if padc:
-                a = jnp.concatenate(
-                    [a, jnp.full((padc, cap), fill, a.dtype)])
-            return a
-
-        def jv(p, fill=0):
-            a = p.reshape(ncell, cap)[nbr_j]          # (ncell, 27, cap)
-            if padc:
-                a = jnp.concatenate(
-                    [a, jnp.full((padc, 27, cap), fill, a.dtype)])
-            return a
-
-        fx, fy, fz = call(
-            cv(state.x), cv(state.y), cv(state.z), cv(state.q),
-            cv(state.typ), cv(state.aid, fill=n),
-            jv(state.x), jv(state.y), jv(state.z), jv(state.q),
-            jv(state.typ), jv(state.aid, fill=n),
-        )
-        return (fx[:ncell].reshape(-1), fy[:ncell].reshape(-1),
-                fz[:ncell].reshape(-1))
-
-    return fn
 
 
 def make_pallas_cellpair_v2(style: PairStyle, grid: CellGrid, box,
@@ -427,7 +330,7 @@ def benchmark_vs_xla(deck: str = "silica_pppm.yaml", nscan: int = 10,
     out["xla_newton_half"] = _time_force(xla_variant(True), state,
                                          nscan, reps)
     out["xla_full27"] = _time_force(xla_variant(False), state, nscan, reps)
-    for name, builder in (("pallas_full27", make_pallas_cellpair),
+    for name, builder in (
                           ("pallas_v2_lanefused", make_pallas_cellpair_v2),
                           ("pallas_v3_pipelined", make_pallas_cellpair_v3)):
         try:

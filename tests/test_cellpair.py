@@ -312,26 +312,6 @@ def test_profiler_phases():
     assert all(v > 0 for v in t.values())
 
 
-def test_pallas_cellpair_matches_xla():
-    """Pallas VMEM kernel == XLA dense kernel (interpret mode on CPU)."""
-    from lammps_buck_intel_tpu.ops.pallas_cellpair import make_pallas_cellpair
-
-    xs, v, box, n, u = _melt(6)
-    rng = np.random.RandomState(0)
-    xs = xs + rng.uniform(-0.1, 0.1, xs.shape)
-    grid = cs.make_grid(n, box.lengths, 2.8)
-    st = cs.from_atoms(grid, box, xs, np.zeros_like(xs),
-                       np.zeros((n, 3), np.int32), np.zeros(n, np.int32),
-                       np.zeros(n), dtype=jnp.float32)
-    style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5)
-    ref = compute_cellpair(style, grid, box, st)
-    fn = make_pallas_cellpair(style, grid, box, interpret=True)
-    fx, fy, fz = fn(st)
-    scale = float(jnp.max(jnp.abs(ref.fx)))
-    assert float(jnp.max(jnp.abs(fx - ref.fx))) / scale < 1e-5
-    assert float(jnp.max(jnp.abs(fz - ref.fz))) / scale < 1e-5
-
-
 def test_pallas_cellpair_v3_matches_xla():
     """Pipelined lane-fused Pallas variant == XLA dense kernel
     (interpret mode): the group loop lives in the grid and the output
