@@ -131,8 +131,11 @@ def main():
                 raise RuntimeError(
                     f"etotal {row['etotal']:.6g} != ref {ref_etotal:.6g}")
             t0 = time.perf_counter()
-            sim.run(30, log=False)
-            ms = (time.perf_counter() - t0) / 30 * 1e3
+            # 40 = 2x the deck's rebuild cadence: the trial must reuse
+            # the warmed block size (a fresh block length recompiles
+            # mid-trial and reads as a bogus 10x slowdown)
+            sim.run(40, log=False)
+            ms = (time.perf_counter() - t0) / 40 * 1e3
             trials[kernel] = round(ms, 3)
             if best is None or ms < best[1]:
                 best = (kernel, ms, sim)
