@@ -407,6 +407,10 @@ class NPTSimulation:
         PPPM::setup()-on-box-change contract (TracedPPPM.tables), invoked
         once per cadence block, not per step."""
         if self.kspace is not None and hasattr(self.kspace, "tables"):
+            if self._tilt0 is not None:
+                # traced-h PPPM: tilts derive from the traced lengths
+                return self.kspace.tables(st.boxL,
+                                          tilt=self._tilt_of(st.boxL))
             return self.kspace.tables(st.boxL)
         return None
 

@@ -125,8 +125,15 @@ class TracedPPPM:
         if not isinstance(pm, PPPM):
             raise NotImplementedError(
                 f"TracedPPPM wraps a plain PPPM solver, got {type(pm)}")
-        if pm.recip is not None:
-            raise NotImplementedError("TracedPPPM: orthogonal boxes only")
+        # triclinic: the mesh is uniform in lamda space and the wave
+        # vectors come from the traced h^-T (fix_nh tilt-scale rules give
+        # the tilts as functions of the traced lengths) — the
+        # poisson_ik_triclinic generalization under a variable cell
+        # (/root/reference/pppm_intel.cpp:153-157,878-881).  ik only
+        # (setup_pppm already rejects triclinic ad/slab).
+        self.triclinic = pm.recip is not None
+        if self.triclinic and pm.slab is not None:
+            raise NotImplementedError("triclinic + slab correction")
         self.pm = pm
         self.diff = pm.diff
         # kspace_modify slab <factor>: all k-space geometry below runs on
@@ -158,39 +165,64 @@ class TracedPPPM:
             L[2] = L[2] * self.slab
         return L
 
+    def _hinv_traced(self, boxL, tilt):
+        """Traced upper-triangular h^-1 rows (Box.h_inv closed form)."""
+        acc = self.acc_dtype
+        lx, ly, lz = (boxL[a].astype(acc) for a in range(3))
+        xy, xz, yz = (tilt[a].astype(acc) for a in range(3))
+        zero = jnp.zeros_like(lx)
+        return ((1.0 / lx, -xy / (lx * ly),
+                 (xy * yz - ly * xz) / (lx * ly * lz)),
+                (zero, 1.0 / ly, -yz / (ly * lz)),
+                (zero, zero, 1.0 / lz))
+
+    def _k_traced(self, boxL, tilt, mx, my, mz):
+        """Cartesian k components for (broadcastable) harmonic numbers:
+        k = 2 pi h^-T m.  Orthogonal boxes keep per-axis shapes."""
+        acc = self.acc_dtype
+        twopi = 2.0 * np.pi
+        if not self.triclinic:
+            L = self._L_eff(boxL)
+            return (mx * (twopi / L[0]), my * (twopi / L[1]),
+                    mz * (twopi / L[2]))
+        hinv = self._hinv_traced(boxL, tilt)
+        kx = twopi * hinv[0][0] * mx
+        ky = twopi * (hinv[0][1] * mx + hinv[1][1] * my)
+        kz = twopi * (hinv[0][2] * mx + hinv[1][2] * my
+                      + hinv[2][2] * mz)
+        return kx, ky, kz
+
     # ---- per-block tables ----
 
-    def tables(self, boxL):
+    def tables(self, boxL, tilt=None):
         """Traced box-dependent tables: call once per cadence block.
 
         Returns {"G": (nx,ny,nz)} plus, in ad mode, the re-fit self-force
         sine coefficients {"sf": (3, J)} — everything else (k vectors,
-        volume, grid origin) is cheap enough to rebuild per force call."""
+        volume, grid origin) is cheap enough to rebuild per force call.
+        ``tilt``: traced (3,) [xy, xz, yz] for a variable triclinic cell
+        (k = 2 pi h^-T m with the traced h)."""
         acc = self.acc_dtype
         g2 = self.g_ewald * self.g_ewald
         L = self._L_eff(boxL)
-        twopi = 2.0 * np.pi
-        # folded k components (traced)
-        k = [jnp.asarray(self._m[ax], acc) * (twopi / L[ax])
-             for ax in range(3)]
-        kx = k[0][:, None, None]
-        ky = k[1][None, :, None]
-        kz = k[2][None, None, :]
+        mx = jnp.asarray(self._m[0], acc)[:, None, None]
+        my = jnp.asarray(self._m[1], acc)[None, :, None]
+        mz = jnp.asarray(self._m[2], acc)[None, None, :]
+        kx, ky, kz = self._k_traced(boxL, tilt, mx, my, mz)
         ksq = kx * kx + ky * ky + kz * kz
         S = 2 * self._nalias + 1
-        # shifted k components per axis/alias (traced, (S, n))
-        km = [jnp.asarray(self._ms[ax], acc) * (twopi / L[ax])
-              for ax in range(3)]
         num = jnp.zeros(self.grid, acc)
         for sx in range(S):
             u2x = jnp.asarray(self._u2[0][sx], acc)[:, None, None]
-            kmx = km[0][sx][:, None, None]
+            mxs = jnp.asarray(self._ms[0][sx], acc)[:, None, None]
             for sy in range(S):
                 u2y = jnp.asarray(self._u2[1][sy], acc)[None, :, None]
-                kmy = km[1][sy][None, :, None]
+                mys = jnp.asarray(self._ms[1][sy], acc)[None, :, None]
                 for sz in range(S):
                     u2z = jnp.asarray(self._u2[2][sz], acc)[None, None, :]
-                    kmz = km[2][sz][None, None, :]
+                    mzs = jnp.asarray(self._ms[2][sz], acc)[None, None, :]
+                    kmx, kmy, kmz = self._k_traced(boxL, tilt, mxs, mys,
+                                                   mzs)
                     kmsq = kmx * kmx + kmy * kmy + kmz * kmz
                     safe = jnp.where(kmsq == 0.0, 1.0, kmsq)
                     g = jnp.where(
@@ -208,11 +240,23 @@ class TracedPPPM:
 
     # ---- force/energy pass ----
 
-    def _weights(self, x, boxL, deriv: bool = False):
+    def _weights(self, x, boxL, tilt=None, deriv: bool = False):
         # grid origin = real box lo; grid span = the (slab-extended)
-        # k-space box, vacuum padding above
+        # k-space box, vacuum padding above.  Triclinic: uniform mesh in
+        # LAMDA space (particle_map under x2lamda, pppm_intel.cpp:153).
         p = self.order
         lo = jnp.asarray(self._center, x.dtype) - 0.5 * boxL.astype(x.dtype)
+        if self.triclinic:
+            hinv = self._hinv_traced(boxL, tilt)
+            dx = [x[:, c] - lo[c] for c in range(3)]
+            out = []
+            for ax, n in enumerate(self.grid):
+                lam = None
+                for c in range(ax, 3):    # upper triangular h^-1
+                    t = hinv[ax][c].astype(x.dtype) * dx[c]
+                    lam = t if lam is None else lam + t
+                out.append(bspline_weights(lam * n, p, deriv=deriv))
+            return out
         Leff = self._L_eff(boxL)
         out = []
         for ax, n in enumerate(self.grid):
@@ -226,22 +270,24 @@ class TracedPPPM:
                 for ax, n in enumerate(self.grid)]
 
     def compute_traced(self, x, q, boxL, eflag: bool = True,
-                       vflag: bool = True, kc=None) -> KSpaceResult:
+                       vflag: bool = True, kc=None,
+                       tilt=None) -> KSpaceResult:
         """Same contract as Ewald.compute_traced, plus optional ``kc``
         tables from :meth:`tables` (recomputed here when absent — pass
-        them per block to amortize the influence-function rebuild)."""
+        them per block to amortize the influence-function rebuild) and
+        ``tilt`` for a variable triclinic cell."""
         acc = self.acc_dtype
         nx, ny, nz = self.grid
         ngrid = nx * ny * nz
         qqrd2e = self.qqrd2e
         if kc is None:
-            kc = self.tables(boxL)
+            kc = self.tables(boxL, tilt)
         ad = self.diff == "ad"
         Leff = self._L_eff(boxL)
         V = (Leff[0] * Leff[1] * Leff[2]).astype(acc)
 
         # deposition (particle_map/make_rho under the traced box)
-        wx_ = self._weights(x, boxL, deriv=ad)
+        wx_ = self._weights(x, boxL, tilt, deriv=ad)
         bases = [w[0] for w in wx_]
         ws = [w[1] for w in wx_]
         dws = [w[2] for w in wx_] if ad else None
@@ -258,12 +304,10 @@ class TracedPPPM:
         G = kc["G"].astype(acc)
         phi_hat = G * rhat
 
-        k = [jnp.asarray(self._m[ax], acc)
-             * jnp.asarray(2.0 * np.pi, acc) / Leff[ax].astype(acc)
-             for ax in range(3)]
-        kx = k[0][:, None, None]
-        ky = k[1][None, :, None]
-        kz = k[2][None, None, :]
+        mx = jnp.asarray(self._m[0], acc)[:, None, None]
+        my = jnp.asarray(self._m[1], acc)[None, :, None]
+        mz = jnp.asarray(self._m[2], acc)[None, None, :]
+        kx, ky, kz = self._k_traced(boxL, tilt, mx, my, mz)
 
         if eflag or vflag:
             s2 = jnp.real(rhat * jnp.conj(rhat))
