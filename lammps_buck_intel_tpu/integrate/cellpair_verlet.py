@@ -29,6 +29,34 @@ from .shake import (ShakeConstraints, make_clusters,
                     shake_positions_clustered, rattle_velocities_clustered)
 
 
+def _detect_uniform_special(sidx, scode, mol, f_lj_tab, f_coul_tab):
+    """(f_lj, f_coul) when the special topology is exactly 'every intra-
+    molecular pair, one factor pair' (SPC/E-class rigid molecules); None
+    otherwise.  Host-side, runs once at engine build."""
+    mol = np.asarray(mol, np.int64)
+    if mol.size == 0 or sidx.shape[1] == 0:
+        return None
+    valid = sidx >= 0
+    n = len(mol)
+    # every special partner shares the atom's molecule
+    part_mol = mol[np.clip(sidx, 0, n - 1)]
+    if not np.all(part_mol[valid] == mol[:, None].repeat(
+            sidx.shape[1], 1)[valid]):
+        return None
+    # every intra pair IS special: per-atom special count == mol size - 1
+    sizes = np.bincount(mol)
+    if not np.all(valid.sum(1) == sizes[mol] - 1):
+        return None
+    codes = np.unique(np.asarray(scode)[valid])
+    if len(codes) == 0:
+        return None
+    flj = f_lj_tab[codes]
+    fc = f_coul_tab[codes]
+    if not (np.all(flj == flj[0]) and np.all(fc == fc[0])):
+        return None
+    return float(flj[0]), float(fc[0])
+
+
 class CellOverflowError(RuntimeError):
     """A rebin dropped atoms: per-cell occupancy exceeded the capacity.
 
@@ -179,6 +207,22 @@ class CellPairSimulation:
         else:
             self._special_idx = None
             self._special_code = None
+        # uniform-special fast path: when every molecule's intra pairs are
+        # ALL special with ONE (f_lj, f_coul) — SPC/E-class waters — the
+        # kernel replaces the (tile, cap, K*cap, S) partner matching with
+        # a single molecule-id compare (measured ~4 ms/step at 288k)
+        self._uniform_special = None
+        self._umol_pad = None
+        if (self._special_idx is not None and self._mol is not None
+                and self._mol.ndim > 0 and self._excl_mol is None):
+            us = _detect_uniform_special(
+                self._special_idx[:-1], self._special_code[:-1],
+                self._mol, np.asarray(pair.special_lj),
+                np.asarray(pair.special_coul))
+            if us is not None:
+                self._uniform_special = us
+                self._umol_pad = np.concatenate(
+                    [self._mol.astype(np.int32), [-1]])
 
         comp = self.precision.compensated
         if comp and self.box.is_triclinic:
@@ -311,12 +355,19 @@ class CellPairSimulation:
             jnp.arange(ns, dtype=jnp.int32), mode="drop")
 
     def _slot_specials(self, state: cs.SlotState):
+        """(special_idx, special_code, uniform_mol) slot planes — the
+        third is set (and the first two None) on the uniform-special
+        fast path (see __init__)."""
+        if self._uniform_special is not None:
+            aid = jnp.minimum(state.aid, self.n_atoms)
+            return None, None, jnp.asarray(self._umol_pad)[aid]
         if self._special_idx is None:
-            return None, None
+            return None, None, None
         aid = jnp.minimum(state.aid, self.n_atoms)
         return (
             jnp.asarray(self._special_idx)[aid],
             jnp.asarray(self._special_code)[aid],
+            None,
         )
 
     def _slot_mol(self, state: cs.SlotState):
@@ -327,7 +378,7 @@ class CellPairSimulation:
         return slot_mol_gather(self._excl_mol, state.aid, self.n_atoms)
 
     def _forces(self, state: cs.SlotState, sp, eflag: bool, vflag: bool):
-        sp_idx, sp_code = sp
+        sp_idx, sp_code, umol = sp
         if self._pallas_fn is not None and not eflag and not vflag:
             # VMEM-fused Pallas pair kernel on the force-only inner steps
             fx, fy, fz = self._pallas_fn(state)
@@ -339,6 +390,7 @@ class CellPairSimulation:
                 eflag=eflag, vflag=vflag, acc_dtype=self.precision.acc,
                 slot_special_idx=sp_idx, slot_special_code=sp_code,
                 newton=self._newton, slot_mol=self._slot_mol(state),
+                uniform_special=self._uniform_special, slot_umol=umol,
             )
             fx, fy, fz = r.fx, r.fy, r.fz
             virial = r.virial
@@ -471,10 +523,13 @@ class CellPairSimulation:
                 x = st.x + dtv * vx
                 y = st.y + dtv * vy
                 z = st.z + dtv * vz
+            shake_r = None
             if sc is not None:
-                (x, y, z), (vx, vy, vz) = shake_positions_clustered(
-                    sc, cl, (st.x, st.y, st.z), (x, y, z), (vx, vy, vz),
-                    dtv, Lbox, shake_rows)
+                (x, y, z), (vx, vy, vz), shake_r = \
+                    shake_positions_clustered(
+                        sc, cl, (st.x, st.y, st.z), (x, y, z),
+                        (vx, vy, vz), dtv, Lbox, shake_rows,
+                        return_r=True)
             st = st._replace(x=x, y=y, z=z)
             (fx, fy, fz), *_ = self._forces(st, sp, False, False)
             if self.bonded is not None:
@@ -492,8 +547,11 @@ class CellPairSimulation:
                 vy = vy + (dtf * minv) * fy
                 vz = vz + (dtf * minv) * fz
             if sc is not None:
+                # r_pre: reuse SHAKE's corrected bond vectors (positions
+                # are unchanged since) — skips 3 scalar-bound gathers
                 vx, vy, vz = rattle_velocities_clustered(
-                    sc, cl, (x, y, z), (vx, vy, vz), Lbox, shake_rows)
+                    sc, cl, (x, y, z), (vx, vy, vz), Lbox, shake_rows,
+                    r_pre=shake_r)
             if cfg is not None:
                 vs = jnp.stack([vx, vy, vz], -1)
                 chain = NHChain(eta=th[0], eta_dot=th[1])

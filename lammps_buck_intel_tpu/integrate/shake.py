@@ -435,7 +435,8 @@ def _solve_small(J, F, cmaskT):
 
 def shake_positions_clustered(sc: ShakeConstraints, cl: ShakeClusters,
                               xs_old, xs_new, vs, dt: float, L, rows,
-                              virial_factor=None, vweights=None):
+                              virial_factor=None, vweights=None,
+                              return_r: bool = False):
     """Cluster-dense SHAKE in lanes-last layout (see _lanes_last).
 
     xs_old/xs_new/vs: (x, y, z) component-plane TUPLES, each (nrows,).
@@ -493,6 +494,13 @@ def shake_positions_clustered(sc: ShakeConstraints, cl: ShakeClusters,
             dx[c].T.reshape(-1), mode="drop")
         x_fix.append(xf)
         v_out.append(vs[c] + (xf - xs_new[c]) / dt)
+    if return_r:
+        # the solver's rn IS the corrected bond-vector set (tracked in
+        # constraint space) — hand it to RATTLE so the velocity pass
+        # skips its 3 position-plane gathers (scalar-bound, measured
+        # ~2.2 ms/plane at SPC/E scale)
+        if virial_factor is None:
+            return tuple(x_fix), tuple(v_out), rn
     if virial_factor is None:
         return tuple(x_fix), tuple(v_out)
     wc = -lam * virial_factor * cmaskT                   # pair force on i
@@ -507,7 +515,8 @@ def shake_positions_clustered(sc: ShakeConstraints, cl: ShakeClusters,
 
 
 def rattle_velocities_clustered(sc: ShakeConstraints, cl: ShakeClusters,
-                                xs, vs, L, rows, iters: int = None):
+                                xs, vs, L, rows, iters: int = None,
+                                r_pre=None):
     """Cluster-dense RATTLE in lanes-last layout (see _lanes_last).
 
     xs/vs: (x, y, z) / (vx, vy, vz) component-plane tuples; returns the
@@ -519,7 +528,7 @@ def rattle_velocities_clustered(sc: ShakeConstraints, cl: ShakeClusters,
     and ignored; the old Jacobi form needed 20-30 sweeps for the same
     answer)."""
     del iters
-    flt = xs[0].dtype
+    flt = vs[0].dtype
     Dn, WTn, d2n, cmn, imn, amn, Kn = _lanes_last(cl)
     D = jnp.asarray(Dn, flt)
     WT = jnp.asarray(WTn, flt)
@@ -531,7 +540,8 @@ def rattle_velocities_clustered(sc: ShakeConstraints, cl: ShakeClusters,
     def rvec(a3):
         return [jnp.einsum("cam,am->cm", D, comp) for comp in a3]
 
-    r = jnp.stack(_minimg_planes(*rvec([p[rowsT] for p in xs]), L))
+    r = (r_pre if r_pre is not None else
+         jnp.stack(_minimg_planes(*rvec([p[rowsT] for p in xs]), L)))
     dv0 = jnp.stack(rvec([p[rowsT] for p in vs]))        # (3, C, M)
     B = jnp.sum(r[:, :, None, :] * r[:, None, :, :], 0)  # (C, D, M)
     mu = _solve_small(B * K, -jnp.sum(r * dv0, 0), cmaskT)

@@ -278,6 +278,7 @@ def compute_cell_tiles_newton(
     slot_special_idx: Optional[jnp.ndarray] = None,
     slot_special_code: Optional[jnp.ndarray] = None,
     h_matrix: Optional[np.ndarray] = None,
+    uniform_special=None,
 ) -> CellPairResult:
     """Half-stencil form of the dense kernel (Newton's 3rd law).
 
@@ -304,6 +305,12 @@ def compute_cell_tiles_newton(
     ntypes = style.tables.shape[0]
     has_special = (slot_special_idx is not None
                    and slot_special_idx.shape[1] > 0)
+    # uniform-special fast path: planes["umol"] carries molecule ids and
+    # ONE (f_lj, f_coul) applies to every same-molecule pair — a single
+    # compare instead of the (tile, cap, K*cap, S) partner matching
+    has_usp = uniform_special is not None and "umol" in planes
+    if has_usp:
+        has_special = False
 
     offs = half_offsets(grid.reach_z)
     K = offs.shape[0]
@@ -373,6 +380,12 @@ def compute_cell_tiles_newton(
     else:
         mi_t = jnp.zeros((nt, tile, 0), jnp.int32)
         mj_t = jnp.zeros((nt, tile, 0), jnp.int32)
+    if has_usp:
+        um_i_t = tiled(cellv(planes["umol"]), fill=-1)
+        um_j_t = tiled(jv(planes["umol"]), fill=-2)
+    else:
+        um_i_t = jnp.zeros((nt, tile, 0), jnp.int32)
+        um_j_t = jnp.zeros((nt, tile, 0), jnp.int32)
 
     flat_tables = np.asarray(style.tables).reshape(ntypes * ntypes, -1)
     # static: which of the K*cap j-columns form the self block
@@ -382,7 +395,7 @@ def compute_cell_tiles_newton(
 
     def one_tile(args):
         (xi, yi, zi, xj, yj, zj, aid_i, aid_j, ti, tj, qi, qj,
-         sp_i, sp_c, mi, mj) = args
+         sp_i, sp_c, mi, mj, um_i, um_j) = args
         valid = (aid_i[:, :, None] < n) & (aid_j[:, None, :] < n)
         # self tile: count each pair once (i < j); cross tiles: all pairs
         dedup = jnp.where(self_block_j[None, None, :],
@@ -410,7 +423,14 @@ def compute_cell_tiles_newton(
         qip = qi[:, :, None] if style.cfg.has_coul else 0.0
         qjp = qj[:, None, :] if style.cfg.has_coul else 0.0
 
-        if has_special:
+        if has_usp:
+            same = um_i[:, :, None] == um_j[:, None, :]
+            one = jnp.asarray(1.0, flt)
+            f_lj = jnp.where(same, jnp.asarray(uniform_special[0], flt),
+                             one)
+            f_coul = jnp.where(same, jnp.asarray(uniform_special[1], flt),
+                               one)
+        elif has_special:
             match = sp_i[:, :, None, :] == aid_j[:, None, :, None]
             sb = jnp.sum(jnp.where(match, sp_c[:, :, None, :], 0), axis=-1)
             f_lj = _select_small(style.special_lj, sb, rsq.shape, flt)
@@ -453,7 +473,7 @@ def compute_cell_tiles_newton(
         one_tile,
         (xi_t[0], xi_t[1], xi_t[2], xj_t[0], xj_t[1], xj_t[2],
          aid_i_t, aid_j_t, ti_t, tj_t, qi_t, qj_t, sp_i_t, sp_c_t,
-         mi_t, mj_t),
+         mi_t, mj_t, um_i_t, um_j_t),
     )
 
     def uncell(a):   # (nt, tile, cap) -> (ncell, cap)
@@ -508,6 +528,8 @@ def compute_cellpair(
     slot_special_code: Optional[jnp.ndarray] = None,  # (NS, S) int8
     newton: bool = True,
     slot_mol: Optional[jnp.ndarray] = None,           # (NS,) mol ids >= 0
+    uniform_special=None,                             # (f_lj, f_coul)
+    slot_umol: Optional[jnp.ndarray] = None,          # (NS,) mol ids
 ) -> CellPairResult:
     """Single-device form: i == j == the full grid, periodic 27-table.
 
@@ -523,6 +545,8 @@ def compute_cellpair(
     planes = _state_planes(state)
     if slot_mol is not None:
         planes["mol"] = slot_mol
+    if uniform_special is not None and slot_umol is not None:
+        planes["umol"] = slot_umol
     h = box.h_matrix if box.is_triclinic else None
     if grid.reach_z > 1 and not (newton or h is not None):
         raise NotImplementedError(
@@ -534,6 +558,7 @@ def compute_cellpair(
             slot_special_idx=slot_special_idx,
             slot_special_code=slot_special_code,
             h_matrix=h,
+            uniform_special=uniform_special,
         )
     return compute_cell_tiles(
         style, box.lengths, grid.n_atoms, grid.cap, grid.nbr_array(),

@@ -69,6 +69,8 @@ def profile_phases(sim, nscan: int = 10, reps: int = 3) -> dict:
             sim.pair, sim.grid, sim.box, st, eflag=False, vflag=False,
             acc_dtype=sim.precision.acc,
             slot_special_idx=spp[0], slot_special_code=spp[1],
+            uniform_special=getattr(sim, "_uniform_special", None),
+            slot_umol=spp[2] if len(spp) > 2 else None,
         )
         return _chain(st, rr.fx, rr.fy, rr.fz)
 

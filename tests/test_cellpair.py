@@ -488,3 +488,81 @@ def test_overflow_rollback_auto_grow():
     aid = np.asarray(sim.state.aid)
     assert (aid < n).sum() == n, "atoms lost across rollback"
     assert np.isfinite(rows[-1]["etotal"])
+
+
+def test_uniform_special_fast_path_matches_tables():
+    """The uniform-special molecule fast path (one mol-id compare
+    instead of per-partner special matching) is detected for SPC/E-class
+    topologies and produces identical forces/energies to the table
+    path."""
+    import jax.numpy as jnp
+    from lammps_buck_intel_tpu.core import (
+        make_box, make_system, build_topology, get_units, double,
+    )
+    from lammps_buck_intel_tpu.integrate import CellPairSimulation
+    from lammps_buck_intel_tpu.models.pair import build_lj
+
+    u = get_units("real")
+    rng = np.random.default_rng(11)
+    # 64 rigid-water-like molecules on a grid
+    nmol, L = 64, 18.0
+    grid_pos = (np.stack(np.meshgrid(*[np.arange(4)] * 3, indexing="ij"),
+                         -1).reshape(-1, 3) + 0.5) * (L / 4)
+    x, typ, mol, bonds, angles = [], [], [], [], []
+    for m in range(nmol):
+        o = grid_pos[m]
+        x += [o, o + [0.96, 0.2, 0.0], o + [-0.3, 0.9, 0.1]]
+        typ += [0, 1, 1]
+        mol += [m] * 3
+        b = 3 * m
+        bonds += [[0, b, b + 1], [0, b, b + 2]]
+        angles += [[0, b + 1, b, b + 2]]
+    x = np.asarray(x) + rng.uniform(-0.02, 0.02, (3 * nmol, 3))
+    n = len(x)
+    q = np.tile([-0.8476, 0.4238, 0.4238], nmol)
+    box = make_box(np.zeros(3), [L] * 3)
+    topo = build_topology(n, bonds=np.asarray(bonds),
+                          angles=np.asarray(angles))
+    style = build_lj(
+        2, {(0, 0): (0.155, 3.166), (0, 1): (0.0, 0.0),
+            (1, 1): (0.0, 0.0)},
+        cut_global=5.0, coul="long", cut_coul=5.0,
+        special_lj=(1.0, 0.0, 0.0, 0.5), special_coul=(1.0, 0.0, 0.0, 0.5),
+        qqrd2e=u.qqrd2e, dtype=jnp.float64)
+    system = make_system(x, box, type=np.asarray(typ), q=q,
+                         mass=np.array([15.9994, 1.008]),
+                         molecule=np.asarray(mol), dtype=jnp.float64)
+
+    sim = CellPairSimulation(system, style, topology=topo, units=u,
+                             precision=double(),
+                             neighbor=NeighborPolicy(skin=0.5, every=5,
+                                                     check=False))
+    assert sim._uniform_special == (0.0, 0.0)
+    row_fast = sim.thermo()
+
+    sim._uniform_special = None      # force the table path
+    sim._umol_pad = None
+    sim._chunk_fns = {}
+    sim._thermo_jit = jax.jit(sim._thermo_device)
+    row_tab = sim.thermo()
+    for key in ("evdwl", "ecoul", "press", "temp"):
+        np.testing.assert_allclose(row_fast[key], row_tab[key],
+                                   rtol=1e-12, atol=1e-12)
+
+    # a 1-4-bearing topology (butane-like chain) must NOT take the path
+    bonds4 = [[0, 0, 1], [0, 1, 2], [0, 2, 3]]
+    topo4 = build_topology(4, bonds=np.asarray(bonds4))
+    x4 = np.asarray([[2, 2, 2], [3.5, 2, 2], [3.5, 3.5, 2],
+                     [2, 3.5, 2]], np.float64) * 2
+    sys4 = make_system(x4, make_box(np.zeros(3), [17.0] * 3),
+                       type=np.zeros(4, int), q=np.zeros(4),
+                       mass=np.array([12.0]),
+                       molecule=np.zeros(4, int), dtype=jnp.float64)
+    st4 = build_lj(1, {(0, 0): (0.1, 3.0)}, cut_global=5.0,
+                   special_lj=(1.0, 0.0, 0.0, 0.5), qqrd2e=u.qqrd2e,
+                   dtype=jnp.float64)
+    sim4 = CellPairSimulation(sys4, st4, topology=topo4, units=u,
+                              precision=double(),
+                              neighbor=NeighborPolicy(skin=0.5, every=5,
+                                                      check=False))
+    assert sim4._uniform_special is None
