@@ -21,17 +21,21 @@ engine and is not atom-addressable).
 Scope (the ``compute pe/atom pair kspace`` keyword semantics):
 
 - ``pair``   — half of every pair term to each participant, including
-  special-bond scaled terms and the same-molecule exclusion the engine
-  applies (fix rigid / neigh_modify exclude molecule/intra).
+  special-bond scaled terms, the same-molecule exclusion the engine
+  applies (fix rigid / neigh_modify exclude molecule/intra), and the
+  CHARMM 1-4 pair terms (tallied through Pair in host LAMMPS).
 - ``kspace`` — Coulomb PPPM and dispersion PPPM per-atom shares, pinned
   exactly to the global sums (sum eatom == elong).
+- ``bond`` / ``angle`` / ``dihedral`` / ``improper`` — bonded terms by
+  the ev_tally equal-division convention (each term's energy/virial
+  split evenly among its participants; sums pin to the thermo emol
+  ledger over the engine's ACTIVE bonded table).
 - ``ke``     — (stress only) the m v⊗v kinetic term
   (compute_stress_atom.cpp contract).
 
-Not tallied per-atom (documented): bonded terms and SHAKE/rigid
-constraint virials — the GLOBAL thermo pressure carries both; per-atom
-requests on decks with bonded topology must name an explicit scope so
-partial sums are never mistaken for totals.
+The default scope is ALL of the above (the LAMMPS default).  Still
+global-only (documented): SHAKE/rigid constraint virials — thermo
+pressure carries them.
 """
 from __future__ import annotations
 
@@ -40,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _PAIR_KSPACE = ("pair", "kspace")
+_BONDED_KEYS = ("bond", "angle", "dihedral", "improper")
 
 
 def _snapshot(sim):
@@ -163,21 +168,34 @@ def _kspace_peratom(sim, x, typ, q, n):
 
 
 def _check_scope(sim, scope):
-    bad = [s for s in scope if s not in _PAIR_KSPACE]
+    bad = [s for s in scope
+           if s not in _PAIR_KSPACE and s not in _BONDED_KEYS]
     if bad:
         raise NotImplementedError(
-            f"per-atom scope {bad}: only {list(_PAIR_KSPACE)} are tallied "
-            "per-atom (bonded terms and constraint virials are global-"
-            "only — see module docstring)")
-    if scope is _DEFAULT and getattr(sim, "bonded", None) is not None:
-        raise ValueError(
-            "compute pe/atom on a deck with bonded topology: bonded terms "
-            "are not tallied per-atom; pass an explicit "
-            "scope=('pair', 'kspace') to request the supported partial "
-            "sums (the LAMMPS `compute pe/atom pair kspace` form)")
+            f"per-atom scope {bad}: supported contributions are "
+            f"{list(_PAIR_KSPACE) + list(_BONDED_KEYS)} (SHAKE/rigid "
+            "constraint virials remain global-only)")
 
 
-_DEFAULT = _PAIR_KSPACE
+def _bonded_peratom(sim, x, box, include):
+    """Per-atom bonded tallies over the engine's ACTIVE bonded table
+    (post-shake-strip, matching the thermo emol ledger).  The 1-4 pair
+    terms ride the PAIR channel (dihedral_charmm.cpp tallies them
+    through Pair::ev_tally), so they return separately."""
+    from .models.bonded import compute_bonded_peratom
+
+    bonded = getattr(sim, "bonded", None)
+    n = x.shape[0]
+    if bonded is None or not bonded.has_terms:
+        z = jnp.zeros((n,), np.float64)
+        return z, jnp.zeros((n, 6), np.float64), z, \
+            jnp.zeros((n, 6), np.float64)
+    return compute_bonded_peratom(
+        bonded, jnp.asarray(x, np.float64), box,
+        acc_dtype=np.float64, include=include)
+
+
+_DEFAULT = _PAIR_KSPACE + _BONDED_KEYS
 
 
 def _cached(cache, key, fn):
@@ -208,6 +226,16 @@ def pe_atom(sim, scope=_DEFAULT, cache=None) -> np.ndarray:
         ek, _ = _cached(cache, "kspace",
                         lambda: _kspace_peratom(sim, x, typ, q, n))
         e = e + ek.astype(np.float64)
+    inc = tuple(k for k in _BONDED_KEYS if k in scope)
+    if inc:
+        eb, _, eb14, _ = _cached(
+            cache, ("bonded", inc),
+            lambda: _bonded_peratom(sim, x, box, inc))
+        e = e + eb.astype(np.float64)
+        if "pair" in scope:
+            # 1-4 pair terms belong to the pair ledger (they add into
+            # thermo evdwl/ecoul, run.py compute_bonded wiring)
+            e = e + eb14.astype(np.float64)
     return np.asarray(jax.device_get(e))
 
 
@@ -231,6 +259,14 @@ def stress_atom(sim, scope=_DEFAULT, include_ke: bool = True,
         _, vk = _cached(cache, "kspace",
                         lambda: _kspace_peratom(sim, x, typ, q, n))
         w = w + vk.astype(np.float64)
+    inc = tuple(k for k in _BONDED_KEYS if k in scope)
+    if inc:
+        _, vb, _, vb14 = _cached(
+            cache, ("bonded", inc),
+            lambda: _bonded_peratom(sim, x, box, inc))
+        w = w + vb.astype(np.float64)
+        if "pair" in scope:
+            w = w + vb14.astype(np.float64)
     if include_ke:
         vv = jnp.asarray(v, np.float64)
         mc = jnp.asarray(m * u.mvv2e, np.float64)

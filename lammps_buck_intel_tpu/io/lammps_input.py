@@ -329,12 +329,14 @@ def translate(path: str) -> dict:
                     f"compute group {a[1]!r}: only 'all' is supported")
             if a[2] not in ("pe/atom", "stress/atom"):
                 raise TranslateError(f"compute {a[2]!r}")
-            scope = [k for k in a[3:] if k in ("pair", "kspace")]
-            bad = [k for k in a[3:] if k not in ("pair", "kspace")]
+            ok_kw = ("pair", "kspace", "bond", "angle", "dihedral",
+                     "improper")
+            scope = [k for k in a[3:] if k in ok_kw]
+            bad = [k for k in a[3:] if k not in ok_kw]
             if bad:
                 raise TranslateError(
-                    f"compute {a[2]} keywords {bad!r}: only pair/kspace "
-                    "contributions are tallied per-atom")
+                    f"compute {a[2]} keywords {bad!r}: supported "
+                    f"contributions are {ok_kw}")
             computes[a[0]] = {"name": a[2],
                               "scope": scope or None}
         elif cmd == "dump_modify":

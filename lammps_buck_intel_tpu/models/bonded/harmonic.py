@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -288,3 +289,192 @@ def compute_bonded(style: BondedStyle, x, box: Box, *, eflag=True,
     return BondedResult(f=f, ebond=ebond, eangle=eangle, virial=virial,
                         edihed=edihed, eimp=eimp, e14_lj=e14_lj,
                         e14_coul=e14_coul)
+
+
+def compute_bonded_peratom(style: BondedStyle, x, box: Box,
+                           acc_dtype=jnp.float64,
+                           include=("bond", "angle", "dihedral",
+                                    "improper")):
+    """Per-atom bonded energy/virial tallies (the ev_tally2/3/4 equal-
+    division convention of host LAMMPS' bonded styles: each term's
+    energy and virial are split evenly among its participants, so the
+    sums pin EXACTLY to compute_bonded's global tallies).
+
+    Returns (eatom (N,), vatom (N, 6), e14 (N,), v14 (N, 6)) — the 1-4
+    pair terms are tallied separately (halves on the 1/4 atoms, the
+    pair-style convention dihedral_charmm.cpp uses) so `compute pe/atom
+    pair` decks can fold them into the pair channel.
+    Analysis-cadence path: runs per dump frame, never in the hot loop."""
+    from ...core.box import axis_lengths
+
+    n = x.shape[0]
+    acc = acc_dtype
+    if box.is_triclinic:
+        L = box
+
+        def _mi(d):
+            return minimum_image(d, box)
+    else:
+        L = axis_lengths(box)
+
+        def _mi(d):
+            return _minimg(d, L)
+    eatom = jnp.zeros((n,), acc)
+    vatom = jnp.zeros((n, 6), acc)
+    e14 = jnp.zeros((n,), acc)
+    v14 = jnp.zeros((n, 6), acc)
+
+    def v6(w, d):
+        return jnp.stack([w * d[:, 0] * d[:, 0], w * d[:, 1] * d[:, 1],
+                          w * d[:, 2] * d[:, 2], w * d[:, 0] * d[:, 1],
+                          w * d[:, 0] * d[:, 2], w * d[:, 1] * d[:, 2]],
+                         -1).astype(acc)
+
+    def share(ea, va, e_t, v_t, members):
+        m = float(len(members))
+        for ii in members:
+            ea = ea.at[ii].add(e_t.astype(acc) / m)
+            va = va.at[ii].add(v_t / m)
+        return ea, va
+
+    if "bond" in include and len(style.bonds):
+        bt = style.bonds[:, 0]
+        bi = jnp.asarray(style.bonds[:, 1])
+        bj = jnp.asarray(style.bonds[:, 2])
+        K = jnp.asarray(style.bond_coeffs[bt, 0], x.dtype)
+        r0 = jnp.asarray(style.bond_coeffs[bt, 1], x.dtype)
+        d = _mi(x[bi] - x[bj])
+        r = jnp.sqrt(jnp.sum(d * d, axis=1))
+        dr = r - r0
+        rk = K * dr
+        fbond = jnp.where(r > 0, -2.0 * rk / r, 0.0)
+        eatom, vatom = share(eatom, vatom, rk * dr, v6(fbond, d),
+                             (bi, bj))
+
+    if "angle" in include and len(style.angles):
+        at = style.angles[:, 0]
+        ai = jnp.asarray(style.angles[:, 1])
+        aj = jnp.asarray(style.angles[:, 2])
+        ak = jnp.asarray(style.angles[:, 3])
+        K = jnp.asarray(style.angle_coeffs[at, 0], x.dtype)
+        th0 = jnp.asarray(np.deg2rad(style.angle_coeffs[at, 1]), x.dtype)
+        d1 = _mi(x[ai] - x[aj])
+        d2 = _mi(x[ak] - x[aj])
+        r1sq = jnp.sum(d1 * d1, axis=1)
+        r2sq = jnp.sum(d2 * d2, axis=1)
+        r1, r2 = jnp.sqrt(r1sq), jnp.sqrt(r2sq)
+        c = jnp.clip(jnp.sum(d1 * d2, axis=1) / (r1 * r2), -1.0, 1.0)
+        s = jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-8))
+        dtheta = jnp.arccos(c) - th0
+        tk = K * dtheta
+        a = -2.0 * tk / s
+        a11 = a * c / r1sq
+        a12 = -a / (r1 * r2)
+        a22 = a * c / r2sq
+        f1 = a11[:, None] * d1 + a12[:, None] * d2
+        f3 = a22[:, None] * d2 + a12[:, None] * d1
+        va = jnp.stack([
+            d1[:, 0] * f1[:, 0] + d2[:, 0] * f3[:, 0],
+            d1[:, 1] * f1[:, 1] + d2[:, 1] * f3[:, 1],
+            d1[:, 2] * f1[:, 2] + d2[:, 2] * f3[:, 2],
+            d1[:, 0] * f1[:, 1] + d2[:, 0] * f3[:, 1],
+            d1[:, 0] * f1[:, 2] + d2[:, 0] * f3[:, 2],
+            d1[:, 1] * f1[:, 2] + d2[:, 1] * f3[:, 2],
+        ], -1).astype(acc)
+        eatom, vatom = share(eatom, vatom, tk * dtheta, va, (ai, aj, ak))
+
+        if (style.angle_style == "charmm"
+                and style.angle_coeffs.shape[1] >= 4
+                and np.any(style.angle_coeffs[at, 2] != 0.0)):
+            Ku = jnp.asarray(style.angle_coeffs[at, 2], x.dtype)
+            ru = jnp.asarray(style.angle_coeffs[at, 3], x.dtype)
+            d = _mi(x[ai] - x[ak])
+            r = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=1), 1e-12))
+            dr = r - ru
+            rk = Ku * dr
+            fb = -2.0 * rk / r
+            eatom, vatom = share(eatom, vatom, rk * dr, v6(fb, d),
+                                 (ai, ak))
+
+    if "dihedral" in include and len(style.dihedrals):
+        from .charmm import _dihedral_energy_terms, _minimg3
+
+        dh = style.dihedrals
+        dt = dh[:, 0]
+        i1 = jnp.asarray(dh[:, 1]); i2 = jnp.asarray(dh[:, 2])
+        i3 = jnp.asarray(dh[:, 3]); i4 = jnp.asarray(dh[:, 4])
+        flt = x.dtype
+        K = jnp.asarray(style.dihedral_coeffs[dt, 0], flt)
+        n_i = np.asarray(style.dihedral_coeffs[dt, 1], np.int32)
+        d_cos = jnp.asarray(
+            np.cos(np.deg2rad(style.dihedral_coeffs[dt, 2])), flt)
+        zero = jnp.zeros((len(dt),), flt)
+        b1 = _minimg3(x[i1] - x[i2], L)
+        b2 = _minimg3(x[i3] - x[i2], L)
+        b3 = _minimg3(x[i4] - x[i3], L)
+
+        def ed_only(b1, b2, b3):
+            ed, _, _ = _dihedral_energy_terms(b1, b2, b3, K, n_i, d_cos,
+                                              zero, zero, zero)
+            return jnp.sum(ed.astype(acc))
+
+        g1, g2, g3 = jax.grad(ed_only, argnums=(0, 1, 2))(b1, b2, b3)
+        ed, _, _ = _dihedral_energy_terms(b1, b2, b3, K, n_i, d_cos,
+                                          zero, zero, zero)
+        vd = jnp.stack([
+            -b1[:, 0] * g1[:, 0] - b2[:, 0] * g2[:, 0] - b3[:, 0] * g3[:, 0],
+            -b1[:, 1] * g1[:, 1] - b2[:, 1] * g2[:, 1] - b3[:, 1] * g3[:, 1],
+            -b1[:, 2] * g1[:, 2] - b2[:, 2] * g2[:, 2] - b3[:, 2] * g3[:, 2],
+            -b1[:, 0] * g1[:, 1] - b2[:, 0] * g2[:, 1] - b3[:, 0] * g3[:, 1],
+            -b1[:, 0] * g1[:, 2] - b2[:, 0] * g2[:, 2] - b3[:, 0] * g3[:, 2],
+            -b1[:, 1] * g1[:, 2] - b2[:, 1] * g2[:, 2] - b3[:, 1] * g3[:, 2],
+        ], -1).astype(acc)
+        eatom, vatom = share(eatom, vatom, ed, vd, (i1, i2, i3, i4))
+
+        if style.d14 is not None and len(style.d14):
+            # 1-4 pair terms: pair-style tally convention (halves on the
+            # 1/4 atoms, dihedral_charmm.cpp ev_tally via Pair)
+            a12 = jnp.asarray(style.d14[:, 0], flt)
+            a6 = jnp.asarray(style.d14[:, 1], flt)
+            qq = jnp.asarray(style.d14[:, 2], flt)
+            r14 = b1 - b2 - b3
+            rsq = jnp.maximum(jnp.sum(r14 * r14, -1), 1e-12)
+            r6inv = 1.0 / (rsq * rsq * rsq)
+            elj = r6inv * (a12 * r6inv - a6)
+            ec = qq / jnp.sqrt(rsq)
+            # F.r = 12 a12 r^-12 - 6 a6 r^-6 + qq/r; fpair = F.r / r^2
+            fpair = (r6inv * (12.0 * a12 * r6inv - 6.0 * a6) + ec) / rsq
+            e14, v14 = share(e14, v14, elj + ec, v6(fpair, r14),
+                             (i1, i4))
+
+    if "improper" in include and len(style.impropers):
+        from .charmm import _improper_energy, _minimg3
+
+        im = style.impropers
+        it = im[:, 0]
+        i1 = jnp.asarray(im[:, 1]); i2 = jnp.asarray(im[:, 2])
+        i3 = jnp.asarray(im[:, 3]); i4 = jnp.asarray(im[:, 4])
+        flt = x.dtype
+        K = jnp.asarray(style.improper_coeffs[it, 0], flt)
+        chi0 = jnp.asarray(np.deg2rad(style.improper_coeffs[it, 1]), flt)
+        b1 = _minimg3(x[i1] - x[i2], L)
+        b2 = _minimg3(x[i3] - x[i2], L)
+        b3 = _minimg3(x[i4] - x[i3], L)
+
+        def ei_only(b1, b2, b3):
+            return jnp.sum(_improper_energy(b1, b2, b3, K, chi0)
+                           .astype(acc))
+
+        g1, g2, g3 = jax.grad(ei_only, argnums=(0, 1, 2))(b1, b2, b3)
+        e = _improper_energy(b1, b2, b3, K, chi0)
+        vi = jnp.stack([
+            -b1[:, 0] * g1[:, 0] - b2[:, 0] * g2[:, 0] - b3[:, 0] * g3[:, 0],
+            -b1[:, 1] * g1[:, 1] - b2[:, 1] * g2[:, 1] - b3[:, 1] * g3[:, 1],
+            -b1[:, 2] * g1[:, 2] - b2[:, 2] * g2[:, 2] - b3[:, 2] * g3[:, 2],
+            -b1[:, 0] * g1[:, 1] - b2[:, 0] * g2[:, 1] - b3[:, 0] * g3[:, 1],
+            -b1[:, 0] * g1[:, 2] - b2[:, 0] * g2[:, 2] - b3[:, 0] * g3[:, 2],
+            -b1[:, 1] * g1[:, 2] - b2[:, 1] * g2[:, 2] - b3[:, 1] * g3[:, 2],
+        ], -1).astype(acc)
+        eatom, vatom = share(eatom, vatom, e, vi, (i1, i2, i3, i4))
+
+    return eatom, vatom, e14, v14

@@ -69,8 +69,6 @@ class SlabNPTSimulation(SlabCellPairSimulation):
                  box_headroom: float = 1.10, **kw):
         if thermostat is None:
             raise ValueError("fix npt always thermostats (temp keyword)")
-        if kw.get("rigid") is not None:
-            raise NotImplementedError("slab NPT: fix rigid/small")
         if system.box.is_triclinic:
             raise NotImplementedError("slab NPT: triclinic box")
         self.npt = npt
@@ -94,8 +92,13 @@ class SlabNPTSimulation(SlabCellPairSimulation):
         self.extras = jax.tree.map(lambda a: jax.device_put(a, rep), ex)
         self._npt_chunk_fns: dict = {}
         self._thermo_jit = self._make_npt_thermo_fn()
-        self.state, self.extras = self._make_npt_init_fn()(
-            self.state, self.extras)
+        if self.rigid is not None:
+            (self.state, self.body,
+             self.extras) = self._make_npt_init_rigid_fn()(
+                self.state, self.body, self.extras)
+        else:
+            self.state, self.extras = self._make_npt_init_fn()(
+                self.state, self.extras)
 
     # ---------- traced-box helpers ----------
 
@@ -300,6 +303,213 @@ class SlabNPTSimulation(SlabCellPairSimulation):
             check_vma=False,
         ))
 
+    # ---------- fix rigid/npt/small on the slab mesh ----------
+    #
+    # The coupled rigid-body barostat (integrate/npt.py _one_step_rigid)
+    # composed with the slab engine's replicated-body machinery
+    # (parallel/slab.py): per-device force/torque partials are
+    # psum-completed, every device advances ALL bodies + the identical
+    # barostat, slot planes derive locally.  Pressure keeps the full
+    # atomic mv2 + virial + constraint virial (the molecular-pressure
+    # identity); MTK terms use COM momenta with nbody DOFs
+    # (fix_rigid_nh contract).
+
+    def _mv2_trans_rigid(self, bs):
+        """(3,) per-axis sum_b M_b V_a^2 (energy units) — replicated."""
+        acc = self.precision.acc
+        M = jnp.asarray(self.rigid.mtotal, np.float64).astype(acc)
+        return jnp.stack([
+            jnp.sum(M * bs.V[:, a].astype(acc) * bs.V[:, a].astype(acc))
+            for a in range(3)]) * self.units.mvv2e
+
+    def _omega_dot_half_rigid(self, ex: NPTExtras, mv2, bs, t_target,
+                              p_target):
+        acc = self.precision.acc
+        V = (ex.boxL[0] * ex.boxL[1] * ex.boxL[2]).astype(acc)
+        od = nh_omega_dot_half(self.npt, self.units, self.rigid.nbody,
+                               self.dt, ex.omega_dot, mv2,
+                               ex.virial[:3], V, t_target, p_target,
+                               mv2_mtk=self._mv2_trans_rigid(bs))
+        return ex._replace(omega_dot=od)
+
+    def _constraint_virial_local(self, bs, bof, d, fx, fy, fz, T, minv):
+        """Slot-local rigid constraint virial partials, psum-completed
+        (integrate/rigid.constraint_virial decomposed: the body-level
+        alpha/omega are replicated; the d (x) f_c contraction sums over
+        owned slots only)."""
+        from ..integrate.rigid import quat_rotate, quat_rotate_inv
+
+        rg = self.rigid
+        acc = self.precision.acc
+        ftm2v = self.units.ftm2v
+        iinv = jnp.asarray(rg.iinv, bs.q.dtype)
+        Lb = quat_rotate_inv(bs.q, bs.L)
+        wb = iinv * Lb
+        wdotb = iinv * (ftm2v * quat_rotate_inv(bs.q, T)
+                        - jnp.cross(wb, Lb))
+        alpha = quat_rotate(bs.q, wdotb)
+        om = quat_rotate(bs.q, wb)
+        z1 = jnp.zeros((1, 3), bs.q.dtype)
+        omi = jnp.concatenate([om, z1])[bof]
+        ali = jnp.concatenate([alpha, z1])[bof]
+        a = jnp.cross(ali, d) + jnp.cross(omi, jnp.cross(omi, d))
+        f = jnp.stack([fx, fy, fz], -1).astype(bs.q.dtype)
+        m = jnp.where(jnp.asarray(minv) > 0,
+                      1.0 / jnp.maximum(jnp.asarray(minv), 1e-30),
+                      0.0).astype(bs.q.dtype)[:, None]
+        fc = (m / ftm2v) * a - f
+        vir = jnp.stack([
+            jnp.sum((d[:, 0] * fc[:, 0]).astype(acc)),
+            jnp.sum((d[:, 1] * fc[:, 1]).astype(acc)),
+            jnp.sum((d[:, 2] * fc[:, 2]).astype(acc)),
+            jnp.sum((d[:, 0] * fc[:, 1]).astype(acc)),
+            jnp.sum((d[:, 0] * fc[:, 2]).astype(acc)),
+            jnp.sum((d[:, 1] * fc[:, 2]).astype(acc)),
+        ])
+        if self.D > 1:
+            vir = jax.lax.psum(vir, self.axis)
+        return vir
+
+    def _npt_block_rigid_local(self, state: cs.SlotState, body,
+                               ex: NPTExtras, nsteps: int, t_target,
+                               p_target):
+        from ..integrate.rigid import (initial_integrate_rigid_ft,
+                                       final_integrate_rigid_ft)
+
+        rg = self.rigid
+        nb = rg.nbody
+        state = self._rebin_local(state, boxL=ex.boxL,
+                                  box_lo=self._lo_traced(ex.boxL))
+        ctx = self._term_ctx(state)
+        bof, rb_s = self._rigid_maps(state)
+        minv = self._minv(state)
+        dtf, dtv = self.dtf, self.dtv
+        flt = self.precision.flt
+        flags = np.asarray(self.npt.flags, bool)
+        kcb = (self.kspace.tables(ex.boxL)
+               if self.kspace is not None else None)
+        # per-slot periodic image offsets as INTEGER box multiples: the
+        # box dilates inside the block, so offsets scale with the traced
+        # boxL (n * L(t)), keeping derived positions continuous with the
+        # just-rebinned planes (see slab.py _block_rigid_local)
+        _x0, _y0, _z0, _, _, _ = self._derive_xv(body, bof, rb_s)
+        n_img = [jnp.round((p - p0) / ex.boxL[a])
+                 for a, (p, p0) in enumerate(
+                     ((state.x, _x0), (state.y, _y0), (state.z, _z0)))]
+
+        def one_step(carry, _):
+            st, bs, ex = carry
+            th = st.therm
+            if self.npt.pchain:
+                od, pt = baro_chain_half(self.npt, self.units, nb,
+                                         self.dt, ex.omega_dot,
+                                         ex.ptherm, t_target)
+                ex = ex._replace(omega_dot=od, ptherm=pt)
+            # thermostat half: atomic KE drives the chain; scale both
+            # body momenta and the derived slot v planes
+            scale, th = self._nhc_scale(st, th, minv, t_target)
+            bs = bs._replace(V=bs.V * scale, L=bs.L * scale)
+            st = st._replace(vx=st.vx * scale, vy=st.vy * scale,
+                             vz=st.vz * scale)
+            # barostat half + COM velocity scale (nbody DOFs)
+            ex = self._omega_dot_half_rigid(
+                ex, self._mv2_axes(st, minv), bs, t_target, p_target)
+            fac = nh_press_vfac(self.npt, nb, self.dt, ex.omega_dot)
+            bs = bs._replace(V=bs.V * fac[None, :])
+            # rigid half kick + drift
+            F, T, _ = self._body_ft(bs, bof, rb_s, st.fx, st.fy, st.fz)
+            bs = initial_integrate_rigid_ft(rg, bs, F, T, dtv, dtf)
+            # COM + box dilation about the fixed center
+            s = jnp.exp(dtv * jnp.where(jnp.asarray(flags),
+                                        ex.omega_dot, 0.0))
+            c = jnp.asarray(self._center, bs.X.dtype)
+            bs = bs._replace(X=c + (bs.X - c) * s[None, :])
+            boxL = ex.boxL * s
+            ex = ex._replace(boxL=boxL)
+            x, y, z, _, _, _ = self._derive_xv(bs, bof, rb_s)
+            st = st._replace(
+                x=x + (n_img[0] * boxL[0]).astype(flt),
+                y=y + (n_img[1] * boxL[1]).astype(flt),
+                z=z + (n_img[2] * boxL[2]).astype(flt))
+            # forces + global virial at the new configuration
+            (fx, fy, fz), vir = self._forces_virial(st, boxL, kcb, ctx)
+            fx, fy, fz = fx.astype(flt), fy.astype(flt), fz.astype(flt)
+            F, T, d2 = self._body_ft(bs, bof, rb_s, fx, fy, fz)
+            bs = final_integrate_rigid_ft(rg, bs, F, T, dtf)
+            cvir = self._constraint_virial_local(bs, bof, d2, fx, fy, fz,
+                                                 T, minv)
+            ex = ex._replace(virial=vir + cvir)
+            fac = nh_press_vfac(self.npt, nb, self.dt, ex.omega_dot)
+            bs = bs._replace(V=bs.V * fac[None, :])
+            vx, vy, vz = self._derive_xv(bs, bof, rb_s, want_x=False)
+            st = st._replace(vx=vx, vy=vy, vz=vz, fx=fx, fy=fy, fz=fz)
+            ex = self._omega_dot_half_rigid(
+                ex, self._mv2_axes(st, minv), bs, t_target, p_target)
+            scale, th = self._nhc_scale(st, th, minv, t_target)
+            bs = bs._replace(V=bs.V * scale, L=bs.L * scale)
+            st = st._replace(vx=st.vx * scale, vy=st.vy * scale,
+                             vz=st.vz * scale, therm=th)
+            if self.npt.pchain:
+                od, pt = baro_chain_half(self.npt, self.units, nb,
+                                         self.dt, ex.omega_dot,
+                                         ex.ptherm, t_target)
+                ex = ex._replace(omega_dot=od, ptherm=pt)
+            return (st, bs, ex), None
+
+        (state, body, ex), _ = jax.lax.scan(one_step, (state, body, ex),
+                                            None, length=nsteps)
+        return state, body, ex
+
+    def _repeat_npt_rigid_blocks(self, size: int):
+        key = ("rigid", size, self.npt, self.thermostat)
+        fn = self._npt_chunk_fns.get(key)
+        if fn is None:
+            def local(state, body, ex, n_blocks, t_target, p_target):
+                return jax.lax.fori_loop(
+                    0, n_blocks,
+                    lambda i, sbe: self._npt_block_rigid_local(
+                        sbe[0], sbe[1], sbe[2], size, t_target, p_target),
+                    (state, body, ex))
+
+            fn = jax.jit(shard_map(
+                local, mesh=self.mesh,
+                in_specs=(self._state_spec, self._body_spec,
+                          self._extras_spec, P(), P(), P()),
+                out_specs=(self._state_spec, self._body_spec,
+                           self._extras_spec),
+                check_vma=False,
+            ))
+            self._npt_chunk_fns[key] = fn
+        return fn
+
+    def _make_npt_init_rigid_fn(self):
+        def local(state, body, ex):
+            state = self._rebin_local(state, boxL=ex.boxL,
+                                      box_lo=self._lo_traced(ex.boxL))
+            ctx = self._term_ctx(state)
+            bof, rb_s = self._rigid_maps(state)
+            minv = self._minv(state)
+            kcb = (self.kspace.tables(ex.boxL)
+                   if self.kspace is not None else None)
+            (fx, fy, fz), vir = self._forces_virial(state, ex.boxL, kcb,
+                                                    ctx)
+            flt = state.x.dtype
+            fxs, fys, fzs = fx.astype(flt), fy.astype(flt), fz.astype(flt)
+            F, T, d = self._body_ft(body, bof, rb_s, fxs, fys, fzs)
+            cvir = self._constraint_virial_local(body, bof, d, fxs, fys,
+                                                 fzs, T, minv)
+            return (state._replace(fx=fxs, fy=fys, fz=fzs), body,
+                    ex._replace(virial=vir + cvir))
+
+        return jax.jit(shard_map(
+            local, mesh=self.mesh,
+            in_specs=(self._state_spec, self._body_spec,
+                      self._extras_spec),
+            out_specs=(self._state_spec, self._body_spec,
+                       self._extras_spec),
+            check_vma=False,
+        ))
+
     # ---------- thermo (the NPTSimulation surface) ----------
 
     def _make_npt_thermo_fn(self):
@@ -428,8 +638,13 @@ class SlabNPTSimulation(SlabCellPairSimulation):
                     np.asarray(npt.p_start)
                     + (np.asarray(npt.p_stop)
                        - np.asarray(npt.p_start)) * frac, flt)
-                self.state, self.extras = self._repeat_npt_blocks(size)(
-                    self.state, self.extras, 1, tt, pt)
+                if self.rigid is not None:
+                    (self.state, self.body,
+                     self.extras) = self._repeat_npt_rigid_blocks(size)(
+                        self.state, self.body, self.extras, 1, tt, pt)
+                else:
+                    self.state, self.extras = self._repeat_npt_blocks(
+                        size)(self.state, self.extras, 1, tt, pt)
                 done += size
                 self.step_count += size
             if thermo_every:

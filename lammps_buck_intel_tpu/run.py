@@ -586,8 +586,12 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 "slab engine: compensated precision (use single/double)")
         if npt_fix is not None:
             # ---- multi-chip NPT (slab mesh + traced box + MTK) ----
-            if rigid_fix is not None:
-                raise NotImplementedError("slab NPT: fix rigid/small")
+            # (incl. fix rigid/npt/small: the coupled rigid-body barostat
+            # composes with the slab engine's replicated body state)
+            if rigid_fix is not None and not rigid_npt:
+                raise NotImplementedError(
+                    "fix npt with fix rigid/small (use the coupled "
+                    "`fix rigid/npt/small` barostat instead)")
             from .parallel.slab_npt import SlabNPTSimulation
 
             kspace, style = _npt_traced_kspace(kspace, box, q, ps, ks, u,
@@ -605,7 +609,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 system, style, npt_fix, thermostat,
                 mesh=slab_mesh(n_dev), units=u, precision=prec, dt=dt,
                 neighbor=policy, kspace_setup=kset_npt, shake=shake,
-                bonded=bonded, topology=topo,
+                bonded=bonded, topology=topo, rigid=rigid_fix,
                 exclude_intra=exclude_intra,
                 cap=int(cfg["cap"]) if cfg.get("cap") else None)
         kname = ks.get("name") if ks else None
