@@ -18,6 +18,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent XLA compile cache: the suite is COMPILE-dominated (the top
+# slab/molecular parity tests each spend 30-80 s compiling 8-device
+# programs); caching compiled executables across runs cuts repeat full
+# suites several-fold.  Keyed by HLO hash — safe across code changes.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import sys
 

@@ -256,7 +256,12 @@ def test_bonded_peratom_pins_to_thermo():
 
     cfg = _load("rhodo_class.yaml")
     cfg.pop("dump", None)
+    cfg.pop("replicate", None)
     cfg["run"] = 0
+    # coarser mesh: the pin identities are exact at ANY accuracy, and the
+    # per-atom kspace path re-solves 7 meshes — 1e-2 keeps this a unit
+    # test, not a hardware job
+    cfg["kspace_style"] = dict(cfg["kspace_style"], accuracy=1e-2)
     sim = build_simulation(cfg)
     row = sim.thermo()
     # full default scope (pair+kspace+bonded): sums pin to the complete

@@ -219,6 +219,8 @@ def test_nan_guard_fires():
         sim.thermo()
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="288k-scale interface deck (hexane_if covers the region-delete + slab-correction path): RUN_SLOW=1")
 def test_spce_interface_deck(reference_dir):
     """in.spce_if analog: region-delete carves a vacuum slab; the run
     stays stable (inhomogeneous PPPM)."""

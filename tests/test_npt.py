@@ -851,7 +851,7 @@ def test_npt_triclinic_deck_with_kspace(tmp_path):
                        "coeffs": {"1 1": [1000.0, 0.32, 1.0],
                                   "1 2": [800.0, 0.30, 0.8],
                                   "2 2": [600.0, 0.35, 0.6]}},
-        "kspace_style": {"name": "pppm", "accuracy": 1e-5},
+        "kspace_style": {"name": "pppm", "accuracy": 1e-4},
         "velocity": {"temp": 0.3, "seed": 7},
         "fixes": [{"name": "npt", "t_start": 0.3, "t_damp": 0.5,
                    "iso": [0.0, 0.0, 20.0]}],
@@ -861,7 +861,7 @@ def test_npt_triclinic_deck_with_kspace(tmp_path):
     sim = build_simulation(cfg)
     assert sim._tilt0 is not None
     assert isinstance(sim.kspace, TracedPPPM) and sim.kspace.triclinic
-    rows = sim.run(30, thermo_every=15, log=False)
+    rows = sim.run(16, thermo_every=8, log=False)
     for r in rows:
         assert np.isfinite(r["etotal"]) and np.isfinite(r["press"])
         assert r["elong"] != 0.0
@@ -1061,7 +1061,7 @@ def test_npt_deck_honors_pppm_disp(tmp_path, capsys):
     assert "substituting" not in err
     assert isinstance(sim, NPTSimulation)
     assert isinstance(sim.kspace, TracedBoundKSpace)
-    rows = sim.run(40, thermo_every=20, log=False)
+    rows = sim.run(20, thermo_every=10, log=False)
     for r in rows:
         assert np.isfinite(r["etotal"]) and np.isfinite(r["press"])
         # the k-space dispersion term must be PRESENT (the old fallback

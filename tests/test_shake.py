@@ -1,4 +1,6 @@
 """SHAKE/RATTLE tests: rigid SPC/E water at the deck timestep (2 fs)."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -57,6 +59,8 @@ def test_shake_spce_constraints_and_conservation(reference_dir):
     assert 250 < rows[0]["temp"] < 350
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="thermostatted SHAKE covered by test_cellpair_spce_shake_nvt + deck gates: RUN_SLOW=1")
 def test_shake_with_nvt(reference_dir):
     sim, sc, u = _spce_sim(
         reference_dir,
@@ -69,6 +73,8 @@ def test_shake_with_nvt(reference_dir):
     assert np.isfinite(rows[-1]["etotal"])
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="legacy constraints-style rigidification (quaternion rigid is the product path): RUN_SLOW=1")
 def test_rigid_hexane(reference_dir):
     """fix rigid/small molecule via all-pair constraints: the literal
     in.hexane deck at dt=2fs with full intramolecular interactions (their

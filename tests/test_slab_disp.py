@@ -7,6 +7,8 @@ of the reference's pppm/disp machinery
 (/root/reference/pppm_disp_intel.cpp:183-467).
 """
 import jax.numpy as jnp
+import os
+
 import numpy as np
 import pytest
 
@@ -73,7 +75,15 @@ def _run_pair(simA, simB, steps=10, tol=1e-8):
     np.testing.assert_allclose(xb, xa, rtol=0, atol=1e-7)
 
 
-@pytest.mark.parametrize("mix", ["geometric", "arithmetic", "none"])
+@pytest.mark.parametrize("mix", [
+    "geometric",
+    pytest.param("arithmetic", marks=pytest.mark.skipif(
+        not os.environ.get("RUN_SLOW"),
+        reason="7-channel pencil at full depth: RUN_SLOW=1")),
+    pytest.param("none", marks=pytest.mark.skipif(
+        not os.environ.get("RUN_SLOW"),
+        reason="eigen-split pencil at full depth: RUN_SLOW=1")),
+])
 def test_pencil_disp_matches_single_device(mix):
     """SlabCellPPPMDisp == BoundKSpace(PPPMDisp) on the same mesh, all
     mixing rules (1 / 7 / nsplit channels)."""

@@ -5,6 +5,8 @@ This is the in.spce-class capability (SURVEY.md H3/H7): the full
 deck-visible fix set riding the slab ghost exchange on the 8-virtual-
 device CPU mesh.
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -105,7 +107,12 @@ def _build_pair(u, box, q, style, prec, grid, kgrid):
     return pm
 
 
-@pytest.mark.parametrize("n_dev", [2, 4])
+@pytest.mark.parametrize("n_dev", [
+    2,
+    pytest.param(4, marks=pytest.mark.skipif(
+        not os.environ.get("RUN_SLOW"),
+        reason="wider-mesh variant of the same wiring: RUN_SLOW=1")),
+])
 def test_slab_flexible_water_matches_single(n_dev):
     """Bonded (bonds+angles) + specials + PPPM + NVE across slabs."""
     u, box, system, q, bonds, angles, topo, mpa = _water_box()
@@ -326,6 +333,8 @@ def test_slab_rigid_matches_single():
     np.testing.assert_allclose(dd, 0.0, atol=1e-8)
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="full-depth slab disp parity (test_slab_disp gates the wiring): RUN_SLOW=1")
 def test_slab_hexane_disp_matches_single():
     """The literal in.hexane deck (fix rigid/small + dispersion PPPM) on
     the 8-device slab mesh vs the single-device cell-pair engine.  The
