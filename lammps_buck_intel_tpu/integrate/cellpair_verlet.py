@@ -101,14 +101,11 @@ class CellPairSimulation:
         self.n_atoms = n
         flt = self.precision.flt
 
-        if self.box.is_triclinic and (
-                rigid is not None
-                or kspace is not None and hasattr(kspace, "compute_slots")):
+        if self.box.is_triclinic and rigid is not None:
             raise NotImplementedError(
                 "triclinic cell-pair engine: rigid bodies (unwrapped-COM "
-                "positions) and the orthogonal cell-patch PPPM pipeline "
-                "are excluded; pair/bonded/SHAKE/NVT + generic kspace "
-                "run tilted")
+                "positions) are excluded; pair/bonded/SHAKE/NVT + "
+                "cell-patch or generic kspace run tilted")
         if rigid is not None and shake is not None:
             raise ValueError("fix rigid/small and fix shake are exclusive")
         self.rigid = rigid

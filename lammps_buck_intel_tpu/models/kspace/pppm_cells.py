@@ -99,12 +99,34 @@ def make_patch_spec(pm: PPPM, grid: CellGrid, margin: int = 1,
                      order=p, margin=margin, cell_tile=int(cell_tile))
 
 
-def _axis_weights(pm: PPPM, ps: PatchSpec, grid: CellGrid, xplane, ax: int,
+def _u_plane(pm: PPPM, planes, ax: int):
+    """Grid-units coordinate along one mesh axis for every slot.
+
+    Orthogonal: (x_ax - lo_ax)/h_ax.  Triclinic: the mesh is uniform in
+    LAMDA space (particle_map under x2lamda, pppm_intel.cpp:153-157), so
+    u_ax = n_ax * sum_c hinv[ax, c] (x_c - lo_c) — upper-triangular."""
+    xplane = planes[ax] if isinstance(planes, (tuple, list)) else planes
+    if pm.hinv is None:
+        return (xplane - pm.box_lo[ax]) * (1.0 / pm.h[ax])
+    hinv = pm.hinv
+    lam = None
+    for c in range(ax, 3):
+        hv = float(hinv[ax, c])
+        if hv != 0.0:
+            t = hv * (planes[c] - pm.box_lo[c])
+            lam = t if lam is None else lam + t
+    return lam * pm.grid[ax]
+
+
+def _axis_weights(pm: PPPM, ps: PatchSpec, grid: CellGrid, planes, ax: int,
                   deriv: bool = False):
     """(NS, P_ax) dense B-spline weights of every slot on its cell patch.
 
-    With deriv=True also returns d w / d u (grid units; divide by h for
-    real-space derivatives) — the drho_coeff analog for the ad path."""
+    planes: the (x, y, z) slot-plane triple (triclinic lamda needs all
+    three; orthogonal reads only axis ax) — or a single plane for
+    orthogonal callers.  With deriv=True also returns d w / d u (grid
+    units; divide by h for real-space derivatives) — the drho_coeff
+    analog for the ad path."""
     ncell, cap = grid.ncell, grid.cap
     ns = grid.nslots
     # static per-slot cell coordinate along this axis
@@ -117,9 +139,9 @@ def _axis_weights(pm: PPPM, ps: PatchSpec, grid: CellGrid, xplane, ax: int,
         cc = cells % grid.nc[2]
     slot_cell = np.repeat(cc, cap).astype(np.float64)       # (NS,)
     patch_lo = slot_cell * ps.S[ax] - ps.lo_off[ax]         # (NS,) static
-    u = (xplane - pm.box_lo[ax]) * (1.0 / pm.h[ax])         # grid units
+    u = _u_plane(pm, planes, ax)                            # grid units
     px = np.arange(ps.P[ax], dtype=np.float64)
-    arg = (u - jnp.asarray(patch_lo, xplane.dtype))[:, None] \
+    arg = (u - jnp.asarray(patch_lo, u.dtype))[:, None] \
         - px[None, :] + ps.order / 2.0
     # piecewise-Horner evaluation (the reference's rho_coeff form,
     # pppm_intel.cpp:476-488) — ~2x cheaper than the Cox-de Boor
@@ -212,9 +234,9 @@ def deposit_rho_cells(pm: PPPM, ps: PatchSpec, grid: CellGrid,
     """Charge deposition -> (nx, ny, nz) mesh, scatter-free."""
     cap = grid.cap
     ncell = grid.ncell
-    wx = _axis_weights(pm, ps, grid, state.x, 0).reshape(ncell, cap, -1)
-    wy = _axis_weights(pm, ps, grid, state.y, 1).reshape(ncell, cap, -1)
-    wz = _axis_weights(pm, ps, grid, state.z, 2).reshape(ncell, cap, -1)
+    wx = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 0).reshape(ncell, cap, -1)
+    wy = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 1).reshape(ncell, cap, -1)
+    wz = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 2).reshape(ncell, cap, -1)
     qx = wx * state.q.reshape(ncell, cap)[:, :, None]
 
     tile = ps.cell_tile
@@ -246,9 +268,9 @@ def gather_force_cells(pm: PPPM, ps: PatchSpec, grid: CellGrid,
     Caller multiplies by qqrd2e * q (or B for dispersion)."""
     cap = grid.cap
     ncell = grid.ncell
-    wx = _axis_weights(pm, ps, grid, state.x, 0).reshape(ncell, cap, -1)
-    wy = _axis_weights(pm, ps, grid, state.y, 1).reshape(ncell, cap, -1)
-    wz = _axis_weights(pm, ps, grid, state.z, 2).reshape(ncell, cap, -1)
+    wx = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 0).reshape(ncell, cap, -1)
+    wy = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 1).reshape(ncell, cap, -1)
+    wz = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 2).reshape(ncell, cap, -1)
 
     tile = ps.cell_tile
     nt = -(-ncell // tile)
@@ -381,7 +403,7 @@ def _fold_xy_cols(cols, ps: PatchSpec, grid: CellGrid, ax_mats, nxyz):
     return jnp.einsum("xuz,yu->xyz", e, jnp.asarray(Ay))
 
 
-def _wz_rows(pm: PPPM, ps: PatchSpec, grid: CellGrid, zplane,
+def _wz_rows(pm: PPPM, ps: PatchSpec, grid: CellGrid, planes,
              deriv: bool = False):
     """(ncol, A, nz) z-spline rows: each slot's P_z window placed at its
     cell's static z offset (periodic wrap via roll of the zero-padded row).
@@ -391,10 +413,10 @@ def _wz_rows(pm: PPPM, ps: PatchSpec, grid: CellGrid, zplane,
     nz = pm.grid[2]
     Pz = ps.P[2]
     if deriv:
-        w, dw = _axis_weights(pm, ps, grid, zplane, 2, deriv=True)
+        w, dw = _axis_weights(pm, ps, grid, planes, 2, deriv=True)
         dw = dw * (-1.0 / pm.h[2])
     else:
-        w = _axis_weights(pm, ps, grid, zplane, 2)
+        w = _axis_weights(pm, ps, grid, planes, 2)
     outs = []
     for a in ((w, dw) if deriv else (w,)):
         a4 = a.reshape(ncx * ncy, ncz, cap, Pz)
@@ -424,9 +446,9 @@ def deposit_rho_columns(pm: PPPM, ps: PatchSpec, cs: ColumnSpec,
     cap = grid.cap
     Px, Py = ps.P[0], ps.P[1]
     nz = pm.grid[2]
-    wx = _axis_weights(pm, ps, grid, state.x, 0).reshape(ncol, A, Px)
-    wy = _axis_weights(pm, ps, grid, state.y, 1).reshape(ncol, A, Py)
-    wzr = _wz_rows(pm, ps, grid, state.z)
+    wx = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 0).reshape(ncol, A, Px)
+    wy = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 1).reshape(ncol, A, Py)
+    wzr = _wz_rows(pm, ps, grid, (state.x, state.y, state.z))
     q = state.q.reshape(ncol, A)
 
     tile = cs.col_tile
@@ -463,19 +485,19 @@ def gather_columns(pm: PPPM, ps: PatchSpec, cs: ColumnSpec, grid: CellGrid,
     flt = state.x.dtype
 
     if mode == "ad":
-        wx, dwx = _axis_weights(pm, ps, grid, state.x, 0, deriv=True)
-        wy, dwy = _axis_weights(pm, ps, grid, state.y, 1, deriv=True)
+        wx, dwx = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 0, deriv=True)
+        wy, dwy = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 1, deriv=True)
         dwx = dwx * (-1.0 / pm.h[0])
         dwy = dwy * (-1.0 / pm.h[1])
-        wzr, dwzr = _wz_rows(pm, ps, grid, state.z, deriv=True)
+        wzr, dwzr = _wz_rows(pm, ps, grid, (state.x, state.y, state.z), deriv=True)
         wx = wx.reshape(ncol, A, Px)
         dwx = dwx.reshape(ncol, A, Px)
         wy = wy.reshape(ncol, A, Py)
         dwy = dwy.reshape(ncol, A, Py)
     else:
-        wx = _axis_weights(pm, ps, grid, state.x, 0).reshape(ncol, A, Px)
-        wy = _axis_weights(pm, ps, grid, state.y, 1).reshape(ncol, A, Py)
-        wzr = _wz_rows(pm, ps, grid, state.z)
+        wx = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 0).reshape(ncol, A, Px)
+        wy = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 1).reshape(ncol, A, Py)
+        wzr = _wz_rows(pm, ps, grid, (state.x, state.y, state.z))
 
     em = jnp.stack([m.astype(flt) for m in meshes])       # (C, nx, ny, nz)
     ecols = _expand_xy_cols(em, ps, grid, ax_mats)        # (C, ncol, PXY, nz)
@@ -575,9 +597,9 @@ def deposit_rho_zblock(pm: PPPM, ps: PatchSpec, cs: ColumnSpec,
     Pz = ps.P[2]
     nz = pm.grid[2]
     if weights is None:
-        weights = (_axis_weights(pm, ps, grid, state.x, 0),
-                   _axis_weights(pm, ps, grid, state.y, 1),
-                   _axis_weights(pm, ps, grid, state.z, 2))
+        weights = (_axis_weights(pm, ps, grid, (state.x, state.y, state.z), 0),
+                   _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 1),
+                   _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 2))
     wx = weights[0].reshape(ncol, A, Px)
     wy = weights[1].reshape(ncol, A, Py)
     wz = weights[2]                                       # (NS, Pz) local
@@ -630,9 +652,9 @@ def gather_zblock(pm: PPPM, ps: PatchSpec, cs: ColumnSpec, grid: CellGrid,
     ad = mode == "ad"
     if ad:
         if weights is None:
-            weights = (_axis_weights(pm, ps, grid, state.x, 0, deriv=True),
-                       _axis_weights(pm, ps, grid, state.y, 1, deriv=True),
-                       _axis_weights(pm, ps, grid, state.z, 2, deriv=True))
+            weights = (_axis_weights(pm, ps, grid, (state.x, state.y, state.z), 0, deriv=True),
+                       _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 1, deriv=True),
+                       _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 2, deriv=True))
         (wx, dwx), (wy, dwy), (wz, dwz) = weights
         dwx = (dwx * (-1.0 / pm.h[0])).reshape(ncol, A, Px)
         dwy = (dwy * (-1.0 / pm.h[1])).reshape(ncol, A, Py)
@@ -641,9 +663,9 @@ def gather_zblock(pm: PPPM, ps: PatchSpec, cs: ColumnSpec, grid: CellGrid,
         wy = wy.reshape(ncol, A, Py)
     else:
         if weights is None:
-            weights = (_axis_weights(pm, ps, grid, state.x, 0),
-                       _axis_weights(pm, ps, grid, state.y, 1),
-                       _axis_weights(pm, ps, grid, state.z, 2))
+            weights = (_axis_weights(pm, ps, grid, (state.x, state.y, state.z), 0),
+                       _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 1),
+                       _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 2))
         wx = weights[0].reshape(ncol, A, Px)
         wy = weights[1].reshape(ncol, A, Py)
         wz = weights[2]                                   # (NS, Pz)
@@ -805,9 +827,10 @@ class CellPPPM:
             elong = jnp.zeros((), acc)
 
         if vflag and self.b_per_type is None:
-            kx = jnp.asarray(pm.kx, acc)[:, None, None]
-            ky = jnp.asarray(pm.ky, acc)[None, :, None]
-            kz = jnp.asarray(pm.kz[:nzh], acc)[None, None, :]
+            kx3, ky3, kz3 = pm.k3(nzh)
+            kx = jnp.asarray(kx3, acc)
+            ky = jnp.asarray(ky3, acc)
+            kz = jnp.asarray(kz3, acc)
             ksq = kx * kx + ky * ky + kz * kz
             ksq_safe = jnp.where(ksq == 0.0, 1.0, ksq)
             pref = 2.0 * (1.0 / ksq_safe + 0.25 / pm.g_ewald**2)
@@ -888,16 +911,16 @@ class CellPPPM:
         if self.transfer == "zblock":
             if pm.diff == "ad":
                 shared_w = (
-                    _axis_weights(pm, ps, grid, state.x, 0, deriv=True),
-                    _axis_weights(pm, ps, grid, state.y, 1, deriv=True),
-                    _axis_weights(pm, ps, grid, state.z, 2, deriv=True),
+                    _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 0, deriv=True),
+                    _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 1, deriv=True),
+                    _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 2, deriv=True),
                 )
                 dep_w = tuple(w for w, _ in shared_w)
             else:
                 shared_w = (
-                    _axis_weights(pm, ps, grid, state.x, 0),
-                    _axis_weights(pm, ps, grid, state.y, 1),
-                    _axis_weights(pm, ps, grid, state.z, 2),
+                    _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 0),
+                    _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 1),
+                    _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 2),
                 )
                 dep_w = shared_w
 
@@ -956,9 +979,9 @@ class CellPPPM:
     def _weight_triple(self, state: SlotState):
         pm, ps, grid = self.pm, self.ps, self.grid
         cap, ncell = grid.cap, grid.ncell
-        wx = _axis_weights(pm, ps, grid, state.x, 0).reshape(ncell, cap, -1)
-        wy = _axis_weights(pm, ps, grid, state.y, 1).reshape(ncell, cap, -1)
-        wz = _axis_weights(pm, ps, grid, state.z, 2).reshape(ncell, cap, -1)
+        wx = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 0).reshape(ncell, cap, -1)
+        wy = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 1).reshape(ncell, cap, -1)
+        wz = _axis_weights(pm, ps, grid, (state.x, state.y, state.z), 2).reshape(ncell, cap, -1)
         return wx, wy, wz
 
     def compute_peratom_slots(self, state: SlotState):
@@ -986,9 +1009,10 @@ class CellPPPM:
         phi_hat = G * rhat
         scale = ngrid / V
 
-        kx = jnp.asarray(pm.kx, acc)[:, None, None]
-        ky = jnp.asarray(pm.ky, acc)[None, :, None]
-        kz = jnp.asarray(pm.kz[:nzh], acc)[None, None, :]
+        kx3, ky3, kz3 = pm.k3(nzh)
+        kx = jnp.asarray(kx3, acc)
+        ky = jnp.asarray(ky3, acc)
+        kz = jnp.asarray(kz3, acc)
         ksq = kx * kx + ky * ky + kz * kz
         ksq_safe = jnp.where(ksq == 0.0, 1.0, ksq)
         pref = 2.0 * (1.0 / ksq_safe + 0.25 / (g * g))
@@ -1023,9 +1047,13 @@ class CellPPPM:
         ngrid = pm.grid[0] * pm.grid[1] * pm.grid[2]
         scale = 1.0 / V
         nzh = pm.grid[2] // 2 + 1
-        kx = jnp.asarray(pm.kx, acc)[:, None, None]
-        ky = jnp.asarray(pm.ky, acc)[None, :, None]
-        kz = jnp.asarray(pm.kz[:nzh], acc)[None, None, :]
+        kx3, ky3, kz3 = pm.k3(nzh)
+        kx = jnp.asarray(jnp.broadcast_to(jnp.asarray(kx3, acc),
+                                          phi_hat.shape), acc)
+        ky = jnp.asarray(jnp.broadcast_to(jnp.asarray(ky3, acc),
+                                          phi_hat.shape), acc)
+        kz = jnp.asarray(jnp.broadcast_to(jnp.asarray(kz3, acc),
+                                          phi_hat.shape), acc)
         ehat = jnp.stack([(-1j) * kax * phi_hat for kax in (kx, ky, kz)])
         e_stack = (jnp.fft.irfftn(ehat, s=pm.grid, axes=(1, 2, 3))
                    * (scale * ngrid)).astype(flt)

@@ -206,3 +206,41 @@ def test_zblock_on_refined_grid_matches_columns():
                                atol=1e-13)
     np.testing.assert_allclose(outs[1][1], outs[0][1], rtol=1e-12)
     np.testing.assert_allclose(outs[1][2], outs[0][2], rtol=1e-12)
+
+
+@pytest.mark.parametrize("transfer", ["zblock", "columns"])
+def test_cellpppm_triclinic_matches_generic(transfer):
+    """Cell-patch PPPM on a TILTED cell (judge r3 #4b): cells and mesh
+    are both uniform in lamda space, so the patch machinery carries over
+    with lamda-grid weights — parity vs the generic triclinic solver."""
+    rng = np.random.RandomState(7)
+    L = np.array([15.0, 14.0, 15.0])
+    tilt = (1.5, -1.0, 1.2)
+    H = np.array([[L[0], 0, 0], [tilt[0], L[1], 0],
+                  [tilt[1], tilt[2], L[2]]])
+    n = 300
+    lam = rng.uniform(0, 1, (n, 3))
+    x = lam @ H
+    q = rng.uniform(-1, 1, n)
+    q -= q.mean()
+    box = make_box(np.zeros(3), L, tilt=tilt)
+    grid = cs.make_grid(n, box.perp_widths, 4.2)
+    assert grid is not None
+    st = cs.from_atoms(grid, box, x, np.zeros_like(x),
+                       np.zeros((n, 3), np.int32), np.zeros(n, np.int32),
+                       q, dtype=jnp.float64)
+    assert not bool(st.overflow)
+    pm = setup_pppm(box, q, cutoff=4.2, accuracy_rel=1e-5, qqrd2e=332.06,
+                    multiple_of=grid.nc, acc_dtype=jnp.float64)
+    assert pm.recip is not None
+    cp = CellPPPM(pm, grid, transfer=transfer)
+    fx, fy, fz, elong, virial = cp.compute_slots(st, True, True)
+    rg = pm.compute(jnp.asarray(x), jnp.asarray(q))
+    back = cs.to_atoms(grid, st._replace(
+        fx=fx.astype(jnp.float64), fy=fy.astype(jnp.float64),
+        fz=fz.astype(jnp.float64)))
+    np.testing.assert_allclose(float(elong), float(rg.elong), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(back["f"]), np.asarray(rg.f),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(virial), np.asarray(rg.virial),
+                               rtol=1e-9, atol=1e-11)
