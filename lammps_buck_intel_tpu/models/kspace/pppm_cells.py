@@ -106,9 +106,9 @@ def _u_plane(pm: PPPM, planes, ax: int):
     LAMDA space (particle_map under x2lamda, pppm_intel.cpp:153-157), so
     u_ax = n_ax * sum_c hinv[ax, c] (x_c - lo_c) — upper-triangular."""
     xplane = planes[ax] if isinstance(planes, (tuple, list)) else planes
-    if pm.hinv is None:
+    hinv = getattr(pm, "hinv", None)   # PPPMDisp solvers are orthogonal
+    if hinv is None:
         return (xplane - pm.box_lo[ax]) * (1.0 / pm.h[ax])
-    hinv = pm.hinv
     lam = None
     for c in range(ax, 3):
         hv = float(hinv[ax, c])
