@@ -241,6 +241,11 @@ class NPTSimulation:
               if self._tilt0 is not None else None)
         self.spec = make_spec(n, L0, cutneigh * box_headroom,
                               perp_widths=pw)
+        # right-size the per-atom capacity from the OBSERVED neighbor
+        # counts (inhomogeneous systems exceed the mean-density estimate;
+        # the grow loop is the get_max_nbors retry, SURVEY.md §5.3) —
+        # the spec then stays static for the whole run
+        from ..neighbor.neighbor_list import build_with_retry as _bwr
 
         self.typ = np.asarray(jax.device_get(system.type), np.int32)
         self.q = np.asarray(jax.device_get(system.q), np.float64)
@@ -313,6 +318,13 @@ class NPTSimulation:
             xa, d0 = atom_positions(rigid, bs)
             va = atom_velocities(rigid, bs, d0)
             st = st._replace(x=xa.astype(flt), v=va.astype(flt), body=bs)
+        _, self.spec = _bwr(
+            st.x, box0, self.spec,
+            jnp.asarray(self.special_idx)
+            if self.special_idx.shape[1] > 0 else None,
+            jnp.asarray(self.special_code)
+            if self.special_idx.shape[1] > 0 else None,
+            None if self._mol is None else jnp.asarray(self._mol))
         self._nl = None
         self.state = jax.jit(self._init_forces)(st)
         self.step_count = 0
