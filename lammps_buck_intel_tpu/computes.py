@@ -122,7 +122,7 @@ def _kspace_peratom(sim, x, typ, q, n):
     """Dispatch per-atom kspace over every solver the runner binds."""
     from .models.kspace.base import BoundKSpace, CombinedKSpace
     from .models.kspace.pppm import PPPM, compute_peratom
-    from .models.kspace.pppm_cells import CellPPPM
+    from .models.kspace.pppm_cells import CellPPPM, CellPPPMDisp
     from .models.kspace.pppm_disp import PPPMDisp
     from .models.kspace.pppm_slab import (
         SlabCellPPPM, SlabCellPPPMDisp, SlabCombinedKSpace,
@@ -137,6 +137,12 @@ def _kspace_peratom(sim, x, typ, q, n):
             return compute_peratom(s, xj, qj)
         if isinstance(s, SlabCellPPPMDisp):  # before the SlabCellPPPM base
             return s.pm.compute_peratom(xj, typ=jnp.asarray(typ))
+        if isinstance(s, CellPPPMDisp):  # before the CellPPPM base
+            # production dispersion tables (g6/grid/order); geometric
+            # single channel — b per atom from the baked per-type table
+            b = np.asarray(s.b_per_type, np.float64)[np.asarray(typ)]
+            return s.pmd.compute_peratom(
+                xj, b_per_atom=jnp.asarray(b, np.float32))
         if isinstance(s, (CellPPPM, SlabCellPPPM)):
             # same solver tables (grid/g_ewald/order) the production
             # patch/pencil pipelines bake — only the transfer differs

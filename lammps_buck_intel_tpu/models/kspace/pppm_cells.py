@@ -765,6 +765,9 @@ class CellPPPM:
         # dispersion mode: override 'charge' source (B per slot is dynamic
         # via typ; caller passes a per-TYPE table instead)
         self.b_per_type = per_slot_charge
+        # dispersion virial factor [d ln w/dk]/k (pppm_disp vfac);
+        # CellPPPMDisp sets it — required for vflag in dispersion mode
+        self.vfac = None
         # transfer engine: "zblock" (two-stage patch-local z matmuls —
         # fastest measured), "columns" (full-length z rows), or
         # "patches" (per-cell bricks; reference form, also the per-atom path)
@@ -813,14 +816,17 @@ class CellPPPM:
         wz = jnp.asarray(_half_weights(nz), acc)[None, None, :]
         if eflag or vflag:
             ek = G * jnp.real(rhat * jnp.conj(rhat)) * wz
+        if self.b_per_type is not None and (eflag or vflag):
+            # dispersion k=0 (neutralizing-background analog) + self
+            # terms from the CURRENT slot composition (NPT-safe)
+            bsum = jnp.sum(state.q.astype(acc))
+            b2sum = jnp.sum((state.q * state.q).astype(acc))
+            w0 = -(math.pi**1.5 * pm.g_ewald**3 / 3.0)
+            e0 = (0.5 / V) * w0 * bsum * bsum
         if eflag:
             elong = (0.5 / V) * jnp.sum(ek.astype(acc)) * qqrd2e
             if self.b_per_type is not None:
-                bsum = jnp.sum(state.q.astype(acc))
-                b2sum = jnp.sum((state.q * state.q).astype(acc))
-                w0 = -(math.pi**1.5 * pm.g_ewald**3 / 3.0)
-                elong = elong + (0.5 / V) * w0 * bsum * bsum \
-                    + pm.g_ewald**6 / 12.0 * b2sum
+                elong = elong + e0 + pm.g_ewald**6 / 12.0 * b2sum
             else:
                 elong = elong + pm.elong_self
         else:
@@ -844,11 +850,29 @@ class CellPPPM:
                 jnp.sum((ek * (-pref * ky * kz)).astype(acc)),
             ]) * c
         elif vflag:
+            # anisotropic dispersion virial (1 + vfac k_a k_b) + e0 on
+            # the diagonal — the energy_6/virial_6 reductions of
+            # /root/reference/pppm_disp_intel.cpp:498-510
+            if self.vfac is None:
+                raise ValueError(
+                    "dispersion-mode CellPPPM needs vfac for the virial "
+                    "(construct via CellPPPMDisp)")
+            kx3, ky3, kz3 = pm.k3(nzh)
+            kx = jnp.asarray(kx3, acc)
+            ky = jnp.asarray(ky3, acc)
+            kz = jnp.asarray(kz3, acc)
+            vf = jnp.asarray(self.vfac[..., :nzh], acc)
             c = (0.5 / V)
-            third = (c * jnp.sum(ek.astype(acc))) / 3.0
-            virial = jnp.stack([third, third, third,
-                                jnp.zeros((), acc), jnp.zeros((), acc),
-                                jnp.zeros((), acc)])
+            virial = jnp.stack([
+                jnp.sum((ek * (1.0 + vf * kx * kx)).astype(acc)),
+                jnp.sum((ek * (1.0 + vf * ky * ky)).astype(acc)),
+                jnp.sum((ek * (1.0 + vf * kz * kz)).astype(acc)),
+                jnp.sum((ek * (vf * kx * ky)).astype(acc)),
+                jnp.sum((ek * (vf * kx * kz)).astype(acc)),
+                jnp.sum((ek * (vf * ky * kz)).astype(acc)),
+            ]) * c
+            virial = virial + e0 * jnp.asarray(
+                [1.0, 1.0, 1.0, 0.0, 0.0, 0.0], acc)
         else:
             virial = jnp.zeros((6,), acc)
         return phi_hat, elong, virial
@@ -990,10 +1014,7 @@ class CellPPPM:
         Returns (eatom (NS,), vatom (NS, 6)); zero at empty slots."""
         pm = self.pm
         if self.b_per_type is not None:
-            raise NotImplementedError(
-                "per-atom kspace terms are implemented for the Coulomb "
-                "solver (dispersion per-atom corrections: pppm_disp_intel."
-                "cpp:512-537 — not yet)")
+            return self._peratom_disp_slots(state)
         acc = pm.acc_dtype
         V = float(pm.volume)
         g = pm.g_ewald
@@ -1038,6 +1059,67 @@ class CellPPPM:
             axis=-1)
         return eatom, vatom
 
+    def _peratom_disp_slots(self, state: SlotState):
+        """Per-slot dispersion k-space energy/virial through the patch
+        pipeline — the eflag_atom/vflag_atom dispersion corrections of
+        /root/reference/pppm_disp_intel.cpp:512-537 (per-atom shares of
+        the mesh sum plus the k=0 and self terms), pinned exactly to the
+        compute_slots global sums.  Geometric mixing (one channel)."""
+        from ..pair.driver import _select_small
+
+        pm = self.pm
+        acc = pm.acc_dtype
+        V = float(pm.volume)
+        g = pm.g_ewald           # the shim carries g_ewald_6 here
+        nz = pm.grid[2]
+        nzh = nz // 2 + 1
+        ngrid = pm.grid[0] * pm.grid[1] * pm.grid[2]
+        flt = state.x.dtype
+        if self.vfac is None:
+            raise ValueError(
+                "dispersion-mode CellPPPM needs vfac for the per-atom "
+                "virial (construct via CellPPPMDisp)")
+
+        b = _select_small(self.b_per_type, state.typ, state.typ.shape, flt)
+        if isinstance(b, float):
+            b = jnp.full(state.typ.shape, b, flt)
+        b = jnp.where(state.aid < self.grid.n_atoms, b, 0.0)
+        state = state._replace(q=b)
+
+        mesh = self._deposit(state)
+        rhat = jnp.fft.rfftn(mesh.astype(acc))
+        G = jnp.asarray(pm.greensfn[..., :nzh], acc)
+        phi_hat = G * rhat
+        scale = ngrid / V
+
+        kx3, ky3, kz3 = pm.k3(nzh)
+        kx = jnp.asarray(kx3, acc)
+        ky = jnp.asarray(ky3, acc)
+        kz = jnp.asarray(kz3, acc)
+        vf = jnp.asarray(self.vfac[..., :nzh], acc)
+        comps = (
+            1.0 + vf * kx * kx, 1.0 + vf * ky * ky, 1.0 + vf * kz * kz,
+            vf * kx * ky, vf * kx * kz, vf * ky * kz,
+        )
+        specs = [phi_hat] + [c * phi_hat for c in comps]
+        meshes = [
+            (jnp.real(jnp.fft.irfftn(s, s=pm.grid)) * scale).astype(flt)
+            for s in specs
+        ]
+        tri = self._weight_triple(state)
+        vals = self._contract([tri] * 7, meshes)
+        ba = b.astype(acc)
+        bsum = jnp.sum(ba)
+        w0 = -(math.pi**1.5 * g**3 / 3.0)
+        e0_share = (0.5 / V) * w0 * ba * bsum   # sums to e0
+        eatom = (0.5 * ba * vals[0].astype(acc) + e0_share
+                 + g**6 / 12.0 * ba * ba).astype(acc)
+        vatom = jnp.stack(
+            [(0.5 * ba * v.astype(acc)
+              + (e0_share if ic < 3 else 0.0)).astype(acc)
+             for ic, v in enumerate(vals[1:])], axis=-1)
+        return eatom, vatom
+
     def _ik_forces(self, state: SlotState, phi_hat, qqrd2e, elong, virial,
                    weights=None):
         pm = self.pm
@@ -1073,3 +1155,43 @@ class CellPPPM:
         qf = (qqrd2e * state.q).astype(acc)
         return (fx.astype(acc) * qf, fy.astype(acc) * qf,
                 fz.astype(acc) * qf, elong, virial)
+
+
+class CellPPPMDisp(CellPPPM):
+    """Geometric-mix dispersion PPPM through the cell-patch pipeline.
+
+    The production (scatter-free) form of the ``function[1]`` dispersion
+    pipeline of /root/reference/pppm_disp_intel.cpp:245-313: one density
+    channel a = B[type] deposited on the ``_6`` mesh, the dispersion
+    Green's-function solve, and ik E-field gathers — all through the
+    same patch/zblock transfer machinery as the Coulomb ``CellPPPM``.
+    The anisotropic virial and per-atom corrections (:498-510, :512-537)
+    come from the vfac tensor of ``pppm_disp.py``.  Arithmetic-7-channel
+    and no-mix decks keep the reference pipeline (``pppm_disp.py``);
+    every shipped deck (in.hexane's ``mixing geometric``) mixes
+    geometrically.
+    """
+
+    def __init__(self, pmd: "PPPMDisp", grid: CellGrid, margin: int = 1,
+                 skin: Optional[float] = None, transfer: str = "zblock"):
+        from .pppm import PPPM as _PPPMCls
+
+        shim = _PPPMCls(
+            g_ewald=pmd.g_ewald_6, grid=pmd.grid, order=pmd.order,
+            greensfn=pmd.greensfn, kx=pmd.kx, ky=pmd.ky, kz=pmd.kz,
+            qsum=0.0, qsqsum=0.0, qqrd2e=1.0, volume=float(pmd.volume),
+            box_lo=pmd.box_lo, h=pmd.h, acc_dtype=pmd.acc_dtype,
+            diff=pmd.diff, sf_sine=pmd.sf_sine)
+        if pmd.mix != "geometric":
+            raise NotImplementedError(
+                f"CellPPPMDisp: mix {pmd.mix!r} (geometric single-channel "
+                "only; arithmetic/no-mix run the channel pipeline)")
+        super().__init__(shim, grid, margin=margin,
+                         per_slot_charge=np.asarray(pmd.B, np.float64),
+                         skin=skin, transfer=transfer)
+        self.pmd = pmd
+        self.vfac = pmd.vfac
+
+    def rebind(self, grid: CellGrid) -> "CellPPPMDisp":
+        return CellPPPMDisp(self.pmd, grid, margin=self._margin0,
+                            skin=self._skin0, transfer=self.transfer)

@@ -772,6 +772,18 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             # (triclinic runs the patch pipeline too: cells and mesh are
             # both uniform in lamda space — judge r3 #4b)
         )
+        # dispersion decks (in.hexane class): geometric single-channel
+        # pppm/disp runs the same scatter-free patch pipeline via
+        # CellPPPMDisp; arithmetic/no-mix and coul-long combinations keep
+        # the generic channel pipeline (pppm_disp.py)
+        use_celldisp = (
+            ks and ks.get("name") == "pppm/disp"
+            and style.cfg.disp == "long"
+            and style.cfg.coul != "long"
+            and ks.get("mix", ps.get("mix", "geometric")) == "geometric"
+            and not ks.get("slab")
+            and not box.is_triclinic
+        )
         kw2 = dict(common)
         if cfg.get("cap"):
             # manual slot capacity (the overflow error's escape hatch —
@@ -781,7 +793,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             # xla (default) | pallas | pallas_v2 | pallas_v3 — force-only
             # inner-step kernel selection (bench.py auto-tunes this)
             kw2["pair_kernel"] = str(cfg["pair_kernel"])
-        if use_cellpppm:
+        if use_cellpppm or use_celldisp:
             kw2["kspace"] = None
         try:
             sim = CellPairSimulation(
@@ -795,6 +807,28 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             if "box too small" not in str(e):
                 raise
             sim = None
+        def _cell_aligned_min(kgrid, order):
+            # The mesh must give each cell enough grid points to hold a
+            # spline patch: S >= (order+1)/2 + margin per axis, with
+            # margin covering inter-rebin skin drift.  Spacing bound:
+            # perpendicular widths (== lengths when orthogonal).
+            import math as _math
+
+            nc_ = np.asarray(kgrid.nc)
+            L_ = np.asarray(box.perp_widths)
+            smin = []
+            for ax in range(3):
+                s = (order + 1) // 2 + 2
+                while True:
+                    h = L_[ax] / (s * nc_[ax])
+                    m = max(2, int(_math.ceil(0.5 * policy.skin / h
+                                              - 1e-9)))
+                    if s >= (order + 1) // 2 + m:
+                        break
+                    s += 1
+                smin.append(s)
+            return tuple(int(s * c) for s, c in zip(smin, nc_))
+
         if sim is not None:
             if use_cellpppm:
                 # rebuild pppm aligned to the sim's cell grid and bind the
@@ -803,29 +837,13 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 # a spline patch: S >= (order+1)/2 + margin per axis.
                 from .models.kspace import setup_pppm as _setup
                 from .models.kspace import CellPPPM
-                import math as _math
 
                 order = ks.get("order", 5)
                 # kspace rides the COARSE (reach-1) view of the cell
                 # planes: z-refined pair cells merge back into cutneigh-
                 # sized cells at zero relayout cost (CellGrid.coarse)
                 kgrid = sim.grid.coarse()
-                nc = np.asarray(kgrid.nc)
-                # spacing bound: perpendicular widths (== lengths when
-                # orthogonal; the worst-case mesh spacing on tilted cells)
-                L = np.asarray(box.perp_widths)
-                smin = []
-                for ax in range(3):
-                    s = (order + 1) // 2 + 2
-                    while True:
-                        h = L[ax] / (s * nc[ax])
-                        m = max(2, int(_math.ceil(0.5 * policy.skin / h
-                                                  - 1e-9)))
-                        if s >= (order + 1) // 2 + m:
-                            break
-                        s += 1
-                    smin.append(s)
-                grid_min = tuple(int(s * c) for s, c in zip(smin, nc))
+                grid_min = _cell_aligned_min(kgrid, order)
                 pm2 = _setup(box, q, cutoff=ps.get("cut_coul", ps["cut"]),
                              accuracy_rel=ks.get("accuracy", 1e-4),
                              qqrd2e=u.qqrd2e, order=order,
@@ -834,6 +852,22 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                              multiple_of=kgrid.nc,
                              grid_min=grid_min, acc_dtype=prec.acc)
                 sim.kspace = CellPPPM(pm2, kgrid, skin=policy.skin)
+                sim.state = sim._init_force_fn()(sim.state)
+            if use_celldisp:
+                # dispersion mesh aligned to the sim's cell grid; g6 is
+                # grid-independent so the pair tables stay valid
+                from .models.kspace import setup_pppm_disp as _setup_disp
+                from .models.kspace.pppm_cells import CellPPPMDisp
+
+                order6 = ks.get("order_disp", ks.get("order", 5))
+                kgrid = sim.grid.coarse()
+                grid_min = _cell_aligned_min(kgrid, order6)
+                pmd2 = _setup_disp(
+                    box, B, typ, cutoff=ps["cut"], g_ewald_6=g6,
+                    acc_dtype=prec.acc, mix=mix,
+                    diff=ks.get("diff", "ik"), order=order6,
+                    multiple_of=kgrid.nc, grid_min=grid_min)
+                sim.kspace = CellPPPMDisp(pmd2, kgrid, skin=policy.skin)
                 sim.state = sim._init_force_fn()(sim.state)
             return sim
     sim = Simulation(system, style, bonded=bonded, shake=shake,

@@ -54,3 +54,29 @@ def test_hexane_nve_conservation(reference_dir):
     # dispersion kspace term must be active and attractive overall
     assert rows[0]["elong"] != 0.0
     assert rows[0]["epair"] < 0
+
+
+def test_hexane_deck_cell_dispersion_engine(reference_dir):
+    """The hexane deck binds the cell-patch dispersion pipeline
+    (CellPPPMDisp) on the production engine, with step-0 thermo parity
+    vs the generic channel pipeline (nlist engine)."""
+    import copy
+    import yaml
+
+    from lammps_buck_intel_tpu.run import build_simulation
+    from lammps_buck_intel_tpu.models.kspace.pppm_cells import CellPPPMDisp
+
+    with open(f"{reference_dir}/../repo/examples/decks/hexane.yaml") as f:
+        cfg = yaml.safe_load(f)
+    cfg["run"] = 0
+    sim = build_simulation(copy.deepcopy(cfg))
+    assert isinstance(sim.kspace, CellPPPMDisp), type(sim.kspace)
+    row = sim.thermo()
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["engine"] = "nlist"
+    sim2 = build_simulation(cfg2)
+    row2 = sim2.thermo()
+    for k in ("epair", "elong", "etotal"):
+        assert abs(row[k] - row2[k]) <= 2e-5 * max(1.0, abs(row2[k])), (
+            k, row[k], row2[k])

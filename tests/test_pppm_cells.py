@@ -244,3 +244,57 @@ def test_cellpppm_triclinic_matches_generic(transfer):
                                rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(virial), np.asarray(rg.virial),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_celldisp_matches_generic():
+    """CellPPPMDisp (geometric dispersion through the patch pipeline)
+    reproduces the pppm_disp.py channel pipeline: forces, elong, the
+    anisotropic vfac virial, and the per-atom corrections
+    (/root/reference/pppm_disp_intel.cpp:245-313, :498-537)."""
+    from lammps_buck_intel_tpu.models.kspace.pppm_cells import CellPPPMDisp
+    from lammps_buck_intel_tpu.models.kspace import setup_pppm_disp
+
+    rng = np.random.RandomState(11)
+    n, L = 300, 12.0
+    x = rng.uniform(0, L, (n, 3))
+    typ = rng.randint(0, 2, n)
+    B = np.array([1.3, 0.7])
+    box = make_box([0, 0, 0], [L] * 3)
+    grid = cs.make_grid(n, [L] * 3, 4.0)
+    st = cs.from_atoms(grid, box, x, np.zeros_like(x),
+                       np.zeros((n, 3), np.int32), typ.astype(np.int32),
+                       np.zeros(n), dtype=jnp.float64)
+    pmd = setup_pppm_disp(box, B, typ, cutoff=4.0,
+                          multiple_of=grid.nc, acc_dtype=jnp.float64)
+    cp = CellPPPMDisp(pmd, grid)
+    fx, fy, fz, elong, virial = cp.compute_slots(st, True, True)
+    ref = pmd.compute(jnp.asarray(x), jnp.asarray(B[typ]))
+    back = cs.to_atoms(grid, st._replace(
+        fx=fx.astype(jnp.float64), fy=fy.astype(jnp.float64),
+        fz=fz.astype(jnp.float64)))
+    np.testing.assert_allclose(float(elong), float(ref.elong), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(back["f"]), np.asarray(ref.f),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(virial), np.asarray(ref.virial),
+                               rtol=1e-9, atol=1e-12)
+    # per-atom corrections: sum-pinned to the globals + per-atom parity
+    eatom, vatom = cp.compute_peratom_slots(st)
+    np.testing.assert_allclose(float(eatom.sum()), float(elong),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(vatom).sum(axis=0),
+                               np.asarray(virial), rtol=1e-9, atol=1e-12)
+    ea_g, va_g = pmd.compute_peratom(
+        jnp.asarray(x), b_per_atom=jnp.asarray(B[typ]))
+    back_e = cs.to_atoms(grid, st._replace(
+        fx=eatom.astype(jnp.float64), fy=eatom.astype(jnp.float64),
+        fz=eatom.astype(jnp.float64)))
+    np.testing.assert_allclose(np.asarray(back_e["f"][:, 0]),
+                               np.asarray(ea_g), rtol=1e-9, atol=1e-12)
+    for c in range(6):
+        back_v = cs.to_atoms(grid, st._replace(
+            fx=vatom[:, c].astype(jnp.float64),
+            fy=vatom[:, c].astype(jnp.float64),
+            fz=vatom[:, c].astype(jnp.float64)))
+        np.testing.assert_allclose(np.asarray(back_v["f"][:, 0]),
+                                   np.asarray(va_g[:, c]), rtol=1e-8,
+                                   atol=1e-12)
