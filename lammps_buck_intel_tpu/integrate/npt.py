@@ -224,10 +224,11 @@ class NPTSimulation:
         self._tilt0 = (np.asarray(box0.tilt, np.float64)
                        if getattr(box0, "is_triclinic", False) else None)
         if self._tilt0 is not None:
-            if shake is not None or rigid is not None:
+            if rigid is not None:
                 raise NotImplementedError(
-                    "fix npt on a triclinic box with shake/rigid "
-                    "(constraint min-image is orthogonal-only)")
+                    "fix rigid/npt/small on a triclinic box (body COM "
+                    "dynamics under the tilted dilation map; fix npt + "
+                    "shake runs tilted via the traced-tilt min image)")
             self._h0 = np.asarray(box0.h_matrix, np.float64)
             self._h0_inv = np.asarray(box0.h_inv, np.float64)
         # static bin geometry sized for a box GROWN by `box_headroom`:
@@ -302,11 +303,12 @@ class NPTSimulation:
             # settle onto the constraint manifold (verlet.py settle analog)
             x3 = tuple(st.x[:, c] for c in range(3))
             v3 = tuple(st.v[:, c] for c in range(3))
+            L0s = self._shake_L(L0)
             xs, _ = shake_positions_clustered(
-                shake, self._shake_cl, x3, x3, v3, 1.0, L0,
+                shake, self._shake_cl, x3, x3, v3, 1.0, L0s,
                 self._shake_rows)
             vs = rattle_velocities_clustered(
-                shake, self._shake_cl, xs, v3, L0, self._shake_rows)
+                shake, self._shake_cl, xs, v3, L0s, self._shake_rows)
             st = st._replace(x=jnp.stack(xs, -1), v=jnp.stack(vs, -1))
         if rigid is not None:
             # project onto rigid motion (the settle analog): positions/
@@ -349,6 +351,15 @@ class NPTSimulation:
         return Box(lo=c - 0.5 * boxL, hi=c + 0.5 * boxL,
                    periodic=np.array([True, True, True]),
                    tilt=self._tilt_of(boxL))
+
+    def _shake_L(self, boxL):
+        """Constraint min-image geometry: the traced lengths when
+        orthogonal, the (lx, ly, lz, xy, xz, yz) 6-tuple (tilts derived
+        by the scale rules) when tilted — shake._minimg_planes contract."""
+        if self._tilt0 is None:
+            return boxL
+        t = self._tilt_of(jnp.asarray(boxL))
+        return (boxL[0], boxL[1], boxL[2], t[0], t[1], t[2])
 
     # ---------- forces ----------
 
@@ -588,7 +599,7 @@ class NPTSimulation:
                 tuple(x_ref[:, c2] for c2 in range(3)),
                 tuple(x[:, c2] for c2 in range(3)),
                 tuple(st.v[:, c2] for c2 in range(3)),
-                dtv, boxL, self._shake_rows,
+                dtv, self._shake_L(boxL), self._shake_rows,
                 virial_factor=1.0 / (dtv * dtf))
             x = jnp.stack(x3, -1)
             st = st._replace(v=jnp.stack(v3, -1))
@@ -604,7 +615,7 @@ class NPTSimulation:
                 self.shake, self._shake_cl,
                 tuple(st.x[:, c2] for c2 in range(3)),
                 tuple(st.v[:, c2] for c2 in range(3)),
-                st.boxL, self._shake_rows), -1))
+                self._shake_L(st.boxL), self._shake_rows), -1))
         st = self._press_vscale(st)
         st = self._omega_dot_half(st, p_target, t_target)
         chain = NHChain(eta=st.therm[0], eta_dot=st.therm[1])

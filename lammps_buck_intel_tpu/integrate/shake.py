@@ -111,13 +111,24 @@ def make_shake(
     )
 
 
+def _tri6(L) -> bool:
+    """(lx, ly, lz, xy, xz, yz) 6-sequence — the traced-triclinic form
+    the NPT engine passes (tilts derive from the traced lengths via the
+    fix_nh scalexy/scalexz/scaleyz rules)."""
+    return isinstance(L, (tuple, list)) and len(L) == 6
+
+
 def _minimg_cols(d, L):
     # L: per-axis lengths (host numpy -> baked floats; traced (3,) on the
-    # NPT path) OR a triclinic Box (greedy z->y->x tilt reduction)
+    # NPT path), a triclinic Box (greedy z->y->x tilt reduction), or a
+    # traced (lx, ly, lz, xy, xz, yz) 6-sequence (triclinic NPT)
     if hasattr(L, "is_triclinic"):
         from ..core.box import minimum_image
 
         return minimum_image(d, L)
+    if _tri6(L):
+        dx, dy, dz = _minimg_planes(d[:, 0], d[:, 1], d[:, 2], L)
+        return jnp.stack([dx, dy, dz], axis=-1)
     out = []
     for ax in range(3):
         La = float(L[ax]) if isinstance(L, np.ndarray) else L[ax]
@@ -131,6 +142,18 @@ def _minimg_planes(dx, dy, dz, L):
         from ..core.box import minimum_image_planes
 
         return minimum_image_planes(dx, dy, dz, L)
+    if _tri6(L):
+        lx, ly, lz, xy, xz, yz = L
+        n3 = jnp.round(dz * (1.0 / lz))
+        dx = dx - n3 * xz
+        dy = dy - n3 * yz
+        dz = dz - n3 * lz
+        n2 = jnp.round(dy * (1.0 / ly))
+        dx = dx - n2 * xy
+        dy = dy - n2 * ly
+        n1 = jnp.round(dx * (1.0 / lx))
+        dx = dx - n1 * lx
+        return dx, dy, dz
     out = []
     for dd, ax in ((dx, 0), (dy, 1), (dz, 2)):
         La = float(L[ax]) if isinstance(L, np.ndarray) else L[ax]

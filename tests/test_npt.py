@@ -1153,3 +1153,112 @@ def test_traced_pppm_triclinic_matches_fresh_setup():
         np.testing.assert_allclose(np.asarray(r1.virial),
                                    np.asarray(r0.virial), rtol=1e-8,
                                    atol=1e-10)
+
+
+def _water_cfg(tmp_path, tilt=None, tag=""):
+    """27 SPC/E-like waters (the test_npt_with_shake_water system),
+    optionally on a tilted box, as a deck cfg."""
+    L = 9.4
+    m = 3
+    oh = 1.0
+    ang = np.radians(109.47)
+    rows_atoms, bonds, angles = [], [], []
+    aid = 0
+    for i in range(m):
+        for j in range(m):
+            for k in range(m):
+                o = (np.array([i, j, k]) + 0.5) * (L / m)
+                h1 = o + [oh, 0.0, 0.0]
+                h2 = o + [oh * np.cos(ang), oh * np.sin(ang), 0.0]
+                molid = i * m * m + j * m + k + 1
+                rows_atoms += [
+                    (aid + 1, molid, 1, -0.8476, *o),
+                    (aid + 2, molid, 2, 0.4238, *h1),
+                    (aid + 3, molid, 2, 0.4238, *h2),
+                ]
+                bonds += [(1, aid + 1, aid + 2), (1, aid + 1, aid + 3)]
+                angles += [(1, aid + 2, aid + 1, aid + 3)]
+                aid += 3
+    data = tmp_path / f"data.water{tag}"
+    with open(data, "w") as f:
+        f.write("spce-like water\n\n")
+        f.write(f"{aid} atoms\n{len(bonds)} bonds\n{len(angles)} angles\n")
+        f.write("2 atom types\n1 bond types\n1 angle types\n\n")
+        for ax in "xyz":
+            f.write(f"0.0 {L} {ax}lo {ax}hi\n")
+        if tilt is not None:
+            f.write(f"{tilt[0]} {tilt[1]} {tilt[2]} xy xz yz\n")
+        f.write("\nMasses\n\n1 15.9994\n2 1.008\n\nAtoms # full\n\n")
+        for r in rows_atoms:
+            f.write(f"{r[0]} {r[1]} {r[2]} {r[3]} "
+                    f"{r[4]:.8f} {r[5]:.8f} {r[6]:.8f}\n")
+        f.write("\nBonds\n\n")
+        for n_, (t, i, j) in enumerate(bonds):
+            f.write(f"{n_+1} {t} {i} {j}\n")
+        f.write("\nAngles\n\n")
+        for n_, (t, i, j, k) in enumerate(angles):
+            f.write(f"{n_+1} {t} {i} {j} {k}\n")
+    return {
+        "units": "real", "precision": "double",
+        "read_data": str(data),
+        "pair_style": {"name": "lj/cut/coul/cut", "cut": 3.0,
+                       "coeffs": {"1 1": [0.1553, 3.166],
+                                  "1 2": [0.0, 1.0],
+                                  "2 2": [0.0, 1.0]}},
+        "special_bonds": [0.0, 0.0, 0.0],
+        "bond_style": {"name": "harmonic", "coeffs": [[1000.0, 1.0]]},
+        "angle_style": {"name": "harmonic", "coeffs": [[100.0, 109.47]]},
+        "velocity": {"temp": 300.0, "seed": 123},
+        # cut+skin (x box_headroom) must clear half the min perp width
+        # of the TILTED cell (4.65 at this tilt)
+        "neighbor": {"skin": 1.0, "every": 5, "check": False},
+        "fixes": [
+            {"name": "shake", "b": [1], "a": [1]},
+            {"name": "npt", "t_start": 300.0, "t_damp": 50.0,
+             "iso": [1.0, 1.0, 500.0], "tchain": 1},
+        ],
+        "timestep": 1.0,
+    }
+
+
+def test_npt_shake_triclinic_near_ortho_limit(tmp_path):
+    """fix npt + fix shake on a tilted box (in.rhodo composition on a
+    triclinic cell, VERDICT r4 missing #3): with tilt -> 0 the traced-
+    tilt constraint min image must reproduce the orthogonal engine."""
+    from lammps_buck_intel_tpu.run import build_simulation
+
+    simO = build_simulation(_water_cfg(tmp_path, tag="o"))
+    simT = build_simulation(
+        _water_cfg(tmp_path, tilt=[1e-9, -1e-9, 1e-9], tag="t"))
+    assert simT._tilt0 is not None and simT.shake is not None
+    rowsO = simO.run(60, thermo_every=30, log=False)
+    rowsT = simT.run(60, thermo_every=30, log=False)
+    for rt, ro in zip(rowsT, rowsO):
+        for key in ("temp", "press", "vol", "etotal"):
+            a, b = float(rt[key]), float(ro[key])
+            assert abs(a - b) <= 1e-6 * max(abs(a), abs(b), 1.0), \
+                (key, a, b)
+
+
+def test_npt_shake_triclinic_constraints_hold(tmp_path):
+    """Real tilt: constraints stay on the manifold under the dilating
+    TILTED cell (traced-tilt min image) and the tilt ratios scale."""
+    from lammps_buck_intel_tpu.run import build_simulation
+    from lammps_buck_intel_tpu.integrate.shake import max_violation
+
+    tilt = [1.2, -0.9, 0.8]
+    sim = build_simulation(_water_cfg(tmp_path, tilt=tilt))
+    assert sim._tilt0 is not None and sim.shake is not None
+    rows = sim.run(150, thermo_every=50, log=False)
+    for r in rows:
+        assert np.isfinite(r["temp"]) and np.isfinite(r["press"])
+    cb = sim.current_box
+    viol = float(max_violation(
+        sim.shake, jnp.asarray(jax.device_get(sim.state.x)), cb))
+    assert viol < 5e-4, viol
+    # box moved; tilt ratios held (scalexy/scalexz/scaleyz yes)
+    assert abs(rows[-1]["vol"] - rows[0]["vol"]) / rows[0]["vol"] > 1e-5
+    L = np.asarray(cb.lengths)
+    t = np.asarray(cb.tilt)
+    np.testing.assert_allclose(t[0] / L[1], tilt[0] / 9.4, rtol=1e-10)
+    np.testing.assert_allclose(t[1] / L[2], tilt[1] / 9.4, rtol=1e-10)
