@@ -114,14 +114,36 @@ def _quat_from_matrix(E: np.ndarray) -> np.ndarray:
 
 # ---------- build ----------
 
+def _minimg_host(d, L_box):
+    """Host-numpy minimum image: (k, 3) displacements against per-axis
+    lengths, OR a Box (triclinic boxes run the greedy z->y->x tilt
+    reduction of core.box.minimum_image)."""
+    d = np.array(d, np.float64)
+    if hasattr(L_box, "is_triclinic") and L_box.is_triclinic:
+        lx, ly, lz = (float(v) for v in np.asarray(L_box.lengths))
+        xy, xz, yz = (float(v) for v in np.asarray(L_box.tilt))
+        n3 = np.round(d[:, 2] / lz)
+        d[:, 0] -= n3 * xz
+        d[:, 1] -= n3 * yz
+        d[:, 2] -= n3 * lz
+        n2 = np.round(d[:, 1] / ly)
+        d[:, 0] -= n2 * xy
+        d[:, 1] -= n2 * ly
+        d[:, 0] -= np.round(d[:, 0] / lx) * lx
+        return d
+    Lb = (np.asarray(L_box.lengths, np.float64)
+          if hasattr(L_box, "lengths") else np.asarray(L_box, np.float64))
+    return d - np.round(d / Lb) * Lb
+
+
 def make_rigid_bodies(x, molecule, mass_per_atom, L_box) -> RigidBodies:
     """``fix rigid/small molecule``: one body per molecule id.
 
     Straddling molecules are re-assembled by per-atom minimum image
-    relative to the body's first atom (orthogonal L_box — data files store
-    unwrapped coordinates, so this is a no-op for well-formed inputs)."""
+    relative to the body's first atom (L_box: per-axis lengths or a Box —
+    tilted cells use the triclinic reduction; data files store unwrapped
+    coordinates, so this is a no-op for well-formed inputs)."""
     x = np.asarray(x, np.float64)
-    Lb = np.asarray(L_box, np.float64)
     mol = np.asarray(molecule)
     m = np.asarray(mass_per_atom, np.float64)
     uniq, body_of = np.unique(mol, return_inverse=True)
@@ -136,9 +158,7 @@ def make_rigid_bodies(x, molecule, mass_per_atom, L_box) -> RigidBodies:
     for b in range(B):
         idx = np.nonzero(body_of == b)[0]
         xb = x[idx].copy()
-        d = xb - xb[0]
-        d -= np.round(d / Lb) * Lb
-        xb = xb[0] + d
+        xb = xb[0] + _minimg_host(xb - xb[0], L_box)
         mb = m[idx]
         M = mb.sum()
         com = (mb[:, None] * xb).sum(0) / M
@@ -275,7 +295,6 @@ def body_state_from_atoms(rb: RigidBodies, x, v, L_box,
     orientation against the build-time r_body."""
     x = np.asarray(x, np.float64)
     v = np.asarray(v, np.float64)
-    Lb = np.asarray(L_box, np.float64)
     m = rb.mass_per_atom
     B = rb.nbody
     X = np.zeros((B, 3))
@@ -285,9 +304,7 @@ def body_state_from_atoms(rb: RigidBodies, x, v, L_box,
     for b in range(B):
         idx = np.nonzero(rb.body_of == b)[0]
         xb = x[idx].copy()
-        d = xb - xb[0]
-        d -= np.round(d / Lb) * Lb
-        xb = xb[0] + d
+        xb = xb[0] + _minimg_host(xb - xb[0], L_box)
         mb = m[idx][:, None]
         M = rb.mtotal[b]
         com = (mb * xb).sum(0) / M

@@ -124,12 +124,9 @@ class Simulation:
         self.typ = np.asarray(jax.device_get(system.type), np.int32)
         self.q = np.asarray(jax.device_get(system.q), np.dtype(flt))
         self.box = system.box
-        if getattr(self.box, "is_triclinic", False) and rigid is not None:
-            raise NotImplementedError(
-                "fix rigid/small on a triclinic box (positions derive "
-                "from unwrapped body COMs; orthogonal only).  Bonded "
-                "terms and SHAKE run tilted via the triclinic minimum "
-                "image.")
+        # fix rigid/small runs tilted too: bodies assemble through the
+        # triclinic host min image (rigid._minimg_host), positions stay
+        # unwrapped (lamda-fold binning + triclinic pair min image)
         self.mass_per_atom = np.asarray(
             jax.device_get(system.mass), np.float64
         )[self.typ]

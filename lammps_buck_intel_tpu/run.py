@@ -500,7 +500,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 from .integrate import make_rigid_bodies
 
                 rigid_fix = make_rigid_bodies(x, mol, mass_per_atom,
-                                              box.lengths)
+                                              box)
             exclude_intra = True
         elif fn in ("npt", "rigid/npt/small"):
             # `fix npt temp T T Tdamp iso P P Pdamp` / the in.rhodo form
@@ -514,7 +514,7 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 from .integrate import make_rigid_bodies
 
                 rigid_fix = make_rigid_bodies(x, mol, mass_per_atom,
-                                              box.lengths)
+                                              box)
                 exclude_intra = True
                 rigid_npt = True
             thermostat = NVTConfig(

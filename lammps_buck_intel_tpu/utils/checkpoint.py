@@ -254,7 +254,7 @@ def resume(sim, ckpt: dict) -> None:
             )
 
             bs = body_state_from_atoms(sim.rigid, ckpt["x"], ckpt["v"],
-                                       sim.box.lengths, dtype=flt)
+                                       sim.box, dtype=flt)
             xa, d = atom_positions(sim.rigid, bs)
             va = atom_velocities(sim.rigid, bs, d)
             sim.state = sim.state._replace(
