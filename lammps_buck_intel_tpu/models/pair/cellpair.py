@@ -66,6 +66,8 @@ def compute_cell_tiles(
     acc_dtype=jnp.float32,
     slot_special_idx: Optional[jnp.ndarray] = None,   # (NS_i, S) atom ids
     slot_special_code: Optional[jnp.ndarray] = None,  # (NS_i, S) int8
+    h_matrix: Optional[np.ndarray] = None,  # triclinic cell rows (greedy
+    # z->y->x min image instead of per-axis rounding)
 ) -> CellPairResult:
     ncell = nbr_np.shape[0]
     ncell_j = j_planes["x"].shape[0] // cap
@@ -142,13 +144,33 @@ def compute_cell_tiles(
         )
         if has_mol:
             mask = mask & (mi[:, :, None] != mj[:, None, :])
-        d = []
-        rsq = None
-        for ax, (ci, cj) in enumerate(((xi, xj), (yi, yj), (zi, zj))):
-            dd = ci[:, :, None] - cj[:, None, :]   # (tile, cap, 27cap)
-            dd = dd - jnp.round(dd * (1.0 / L[ax])) * L[ax]
-            d.append(dd)
-            rsq = dd * dd if rsq is None else rsq + dd * dd
+        if h_matrix is not None:
+            # greedy z->y->x triclinic minimum image (core/box.py form)
+            hm = np.asarray(h_matrix, np.float64)  # upper-tri (cols = box
+            lx, ly, lz = float(hm[0, 0]), float(hm[1, 1]), float(hm[2, 2])
+            t_xy, t_xz, t_yz = (float(hm[0, 1]), float(hm[0, 2]),
+                                float(hm[1, 2]))
+            dx = xi[:, :, None] - xj[:, None, :]
+            dy = yi[:, :, None] - yj[:, None, :]
+            dz = zi[:, :, None] - zj[:, None, :]
+            n3 = jnp.round(dz * (1.0 / lz))
+            dx = dx - n3 * t_xz
+            dy = dy - n3 * t_yz
+            dz = dz - n3 * lz
+            n2 = jnp.round(dy * (1.0 / ly))
+            dx = dx - n2 * t_xy
+            dy = dy - n2 * ly
+            dx = dx - jnp.round(dx * (1.0 / lx)) * lx
+            d = [dx, dy, dz]
+            rsq = dx * dx + dy * dy + dz * dz
+        else:
+            d = []
+            rsq = None
+            for ax, (ci, cj) in enumerate(((xi, xj), (yi, yj), (zi, zj))):
+                dd = ci[:, :, None] - cj[:, None, :]  # (tile, cap, 27cap)
+                dd = dd - jnp.round(dd * (1.0 / L[ax])) * L[ax]
+                d.append(dd)
+                rsq = dd * dd if rsq is None else rsq + dd * dd
         rsq = jnp.where(mask, rsq, jnp.asarray(1e30, flt))
 
         if ntypes == 1:

@@ -154,7 +154,9 @@ class SlabCellPairSimulation:
 
         cutneigh = (float(np.sqrt(pair.cutsq_max))
                     + self.neighbor.skin) * float(cutneigh_scale)
-        L = np.asarray(self.box.lengths)
+        # cell sizing bounds cutoffs by the PERPENDICULAR face widths
+        # (== lengths when orthogonal; lamda-slab extents when tilted)
+        L = np.asarray(self.box.perp_widths)
         grid = cs.make_grid(n, L, cutneigh, cap=cap)
         if grid is None:
             raise ValueError("box too small for the cell-pair engine")
@@ -241,7 +243,8 @@ class SlabCellPairSimulation:
             # settle the initial state onto the constraint manifold —
             # done in atom order on the replicated host arrays (setup
             # only; per-step SHAKE runs sharded, see _block_local)
-            Lbox = np.asarray(self.box.lengths, np.float64)
+            Lbox = (self.box if self.box.is_triclinic
+                    else np.asarray(self.box.lengths, np.float64))
             sc = self.shake
             cl = self._shake_cl
             rows = jnp.asarray(cl.rows_np(0))
@@ -328,12 +331,14 @@ class SlabCellPairSimulation:
     def _occupancy(self, system) -> int:
         x = np.asarray(jax.device_get(system.x))
         lo = np.asarray(self.box.lo)
-        L = np.asarray(self.box.lengths)
         nc = np.asarray(self.grid.nc)
         # wrap before binning (matches rebin's wrap_state; clipping piles
         # out-of-box read_data/replicate coordinates into edge cells and
         # oversizes cap quadratically — see cellpair_verlet._occupancy)
-        s = (x - lo) / L
+        if self.box.is_triclinic:
+            s = (x - lo) @ np.asarray(self.box.h_inv, np.float64).T
+        else:
+            s = (x - lo) / np.asarray(self.box.lengths)
         s = s - np.floor(s)
         ci = np.clip((s * nc).astype(int), 0, nc - 1)
         cid = (ci[:, 0] * nc[1] + ci[:, 1]) * nc[2] + ci[:, 2]
@@ -505,6 +510,8 @@ class SlabCellPairSimulation:
             self._nbr_ext, ip, jp,
             eflag=eflag, vflag=vflag, acc_dtype=self.precision.acc,
             slot_special_idx=sp_idx, slot_special_code=sp_code,
+            h_matrix=(self.box.h_matrix
+                      if boxL is None and self.box.is_triclinic else None),
         )
         fx, fy, fz = r.fx, r.fy, r.fz
         evdwl, ecoul, vir_pair = r.evdwl, r.ecoul, r.virial
@@ -549,6 +556,7 @@ class SlabCellPairSimulation:
         ncx_loc = self.ncx_loc
         plane = self._plane
 
+        tric = boxL is None and self.box.is_triclinic
         if boxL is None:
             lo = [float(v) for v in np.asarray(self.box.lo)]
             L = [float(v) for v in np.asarray(self.box.lengths)]
@@ -579,9 +587,20 @@ class SlabCellPairSimulation:
             merged = state
 
         valid = merged.aid < n
-        cx = cs.cell_index(merged.x, lo[0], L[0], ncx)
-        cy = cs.cell_index(merged.y, lo[1], L[1], ncy)
-        cz = cs.cell_index(merged.z, lo[2], L[2], ncz)
+        if tric:
+            # cells are uniform in LAMDA space (cell_slots._slot_cid)
+            sx, sy, sz = cs._lamda_planes(self.box, merged.x, merged.y,
+                                          merged.z)
+            cx = jnp.clip(jnp.floor(sx * ncx).astype(jnp.int32), 0,
+                          ncx - 1)
+            cy = jnp.clip(jnp.floor(sy * ncy).astype(jnp.int32), 0,
+                          ncy - 1)
+            cz = jnp.clip(jnp.floor(sz * ncz).astype(jnp.int32), 0,
+                          ncz - 1)
+        else:
+            cx = cs.cell_index(merged.x, lo[0], L[0], ncx)
+            cy = cs.cell_index(merged.y, lo[1], L[1], ncy)
+            cz = cs.cell_index(merged.z, lo[2], L[2], ncz)
         if D == 1:
             cid = jnp.where(valid, (cx * ncy + cy) * ncz + cz,
                             self.ncell_loc)
@@ -667,7 +686,8 @@ class SlabCellPairSimulation:
         flt = self.precision.flt
         cfg = self.thermostat
         sc = self.shake
-        Lbox = np.asarray(self.box.lengths, np.float64)
+        Lbox = (self.box if self.box.is_triclinic
+                else np.asarray(self.box.lengths, np.float64))
         plane = self._plane
         ns_loc = self.grid.nslots // self.D
         sl = slice(plane, plane + ns_loc)
@@ -950,7 +970,9 @@ class SlabCellPairSimulation:
                     ext3(state.vx, state.vy, state.vz),
                     ext3(tfx.astype(flt), tfy.astype(flt),
                          tfz.astype(flt)),
-                    u.ftm2v, np.asarray(self.box.lengths, np.float64),
+                    u.ftm2v,
+                    (self.box if self.box.is_triclinic
+                     else np.asarray(self.box.lengths, np.float64)),
                     ctx["shake_rows"],
                     vweights=ctx["shake_vw"].astype(flt),
                     acc_dtype=acc)

@@ -574,8 +574,13 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         from .models.kspace.pppm_slab import SlabCellPPPM
 
         n_dev = n_dev_req or len(jax.devices())
-        if box.is_triclinic:
-            raise NotImplementedError("slab engine: triclinic box")
+        if box.is_triclinic and (npt_fix is not None
+                                 or rigid_fix is not None):
+            # static tilted cells run the slab engine (lamda-plane
+            # decomposition); the traced-box and body-COM compositions
+            # stay single-device for now
+            raise NotImplementedError(
+                "slab engine: triclinic box with fix npt / rigid")
         if cfg.get("pair_kernel"):
             raise NotImplementedError(
                 "slab engine: pair_kernel selection (the Pallas variants "
@@ -619,7 +624,9 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         pencil_ok = ((want_coul or want_disp)
                      and not ks.get("slab")
                      and ks.get("diff", "ik") == "ik"
-                     and not ks.get("gathered"))
+                     and not ks.get("gathered")
+                     and not box.is_triclinic)  # tilted k-space runs
+        # gathered (the generic triclinic solver, replicated)
         kset = None
         if ks and not pencil_ok:
             # no pencil pipeline for this solver family (ewald,
@@ -790,8 +797,9 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
             # systems that densify locally outgrow the occupancy-sized cap)
             kw2["cap"] = int(cfg["cap"])
         if cfg.get("pair_kernel"):
-            # xla (default) | pallas | pallas_v2 | pallas_v3 — force-only
-            # inner-step kernel selection (bench.py auto-tunes this)
+            # "xla" only (the Pallas variants were pruned in r5 after
+            # losing every hardware A/B — PERF.md); unknown values stay
+            # loud in the engine constructor
             kw2["pair_kernel"] = str(cfg["pair_kernel"])
         if use_cellpppm or use_celldisp:
             kw2["kspace"] = None

