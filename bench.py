@@ -106,14 +106,9 @@ def main():
             c["pair_kernel"] = kernel
         return build_simulation(c)
 
-    # ---- pair-kernel selection.  Default: XLA only — the hand Pallas
-    # variants have lost every hardware A/B (57 vs 33 ms/step, PERF.md)
-    # and the extra trials triple compile wall time on this 1-core host,
-    # risking the driver's bench timeout.  BENCH_AUTOTUNE=full re-runs
-    # the full A/B when re-evaluating the Pallas kernels. ----
+    # ---- pair kernel: XLA (the Pallas variants were pruned in r5
+    # after losing every hardware A/B — PERF.md "Pair-kernel A/B") ----
     candidates = ["xla"]
-    if platform != "cpu" and os.environ.get("BENCH_AUTOTUNE") == "full":
-        candidates += ["pallas_v3", "pallas_v2"]
     best = None
     trials = {}
     ref_etotal = None

@@ -227,31 +227,18 @@ class CellPairSimulation:
                 "compensated precision on a triclinic box (the lamda wrap "
                 "reconstructs positions, destroying the two-float split)")
 
-        # optional Pallas force kernel for the INNER steps (force-only;
-        # thermo/energy passes keep the XLA kernel).  Valid for plain-f32
-        # atomic orthogonal decks — the hot-bench configuration.
+        # Pair kernel: XLA only.  Three hand Pallas variants (v1 dense,
+        # v2 lane-fused, v3 grid-pipelined) lost every hardware A/B to
+        # XLA's fusion of the pre-gathered j-planes into the physics
+        # (105.5 / 67.0 / 77.7 ms vs 34.4 ms on the 259k pair pass —
+        # PERF.md "Pair-kernel A/B") and were pruned in r5: a strictly
+        # dominated path is dead weight, and the measured record stays.
         self._pallas_fn = None
         if pair_kernel != "xla":
-            if (self._special_idx is not None or self._excl_mol is not None
-                    or self.box.is_triclinic or comp
-                    or np.dtype(flt) != np.dtype(np.float32)):
-                raise NotImplementedError(
-                    f"pair_kernel {pair_kernel!r}: plain-f32 atomic "
-                    "orthogonal decks only (specials/mol-exclusion/"
-                    "triclinic/compensated use the XLA kernel)")
-            from ..ops.pallas_cellpair import (
-                make_pallas_cellpair_v2, make_pallas_cellpair_v3,
-            )
-
-            builders = {"pallas_v2": make_pallas_cellpair_v2,
-                        "pallas_v3": make_pallas_cellpair_v3}
-            if pair_kernel not in builders:
-                raise ValueError(f"unknown pair_kernel {pair_kernel!r}; "
-                                 f"one of {['xla'] + sorted(builders)}")
-            self._pallas_fn = builders[pair_kernel](
-                self.pair, self.grid, self.box,
-                # the TPU kernel runs interpreted on the CPU test backend
-                interpret=jax.default_backend() == "cpu")
+            raise ValueError(
+                f"unknown pair_kernel {pair_kernel!r}: the Pallas "
+                "variants were retired after losing every hardware A/B "
+                "(PERF.md); the XLA cell-tile kernel is the pair path")
         self.pair_kernel = pair_kernel
         st = cs.from_atoms(
             self.grid, self.box, jax.device_get(system.x),
@@ -922,15 +909,5 @@ class CellPairSimulation:
                 f"{old.cap} -> {new.cap}")
         if self.kspace is not None and hasattr(self.kspace, "rebind"):
             self.kspace = self.kspace.rebind(new)
-        if self._pallas_fn is not None:
-            from ..ops.pallas_cellpair import (
-                make_pallas_cellpair_v2, make_pallas_cellpair_v3,
-            )
-
-            builders = {"pallas_v2": make_pallas_cellpair_v2,
-                        "pallas_v3": make_pallas_cellpair_v3}
-            self._pallas_fn = builders[self.pair_kernel](
-                self.pair, new, self.box,
-                interpret=jax.default_backend() == "cpu")
         self._chunk_fns = {}
         self._thermo_jit = jax.jit(self._thermo_device)

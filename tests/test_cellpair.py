@@ -312,84 +312,6 @@ def test_profiler_phases():
     assert all(v > 0 for v in t.values())
 
 
-def test_pallas_cellpair_v3_matches_xla():
-    """Pipelined lane-fused Pallas variant == XLA dense kernel
-    (interpret mode): the group loop lives in the grid and the output
-    block accumulates across the inner grid steps."""
-    from lammps_buck_intel_tpu.ops.pallas_cellpair import (
-        make_pallas_cellpair_v3,
-    )
-
-    xs, v, box, n, u = _melt(6)
-    rng = np.random.RandomState(2)
-    xs = xs + rng.uniform(-0.1, 0.1, xs.shape)
-    grid = cs.make_grid(n, box.lengths, 2.8)
-    st = cs.from_atoms(grid, box, xs, np.zeros_like(xs),
-                       np.zeros((n, 3), np.int32), np.zeros(n, np.int32),
-                       np.zeros(n), dtype=jnp.float32)
-    style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5)
-    ref = compute_cellpair(style, grid, box, st, newton=False)
-    fn = make_pallas_cellpair_v3(style, grid, box, interpret=True)
-    fx, fy, fz = fn(st)
-    scale = float(jnp.max(jnp.abs(ref.fx)))
-    assert float(jnp.max(jnp.abs(fx - ref.fx))) / scale < 1e-5
-    assert float(jnp.max(jnp.abs(fy - ref.fy))) / scale < 1e-5
-    assert float(jnp.max(jnp.abs(fz - ref.fz))) / scale < 1e-5
-
-
-def test_pallas_cellpair_v2_matches_xla():
-    """Lane-fused Pallas variant == XLA dense kernel (interpret mode)."""
-    from lammps_buck_intel_tpu.ops.pallas_cellpair import (
-        make_pallas_cellpair_v2,
-    )
-
-    xs, v, box, n, u = _melt(6)
-    rng = np.random.RandomState(1)
-    xs = xs + rng.uniform(-0.1, 0.1, xs.shape)
-    grid = cs.make_grid(n, box.lengths, 2.8)
-    st = cs.from_atoms(grid, box, xs, np.zeros_like(xs),
-                       np.zeros((n, 3), np.int32), np.zeros(n, np.int32),
-                       np.zeros(n), dtype=jnp.float32)
-    style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5)
-    ref = compute_cellpair(style, grid, box, st, newton=False)
-    fn = make_pallas_cellpair_v2(style, grid, box, interpret=True)
-    fx, fy, fz = fn(st)
-    scale = float(jnp.max(jnp.abs(ref.fx)))
-    assert float(jnp.max(jnp.abs(fx - ref.fx))) / scale < 1e-5
-    assert float(jnp.max(jnp.abs(fy - ref.fy))) / scale < 1e-5
-    assert float(jnp.max(jnp.abs(fz - ref.fz))) / scale < 1e-5
-
-
-def test_pair_kernel_pallas_production_step():
-    """pair_kernel='pallas_v3' wires the Pallas force kernel into the
-    production inner steps (interpret mode on CPU): dynamics match the
-    XLA-kernel engine to f32 summation noise."""
-    from lammps_buck_intel_tpu.integrate import CellPairSimulation
-    from lammps_buck_intel_tpu.core import make_system, get_units
-
-    xs, v, box, n, u = _melt(6)
-    rng = np.random.RandomState(3)
-    xs = xs + rng.uniform(-0.05, 0.05, xs.shape)
-    style = build_buck(1, {(0, 0): (1.0, 0.2, -0.8)}, cut_global=2.5)
-    kw = dict(units=u, dt=0.002,
-              neighbor=NeighborPolicy(skin=0.3, every=5, delay=0,
-                                      check=False))
-
-    def build(kernel):
-        system = make_system(xs, box, v=v, mass=np.ones(1),
-                             dtype=jnp.float32)
-        return CellPairSimulation(system, style, pair_kernel=kernel, **kw)
-
-    a = build("xla")
-    b = build("pallas_v3")
-    a.run(10, log=False)
-    b.run(10, log=False)
-    ra, rb = a.thermo(), b.thermo()
-    for f in ("temp", "evdwl", "etotal"):
-        assert abs(ra[f] - rb[f]) <= 2e-4 * max(abs(ra[f]), 1.0), \
-            (f, ra[f], rb[f])
-
-
 @pytest.mark.parametrize("reach", [2, 3])
 def test_cellpair_reach_z_matches_reach1(reach):
     """The density-adaptive z-refined Newton stencil (judge r3 #2)

@@ -7,7 +7,6 @@ Usage (when the tunneled TPU is reachable):
 Stages (default: all, in this order):
   bench    — bench.py north-star number (prints the JSON line)
   phases   — per-phase breakdown on the north-star deck (profiler)
-  pallas   — Pallas cell-pair kernel vs the XLA dense kernel, ms/step
   goldens  — record long-horizon thermo traces (tools/record_goldens.py)
 
 Each stage is independent and failures don't stop the batch — the point is
@@ -49,17 +48,6 @@ def stage_phases():
     print("phases (ms):", json.dumps(profile_phases(sim)))
 
 
-def stage_pallas():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    from lammps_buck_intel_tpu.ops.pallas_cellpair import (
-        benchmark_vs_xla,
-    )
-
-    print("pallas vs xla:", json.dumps(benchmark_vs_xla()))
-
-
 def stage_goldens():
     import subprocess
 
@@ -72,11 +60,11 @@ def stage_goldens():
 
 
 STAGES = {"bench": stage_bench, "phases": stage_phases,
-          "pallas": stage_pallas, "goldens": stage_goldens}
+          "goldens": stage_goldens}
 
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["bench", "phases", "pallas", "goldens"]
+    names = sys.argv[1:] or ["bench", "phases", "goldens"]
     for nm in names:
         print(f"=== {nm} === {time.strftime('%H:%M:%S')}")
         try:
