@@ -175,10 +175,13 @@ class SlabCellPPPM:
 
     # ---- the local (inside-shard_map) pipeline ----
 
-    def _weights_local(self, state: SlotState, cell_off):
+    def _weights_local(self, state: SlotState, cell_off,
+                       deriv: bool = False):
         """Per-axis (ncell_loc, cap, P) B-spline weights for local slots.
 
-        cell_off: traced scalar — this device's first global x cell."""
+        cell_off: traced scalar — this device's first global x cell.
+        deriv: also return the derivative weights (grid units, already
+        scaled by -1/h — the drho_coeff analog for the ad path)."""
         pm, ps = self.pm, self.ps
         cap = self.grid.cap
         gl = dataclasses.replace(self.grid, nc=self.nc_loc)
@@ -186,11 +189,17 @@ class SlabCellPPPM:
         # x axis: static local cell table + traced global offset folded
         # into the grid coordinate (patch_lo stays static)
         xoff = cell_off.astype(state.x.dtype) * (ps.S[0] * pm.h[0])
-        wx = _axis_weights(pm, ps, gl, state.x - xoff, 0)
-        wy = _axis_weights(pm, ps, gl, state.y, 1)
-        wz = _axis_weights(pm, ps, gl, state.z, 2)
-        return (wx.reshape(ncell, cap, -1), wy.reshape(ncell, cap, -1),
-                wz.reshape(ncell, cap, -1))
+        planes = (state.x - xoff, state.y, state.z)
+        if not deriv:
+            out = [_axis_weights(pm, ps, gl, planes[ax], ax)
+                   for ax in range(3)]
+            return tuple(w.reshape(ncell, cap, -1) for w in out)
+        ws, dws = [], []
+        for ax in range(3):
+            w, dw = _axis_weights(pm, ps, gl, planes[ax], ax, deriv=True)
+            ws.append(w.reshape(ncell, cap, -1))
+            dws.append((dw * (-1.0 / pm.h[ax])).reshape(ncell, cap, -1))
+        return tuple(ws), tuple(dws)
 
     def _tile_pads(self, ncell):
         tile = min(self.ps.cell_tile, ncell)
@@ -214,7 +223,11 @@ class SlabCellPPPM:
         cell_off = dev * self.ncx_loc
 
         qqrd2e = float(pm.qqrd2e)
-        wx, wy, wz = self._weights_local(state, cell_off)
+        if pm.diff == "ad":
+            (wx, wy, wz), (dwx, dwy, dwz) = self._weights_local(
+                state, cell_off, deriv=True)
+        else:
+            wx, wy, wz = self._weights_local(state, cell_off)
         q2d = state.q.reshape(ncell, cap)
 
         # ---- deposition (make_rho + reverse_comm analog) ----
@@ -282,14 +295,12 @@ class SlabCellPPPM:
         else:
             virial = jnp.zeros((6,), acc)
 
-        # ---- ik E-field, inverse pencil FFT, halo, patch gather ----
+        # ---- inverse pencil FFT(s), halo, patch gather ----
         ngrid = pm.grid[0] * pm.grid[1] * pm.grid[2]
         scale = (1.0 / V) * ngrid
         wx_t = padc(wx).reshape(nt, tile, cap, ps.P[0])
-        out = []
-        for kax in (kx, ky, kz):
-            ehat = (-1j) * kax * phi_hat
-            em = (ifft3_slab(ehat, nz, axis, D) * scale).astype(flt)
+
+        def halo_patches(em):
             if D > 1:
                 left_h = jax.lax.ppermute(em[-Sx:], axis, _perm_right(D))
                 right_h = jax.lax.ppermute(em[:Sx], axis, _perm_left(D))
@@ -297,14 +308,47 @@ class SlabCellPPPM:
                 left_h, right_h = em[-Sx:], em[:Sx]
             em_ext = jnp.concatenate([left_h, em, right_h], axis=0)
             ep = grid_to_patches_slab(em_ext, ps, grid_loc)
-            ep_t = padc(ep).reshape(nt, tile, *ps.P)
+            return padc(ep).reshape(nt, tile, *ps.P)
 
-            def gat_tile(args):
-                wxb, wyb, wzb, eb = args
-                t1 = jnp.einsum("tax,txyz->tayz", wxb, eb)
-                t2 = jnp.einsum("tay,tayz->taz", wyb, t1)
-                return jnp.einsum("taz,taz->ta", wzb, t2)
+        def gat_tile(args):
+            wxb, wyb, wzb, eb = args
+            t1 = jnp.einsum("tax,txyz->tayz", wxb, eb)
+            t2 = jnp.einsum("tay,tayz->taz", wyb, t1)
+            return jnp.einsum("taz,taz->ta", wzb, t2)
 
+        out = []
+        if pm.diff == "ad":
+            # ONE inverse FFT -> potential mesh; derivative-spline gather
+            # + measured self-force series (the poisson_ad/fieldforce_ad
+            # pair of /root/reference/pppm_intel.cpp:985-1054, :678-804
+            # under the pencil decomposition)
+            u = (ifft3_slab(phi_hat, nz, axis, D) * scale).astype(flt)
+            ep_t = halo_patches(u)
+            dwx_t = padc(dwx).reshape(nt, tile, cap, ps.P[0])
+            dwy_t = padc(dwy).reshape(nt, tile, cap, ps.P[1])
+            dwz_t = padc(dwz).reshape(nt, tile, cap, ps.P[2])
+            triples = [(dwx_t, wy_t, wz_t), (wx_t, dwy_t, wz_t),
+                       (wx_t, wy_t, dwz_t)]
+            for (wa, wb, wc) in triples:
+                f = jax.lax.map(gat_tile, (wa, wb, wc, ep_t))
+                out.append(f.reshape(nt * tile, cap)[:ncell].reshape(-1))
+            qf = (qqrd2e * state.q).astype(acc)
+            fx = out[0].astype(acc) * qf
+            fy = out[1].astype(acc) * qf
+            fz = out[2].astype(acc) * qf
+            if pm.sf_sine is not None:
+                from .pppm import sf_axis_series
+
+                q2 = (qqrd2e * state.q * state.q).astype(acc)
+                sf = [sf_axis_series(pm, p, a2).astype(acc) * q2
+                      for a2, p in enumerate((state.x, state.y, state.z))]
+                fx, fy, fz = fx - sf[0], fy - sf[1], fz - sf[2]
+            return fx, fy, fz, elong, virial
+
+        for kax in (kx, ky, kz):
+            ehat = (-1j) * kax * phi_hat
+            em = (ifft3_slab(ehat, nz, axis, D) * scale).astype(flt)
+            ep_t = halo_patches(em)
             f = jax.lax.map(gat_tile, (wx_t, wy_t, wz_t, ep_t))
             out.append(f.reshape(nt * tile, cap)[:ncell].reshape(-1))
 
@@ -639,3 +683,90 @@ class GatheredKSpace:
         else:
             f = kr.f
         return (f[:, 0], f[:, 1], f[:, 2], kr.elong, kr.virial)
+
+
+class ShardedEwald:
+    """SHARDED Ewald on the slab mesh — the structure-factor form
+    distributes for free.
+
+    Each device computes the PARTIAL structure factor over its local
+    slots (S(k) = sum_i q_i e^{i k.x_i} is additive over any atom
+    partition), one psum of the (2, K) partials completes S(k), and the
+    force pass stays entirely local — the MPI_Allreduce-of-sfacrl/sfacim
+    pattern of host LAMMPS' Ewald::compute, on ICI.  Per-device compute
+    scales 1/D (the (N, K) matmuls shrink to (N_loc, K)); communication
+    is 2K scalars per step vs GatheredKSpace's all_gather of every atom
+    plane.  elong/virial derive from the completed S(k), so they come
+    out replicated (the SlabCellPPPM contract: no psum at the consumer).
+    Empty slots carry q = 0 and drop out of the sums.
+    """
+
+    def __init__(self, ew, D: int):
+        self.ew = ew
+        self.D = D
+
+    # kc-constants protocol (the k tables are baked, nothing to shard)
+    def spectral_consts(self) -> dict:
+        return {}
+
+    def shardings(self, mesh, axis: str = "x") -> dict:
+        return {}
+
+    def in_specs(self, axis: str = "x") -> dict:
+        return {}
+
+    def compute_slots_local(self, state: SlotState, kc: dict,
+                            eflag: bool, vflag: bool, axis: str = "x"):
+        import math as _math
+
+        ew = self.ew
+        flt = state.x.dtype
+        acc = ew.acc_dtype
+        kv = jnp.asarray(ew.kvecs, flt)           # (K, 3)
+        ug = jnp.asarray(ew.ug, flt)              # (K,)
+        xs = jnp.stack([state.x, state.y, state.z], -1)
+        q = state.q
+
+        phase = xs @ kv.T                          # (NS_loc, K) — MXU
+        c = jnp.cos(phase)
+        s = jnp.sin(phase)
+        s_re = jnp.sum((q[:, None] * c).astype(acc), axis=0)
+        s_im = jnp.sum((q[:, None] * s).astype(acc), axis=0)
+        if self.D > 1:
+            s_re = jax.lax.psum(s_re, axis)
+            s_im = jax.lax.psum(s_im, axis)
+        s_re_f = s_re.astype(flt)
+        s_im_f = s_im.astype(flt)
+
+        w = 2.0 * ug
+        coef = s * s_re_f[None, :] - c * s_im_f[None, :]
+        f = (coef * w[None, :]) @ kv               # (NS_loc, 3) — MXU
+        f = (float(ew.qqrd2e) * q[:, None] * f).astype(acc)
+
+        if eflag:
+            sk2 = (s_re * s_re + s_im * s_im).astype(acc)
+            elong = jnp.sum(jnp.asarray(ew.ug, acc) * sk2) * ew.qqrd2e
+            elong = elong + ew.elong_self
+        else:
+            elong = jnp.zeros((), acc)
+
+        if vflag:
+            g2 = ew.g_ewald**2
+            kxv = jnp.asarray(ew.kvecs[:, 0], acc)
+            kyv = jnp.asarray(ew.kvecs[:, 1], acc)
+            kzv = jnp.asarray(ew.kvecs[:, 2], acc)
+            ksq = kxv * kxv + kyv * kyv + kzv * kzv
+            pref = 2.0 * (1.0 / ksq + 0.25 / g2)
+            sk2f = (s_re * s_re + s_im * s_im).astype(acc)
+            uk = jnp.asarray(ew.ug, acc) * sk2f * float(ew.qqrd2e)
+            virial = jnp.stack([
+                jnp.sum(uk * (1.0 - pref * kxv * kxv)),
+                jnp.sum(uk * (1.0 - pref * kyv * kyv)),
+                jnp.sum(uk * (1.0 - pref * kzv * kzv)),
+                jnp.sum(uk * (-pref * kxv * kyv)),
+                jnp.sum(uk * (-pref * kxv * kzv)),
+                jnp.sum(uk * (-pref * kyv * kzv)),
+            ])
+        else:
+            virial = jnp.zeros((6,), acc)
+        return (f[:, 0], f[:, 1], f[:, 2], elong, virial)

@@ -623,27 +623,39 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
         want_disp = kname == "pppm/disp" and style.cfg.disp == "long"
         pencil_ok = ((want_coul or want_disp)
                      and not ks.get("slab")
-                     and ks.get("diff", "ik") == "ik"
+                     and (ks.get("diff", "ik") == "ik" or not want_disp)
                      and not ks.get("gathered")
                      and not box.is_triclinic)  # tilted k-space runs
-        # gathered (the generic triclinic solver, replicated)
+        # gathered (the generic triclinic solver, replicated).  Coulomb
+        # pencils run ik AND ad (SlabCellPPPM.diff follows the deck);
+        # the dispersion pencil is ik-only
         kset = None
         if ks and not pencil_ok:
-            # no pencil pipeline for this solver family (ewald,
-            # slab-corrected/ad solvers, or `gathered: true` opt-out):
-            # run the single-device solver REPLICATED via all_gather'd
-            # planes — exact same physics as single-chip
             if kspace is None:
                 raise NotImplementedError(
                     f"slab engine kspace: {ks.get('name')!r} built no "
                     "solver")
             _gk = kspace
+            from .models.kspace.ewald import Ewald as _Ewald
 
-            def kset(sim):
-                from .models.kspace.pppm_slab import GatheredKSpace
+            if isinstance(_gk, _Ewald) and not ks.get("gathered"):
+                # Ewald shards for free: partial structure factors over
+                # local slots + one psum (the MPI_Allreduce sfacrl/im
+                # pattern) — per-device compute scales 1/D
+                def kset(sim):
+                    from .models.kspace.pppm_slab import ShardedEwald
 
-                return GatheredKSpace(_gk, sim.n_atoms, sim.D,
-                                      sim.grid.nslots)
+                    return ShardedEwald(_gk, sim.D)
+            else:
+                # no sharded pipeline for this solver family (slab-
+                # corrected coulomb, non-geometric `gathered` opt-outs,
+                # triclinic): run the single-device solver REPLICATED
+                # via all_gather'd planes — exact same physics
+                def kset(sim):
+                    from .models.kspace.pppm_slab import GatheredKSpace
+
+                    return GatheredKSpace(_gk, sim.n_atoms, sim.D,
+                                          sim.grid.nslots)
         if pencil_ok:
             def kset(sim):
                 # size each mesh to the sim's cell grid so every cell
@@ -679,7 +691,8 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                         box, q, cutoff=ps.get("cut_coul", ps["cut"]),
                         accuracy_rel=ks.get("accuracy", 1e-4),
                         qqrd2e=u.qqrd2e, order=order,
-                        g_ewald=style.g_ewald, diff="ik",
+                        g_ewald=style.g_ewald,
+                        diff=ks.get("diff", "ik"),
                         multiple_of=mof, grid_min=grid_min,
                         acc_dtype=prec.acc)
                     sim.pair = sim.pair.replace(g_ewald=pm2.g_ewald)
