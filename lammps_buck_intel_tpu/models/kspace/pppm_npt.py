@@ -133,7 +133,12 @@ class TracedPPPM:
         # (setup_pppm already rejects triclinic ad/slab).
         self.triclinic = pm.recip is not None
         if self.triclinic and pm.slab is not None:
-            raise NotImplementedError("triclinic + slab correction")
+            # host parity: stock LAMMPS rejects the combination too
+            # ("Cannot (yet) use PPPM with triclinic box and slab
+            # correction", pppm.cpp init)
+            raise NotImplementedError(
+                "triclinic + slab correction (host LAMMPS rejects this "
+                "combination as well)")
         self.pm = pm
         self.diff = pm.diff
         # kspace_modify slab <factor>: all k-space geometry below runs on
@@ -749,9 +754,13 @@ def make_traced_kspace(kspace, center, triclinic: bool = False):
                 f"fix npt: no variable-cell form for bound solver "
                 f"{type(kspace.solver).__name__}")
         if triclinic:
+            # host parity: stock LAMMPS' PPPMDisp rejects triclinic
+            # boxes outright ("Cannot (yet) use PPPMDisp with triclinic
+            # box", pppm_disp.cpp init) — there is no reference
+            # semantics to trace
             raise NotImplementedError(
-                "fix npt: pppm/disp on a variable TRICLINIC cell has no "
-                "traced form (orthogonal boxes only)")
+                "fix npt: pppm/disp on a TRICLINIC cell (host LAMMPS "
+                "rejects triclinic pppm/disp as well)")
         return TracedBoundKSpace(
             TracedPPPMDisp(kspace.solver, center),
             kspace.per_atom, typed=kspace.typed)
