@@ -329,3 +329,36 @@ def test_sharded_ewald_matches_single_device():
             a, b = float(ra[key]), float(rb[key])
             assert abs(a - b) <= 1e-7 * max(abs(a), abs(b), 1.0), \
                 (key, a, b)
+
+
+def test_slab_triclinic_molecular_shake(tmp_path):
+    """TILTED molecular deck (SHAKE + bonded + special) on the slab
+    mesh: the Box-aware constraint min image composes with the ghost
+    exchange; f64 parity vs the single-device engine."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_npt import _water_cfg
+    from lammps_buck_intel_tpu.run import build_simulation
+    from lammps_buck_intel_tpu.integrate.shake import max_violation
+
+    cfg = _water_cfg(tmp_path, tilt=[0.8, -0.6, 0.5])
+    cfg["fixes"] = [f for f in cfg["fixes"] if f["name"] != "npt"]
+    cfg["precision"] = "double"
+    cfg["replicate"] = [2, 2, 2]
+    cfg["devices"] = 2
+    sim = build_simulation(cfg)
+    assert isinstance(sim, SlabCellPairSimulation)
+    assert sim.box.is_triclinic and sim.shake is not None
+    rows = sim.run(30, thermo_every=15, log=False)
+    atoms = sim.get_atoms()
+    viol = float(max_violation(sim.shake, jnp.asarray(atoms["x"]),
+                               sim.box))
+    assert viol < 1e-6, viol
+    cfg2 = dict(cfg)
+    cfg2.pop("devices")
+    sim2 = build_simulation(cfg2)
+    rows2 = sim2.run(30, thermo_every=15, log=False)
+    for r, r2 in zip(rows, rows2):
+        assert abs(r["etotal"] - r2["etotal"]) \
+            <= 1e-8 * abs(r2["etotal"]), (r["etotal"], r2["etotal"])
