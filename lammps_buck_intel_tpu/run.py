@@ -565,6 +565,35 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
 
     engine = cfg.get("engine", "nlist")
 
+    # ---- 2-D pencil engine (`devices_2d: [Dx, Dy]`) ----
+    # (x, y) block decomposition for pod-scale headroom past 1-D slabs
+    # (parallel/pencil2d.py).  Scope: pair + NVT + sharded Ewald /
+    # gathered kspace; molecular fixes ship on the 1-D slab engine.
+    if cfg.get("devices_2d"):
+        from .parallel import Pencil2DSimulation
+        from .models.kspace.ewald import Ewald as _Ewald2
+        from .models.kspace.pppm_slab import GatheredKSpace, ShardedEwald
+
+        dims = tuple(int(v) for v in cfg["devices_2d"])
+        if (shake is not None or rigid_fix is not None
+                or npt_fix is not None or bonded is not None):
+            raise NotImplementedError(
+                "pencil2d engine: pair + nvt decks only (molecular "
+                "fixes run the 1-D slab engine, `devices: N`)")
+        kset2d = None
+        if kspace is not None:
+            _gk2d = kspace
+
+            def kset2d(sim):
+                if isinstance(_gk2d, _Ewald2):
+                    return ShardedEwald(_gk2d, sim.D)
+                return GatheredKSpace(_gk2d, sim.n_atoms, sim.D,
+                                      sim.grid.nslots)
+        return Pencil2DSimulation(
+            system, style, dims=dims, units=u, precision=prec, dt=dt,
+            neighbor=policy, thermostat=thermostat, kspace_setup=kset2d,
+            cap=int(cfg["cap"]) if cfg.get("cap") else None)
+
     # ---- multi-chip slab engine (`engine: slab` or `devices: N`) ----
     # Spatial decomposition over a 1-D device mesh (SURVEY.md H3/H10):
     # ppermute ghost planes, all_to_all pencil FFT, psum scalars.
