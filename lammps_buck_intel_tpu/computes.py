@@ -140,9 +140,10 @@ def _kspace_peratom(sim, x, typ, q, n):
         if isinstance(s, CellPPPMDisp):  # before the CellPPPM base
             # production dispersion tables (g6/grid/order); geometric
             # single channel — b per atom from the baked per-type table
+            # (b follows xj's dtype: a double deck keeps f64 charges)
             b = np.asarray(s.b_per_type, np.float64)[np.asarray(typ)]
             return s.pmd.compute_peratom(
-                xj, b_per_atom=jnp.asarray(b, np.float32))
+                xj, b_per_atom=jnp.asarray(b, xj.dtype))
         if isinstance(s, (CellPPPM, SlabCellPPPM)):
             # same solver tables (grid/g_ewald/order) the production
             # patch/pencil pipelines bake — only the transfer differs

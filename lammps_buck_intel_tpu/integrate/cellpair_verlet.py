@@ -233,7 +233,6 @@ class CellPairSimulation:
         # (105.5 / 67.0 / 77.7 ms vs 34.4 ms on the 259k pair pass —
         # PERF.md "Pair-kernel A/B") and were pruned in r5: a strictly
         # dominated path is dead weight, and the measured record stays.
-        self._pallas_fn = None
         if pair_kernel != "xla":
             raise ValueError(
                 f"unknown pair_kernel {pair_kernel!r}: the Pallas "
@@ -363,21 +362,15 @@ class CellPairSimulation:
 
     def _forces(self, state: cs.SlotState, sp, eflag: bool, vflag: bool):
         sp_idx, sp_code, umol = sp
-        if self._pallas_fn is not None and not eflag and not vflag:
-            # VMEM-fused Pallas pair kernel on the force-only inner steps
-            fx, fy, fz = self._pallas_fn(state)
-            r = None
-            virial = jnp.zeros((6,), self.precision.acc)
-        else:
-            r = compute_cellpair(
-                self.pair, self.grid, self.box, state,
-                eflag=eflag, vflag=vflag, acc_dtype=self.precision.acc,
-                slot_special_idx=sp_idx, slot_special_code=sp_code,
-                newton=self._newton, slot_mol=self._slot_mol(state),
-                uniform_special=self._uniform_special, slot_umol=umol,
-            )
-            fx, fy, fz = r.fx, r.fy, r.fz
-            virial = r.virial
+        r = compute_cellpair(
+            self.pair, self.grid, self.box, state,
+            eflag=eflag, vflag=vflag, acc_dtype=self.precision.acc,
+            slot_special_idx=sp_idx, slot_special_code=sp_code,
+            newton=self._newton, slot_mol=self._slot_mol(state),
+            uniform_special=self._uniform_special, slot_umol=umol,
+        )
+        fx, fy, fz = r.fx, r.fy, r.fz
+        virial = r.virial
         elong = jnp.zeros((), self.precision.acc)
         if self.kspace is not None:
             if hasattr(self.kspace, "compute_slots"):

@@ -132,23 +132,24 @@ def setup_ewald(
     )
 
 
-def _ewald_compute(ew: Ewald, x, q, eflag: bool, vflag: bool) -> KSpaceResult:
-    flt = x.dtype
+def sk_force_energy_virial(ew: Ewald, c, s, s_re, s_im, q,
+                           eflag: bool, vflag: bool):
+    """Everything downstream of the COMPLETED structure factor: forces
+    on the atoms behind (c, s), total energy and virial from (s_re,
+    s_im).  Shared by the single-device solver and the mesh-sharded
+    form (pppm_slab.ShardedEwald completes S(k) with a psum first).
+    s_re/s_im arrive in acc dtype; returns (f (N,3) acc, elong, virial).
+    """
+    flt = c.dtype
     acc = ew.acc_dtype
-    kv = jnp.asarray(ew.kvecs, flt)          # (K, 3)
-    ug = jnp.asarray(ew.ug, flt)             # (K,)
-
-    phase = x @ kv.T                          # (N, K) — MXU
-    c = jnp.cos(phase)
-    s = jnp.sin(phase)
-    qc = q[:, None] * c
-    qs = q[:, None] * s
-    s_re = jnp.sum(qc.astype(acc), axis=0).astype(flt)   # (K,)
-    s_im = jnp.sum(qs.astype(acc), axis=0).astype(flt)
+    kv = jnp.asarray(ew.kvecs, flt)
+    ug = jnp.asarray(ew.ug, flt)
+    s_re_f = s_re.astype(flt)
+    s_im_f = s_im.astype(flt)
 
     # F_i = qqrd2e * q_i * sum_k 2 ug_k k (sin_i Re - cos_i Im)
     w = 2.0 * ug
-    coef = s * s_re[None, :] - c * s_im[None, :]          # (N, K)
+    coef = s * s_re_f[None, :] - c * s_im_f[None, :]      # (N, K)
     f = (coef * w[None, :]) @ kv                          # (N, 3) — MXU
     f = (float(ew.qqrd2e) * q[:, None] * f).astype(acc)
 
@@ -161,22 +162,38 @@ def _ewald_compute(ew: Ewald, x, q, eflag: bool, vflag: bool) -> KSpaceResult:
 
     if vflag:
         g2 = ew.g_ewald**2
-        kx, ky, kz = kv[:, 0], kv[:, 1], kv[:, 2]
-        ksq = kx * kx + ky * ky + kz * kz
+        kxv = jnp.asarray(ew.kvecs[:, 0], acc)
+        kyv = jnp.asarray(ew.kvecs[:, 1], acc)
+        kzv = jnp.asarray(ew.kvecs[:, 2], acc)
+        ksq = kxv * kxv + kyv * kyv + kzv * kzv
         pref = 2.0 * (1.0 / ksq + 0.25 / g2)
-        sk2f = (s_re * s_re + s_im * s_im)
-        uk = ug * sk2f * float(ew.qqrd2e)
+        sk2f = (s_re * s_re + s_im * s_im).astype(acc)
+        uk = jnp.asarray(ew.ug, acc) * sk2f * float(ew.qqrd2e)
         virial = jnp.stack([
-            jnp.sum((uk * (1.0 - pref * kx * kx)).astype(acc)),
-            jnp.sum((uk * (1.0 - pref * ky * ky)).astype(acc)),
-            jnp.sum((uk * (1.0 - pref * kz * kz)).astype(acc)),
-            jnp.sum((uk * (-pref * kx * ky)).astype(acc)),
-            jnp.sum((uk * (-pref * kx * kz)).astype(acc)),
-            jnp.sum((uk * (-pref * ky * kz)).astype(acc)),
+            jnp.sum(uk * (1.0 - pref * kxv * kxv)),
+            jnp.sum(uk * (1.0 - pref * kyv * kyv)),
+            jnp.sum(uk * (1.0 - pref * kzv * kzv)),
+            jnp.sum(uk * (-pref * kxv * kyv)),
+            jnp.sum(uk * (-pref * kxv * kzv)),
+            jnp.sum(uk * (-pref * kyv * kzv)),
         ])
     else:
         virial = jnp.zeros((6,), acc)
+    return f, elong, virial
 
+
+def _ewald_compute(ew: Ewald, x, q, eflag: bool, vflag: bool) -> KSpaceResult:
+    flt = x.dtype
+    acc = ew.acc_dtype
+    kv = jnp.asarray(ew.kvecs, flt)          # (K, 3)
+
+    phase = x @ kv.T                          # (N, K) — MXU
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    s_re = jnp.sum((q[:, None] * c).astype(acc), axis=0)  # (K,)
+    s_im = jnp.sum((q[:, None] * s).astype(acc), axis=0)
+    f, elong, virial = sk_force_energy_virial(ew, c, s, s_re, s_im, q,
+                                              eflag, vflag)
     return KSpaceResult(f=f, elong=elong, virial=virial)
 
 

@@ -717,13 +717,12 @@ class ShardedEwald:
 
     def compute_slots_local(self, state: SlotState, kc: dict,
                             eflag: bool, vflag: bool, axis: str = "x"):
-        import math as _math
+        from .ewald import sk_force_energy_virial
 
         ew = self.ew
         flt = state.x.dtype
         acc = ew.acc_dtype
         kv = jnp.asarray(ew.kvecs, flt)           # (K, 3)
-        ug = jnp.asarray(ew.ug, flt)              # (K,)
         xs = jnp.stack([state.x, state.y, state.z], -1)
         q = state.q
 
@@ -733,40 +732,11 @@ class ShardedEwald:
         s_re = jnp.sum((q[:, None] * c).astype(acc), axis=0)
         s_im = jnp.sum((q[:, None] * s).astype(acc), axis=0)
         if self.D > 1:
+            # the one collective: complete S(k) (MPI_Allreduce
+            # sfacrl/sfacim); everything else is ewald.py's shared
+            # post-S(k) evaluation on local rows
             s_re = jax.lax.psum(s_re, axis)
             s_im = jax.lax.psum(s_im, axis)
-        s_re_f = s_re.astype(flt)
-        s_im_f = s_im.astype(flt)
-
-        w = 2.0 * ug
-        coef = s * s_re_f[None, :] - c * s_im_f[None, :]
-        f = (coef * w[None, :]) @ kv               # (NS_loc, 3) — MXU
-        f = (float(ew.qqrd2e) * q[:, None] * f).astype(acc)
-
-        if eflag:
-            sk2 = (s_re * s_re + s_im * s_im).astype(acc)
-            elong = jnp.sum(jnp.asarray(ew.ug, acc) * sk2) * ew.qqrd2e
-            elong = elong + ew.elong_self
-        else:
-            elong = jnp.zeros((), acc)
-
-        if vflag:
-            g2 = ew.g_ewald**2
-            kxv = jnp.asarray(ew.kvecs[:, 0], acc)
-            kyv = jnp.asarray(ew.kvecs[:, 1], acc)
-            kzv = jnp.asarray(ew.kvecs[:, 2], acc)
-            ksq = kxv * kxv + kyv * kyv + kzv * kzv
-            pref = 2.0 * (1.0 / ksq + 0.25 / g2)
-            sk2f = (s_re * s_re + s_im * s_im).astype(acc)
-            uk = jnp.asarray(ew.ug, acc) * sk2f * float(ew.qqrd2e)
-            virial = jnp.stack([
-                jnp.sum(uk * (1.0 - pref * kxv * kxv)),
-                jnp.sum(uk * (1.0 - pref * kyv * kyv)),
-                jnp.sum(uk * (1.0 - pref * kzv * kzv)),
-                jnp.sum(uk * (-pref * kxv * kyv)),
-                jnp.sum(uk * (-pref * kxv * kzv)),
-                jnp.sum(uk * (-pref * kyv * kzv)),
-            ])
-        else:
-            virial = jnp.zeros((6,), acc)
+        f, elong, virial = sk_force_energy_virial(ew, c, s, s_re, s_im,
+                                                  q, eflag, vflag)
         return (f[:, 0], f[:, 1], f[:, 2], elong, virial)

@@ -388,8 +388,10 @@ class Pencil2DSimulation:
         x0 = (d // self.Dy) * self.ncx_loc
         y0 = jnp.mod(d, self.Dy) * self.ncy_loc
         ncx, ncy = grid.nc[0], grid.nc[1]
-        relx = jnp.mod(cx - x0 + 1, ncx) - 1
-        rely = jnp.mod(cy - y0 + 1, ncy) - 1
+        # single-block axes own every cell — no relative wrap (the wrap
+        # would map the last plane to -1 and drop it)
+        relx = cx if self.Dx == 1 else jnp.mod(cx - x0 + 1, ncx) - 1
+        rely = cy if self.Dy == 1 else jnp.mod(cy - y0 + 1, ncy) - 1
         keep = (valid & (relx >= 0) & (relx < self.ncx_loc)
                 & (rely >= 0) & (rely < self.ncy_loc))
         cid = jnp.where(
@@ -556,9 +558,19 @@ class Pencil2DSimulation:
                 for k, v in jax.device_get(
                     cs.to_atoms(self.grid, cs.SlotState(*st))).items()}
 
-    def _cadence(self) -> int:
-        # stale-list bound: drift <= min(skin/2, one cell plane)
-        return max(1, int(self.neighbor.every))
+    def _cadence(self, vmax=None) -> int:
+        # stale-list bound: drift <= min(skin/2, one cell plane) — the
+        # slab engine's displacement-bound contract
+        nb = self.neighbor
+        if not nb.check or vmax is None or vmax <= 0:
+            return max(1, int(nb.every))
+        safe = int(nb.skin / (2.0 * 1.5 * vmax * self.dt))
+        return max(1, min(max(safe, 1), 100))
+
+    def _vmax(self) -> float:
+        return float(jax.device_get(jax.jit(
+            lambda s: jnp.max(s.vx**2 + s.vy**2 + s.vz**2))(
+                self.state))) ** 0.5
 
     def run(self, nsteps: int, thermo_every: int = 0, log: bool = True):
         rows = []
@@ -572,10 +584,9 @@ class Pencil2DSimulation:
 
         if thermo_every:
             emit()
-        cad = self._cadence()
-        t_target = 0.0
-        if self.thermostat is not None:
-            t_target = float(self.thermostat.t_start)
+        vmax = self._vmax() if self.neighbor.check else None
+        cad = self._cadence(vmax)
+        cfg = self.thermostat
         done = 0
         while done < nsteps:
             chunk = min(cad, nsteps - done)
@@ -583,6 +594,13 @@ class Pencil2DSimulation:
             if thermo_every:
                 to_next = thermo_every - (done % thermo_every)
                 chunk = min(chunk, to_next)
+            if cfg is None:
+                t_target = 0.0
+            else:
+                # linear ramp evaluated at the end of this segment
+                frac = min(max((done + chunk) / max(nsteps, 1), 0.0), 1.0)
+                t_target = float(cfg.t_start
+                                 + (cfg.t_stop - cfg.t_start) * frac)
             self.state = self._block_fn(chunk)(self.state, self._kc,
                                                t_target)
             done += chunk

@@ -65,6 +65,26 @@ def _npt_traced_kspace(kspace, box, q, ps, ks, u, prec, style):
         return ew, style.replace(g_ewald=ew.g_ewald)
 
 
+def _patch_aligned_smin(nc, L, skin, order):
+    """Per-axis grid points/cell so every cell holds a spline patch:
+    S >= (order+1)//2 + margin, margin covering the inter-rebin skin
+    drift (make_patch_spec's contract).  nc: cell counts; L: per-axis
+    spacing bound (perpendicular widths)."""
+    import math as _math
+
+    smin = []
+    for ax in range(3):
+        s = (order + 1) // 2 + 2
+        while True:
+            h = L[ax] / (s * nc[ax])
+            m = max(2, int(_math.ceil(0.5 * skin / h - 1e-9)))
+            if s >= (order + 1) // 2 + m:
+                break
+            s += 1
+        smin.append(s)
+    return smin
+
+
 def build_simulation(cfg: dict, prefer_device: bool = True):
     """Construct a Simulation/CellPairSimulation from a deck config."""
     import jax
@@ -690,23 +710,11 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 # size each mesh to the sim's cell grid so every cell
                 # holds a spline patch (same recipe as the CellPPPM
                 # branch) and ny tiles the device axis (pencil all_to_all)
-                import math as _math
-
                 nc = np.asarray(sim.grid.nc)
-                L = np.asarray(box.lengths)
+                L = np.asarray(box.perp_widths)
 
                 def aligned(order):
-                    smin = []
-                    for ax in range(3):
-                        s = (order + 1) // 2 + 2
-                        while True:
-                            h = L[ax] / (s * nc[ax])
-                            m = max(2, int(_math.ceil(
-                                0.5 * policy.skin / h - 1e-9)))
-                            if s >= (order + 1) // 2 + m:
-                                break
-                            s += 1
-                        smin.append(s)
+                    smin = _patch_aligned_smin(nc, L, policy.skin, order)
                     mof = (int(nc[0]),
                            int(np.lcm(int(nc[1]), n_dev)), int(nc[2]))
                     return tuple(int(s * c)
@@ -858,25 +866,10 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 raise
             sim = None
         def _cell_aligned_min(kgrid, order):
-            # The mesh must give each cell enough grid points to hold a
-            # spline patch: S >= (order+1)/2 + margin per axis, with
-            # margin covering inter-rebin skin drift.  Spacing bound:
-            # perpendicular widths (== lengths when orthogonal).
-            import math as _math
-
+            # spacing bound: perpendicular widths (== lengths orthogonal)
             nc_ = np.asarray(kgrid.nc)
-            L_ = np.asarray(box.perp_widths)
-            smin = []
-            for ax in range(3):
-                s = (order + 1) // 2 + 2
-                while True:
-                    h = L_[ax] / (s * nc_[ax])
-                    m = max(2, int(_math.ceil(0.5 * policy.skin / h
-                                              - 1e-9)))
-                    if s >= (order + 1) // 2 + m:
-                        break
-                    s += 1
-                smin.append(s)
+            smin = _patch_aligned_smin(nc_, np.asarray(box.perp_widths),
+                                       policy.skin, order)
             return tuple(int(s * c) for s, c in zip(smin, nc_))
 
         if sim is not None:

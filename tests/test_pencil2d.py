@@ -139,3 +139,41 @@ def test_pencil2d_sharded_ewald():
             a, b = float(ra[key]), float(rb[key])
             assert abs(a - b) <= 1e-7 * max(abs(a), abs(b), 1.0), \
                 (key, a, b)
+
+
+@pytest.mark.parametrize("dims", [(1, 4), (4, 1)])
+def test_pencil2d_degenerate_dims(dims):
+    """A 1-block axis owns every cell: no relative wrap, no dropped
+    last plane (code-review r5 finding #1)."""
+    u, box, system, _ = _melt()
+    style = _style()
+    sim = Pencil2DSimulation(
+        system, style, dims=dims, units=u,
+        precision=get_precision("double"),
+        neighbor=NeighborPolicy(skin=0.3, every=3, check=False))
+    rows = sim.run(12, thermo_every=6, log=False)
+    assert not rows[-1]["overflow"]
+    st = jax.device_get(sim.state)
+    aid = np.asarray(st.aid)
+    present = np.sort(aid[aid < sim.n_atoms])
+    np.testing.assert_array_equal(present, np.arange(sim.n_atoms))
+
+
+def test_pencil2d_nvt_ramp_and_check():
+    """t_start != t_stop ramps (review finding #2) and check=True derives
+    the cadence from vmax (finding #3) instead of silently ignoring
+    both."""
+    u, box, system, _ = _melt()
+    style = _style()
+    therm = NVTConfig(t_start=1.0, t_stop=2.0, t_damp=0.3)
+    sim = Pencil2DSimulation(
+        system, style, dims=(2, 2), units=u,
+        precision=get_precision("double"),
+        neighbor=NeighborPolicy(skin=0.6, every=50, check=True),
+        thermostat=therm)
+    # vmax-derived cadence must beat the absurd every=50
+    assert sim._cadence(sim._vmax()) < 50
+    rows = sim.run(400, thermo_every=200, log=False)
+    temps = [r["temp"] for r in rows]
+    # the ramp pulled the temperature UP toward 2.0
+    assert temps[-1] > temps[0] + 0.3, temps
