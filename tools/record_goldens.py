@@ -36,8 +36,11 @@ RUNS = {
                         drift_per_atom=5e-3, conserved=True),
     "spce": dict(deck="spce.yaml", steps=100, thermo=10,
                  drift_per_atom=None, conserved=False),   # NVT+SHAKE
+    # in.hexane:31 is plain `fix rigid/small molecule` — rigid NVE, so
+    # etotal IS conserved: measured 3.48e-5/atom over the literal 200
+    # steps on hardware (r5, CellPPPMDisp pipeline); ~3x headroom
     "hexane": dict(deck="hexane.yaml", steps=200, thermo=20,
-                   drift_per_atom=None, conserved=False),  # NVT+rigid
+                   drift_per_atom=1e-4, conserved=True),
     # interface decks at the LITERAL reference run lengths
     # (/root/reference/examples/in.spce_if:42, in.hexane_if:41 both
     # `run 10000` — VERDICT r4 missing #4: long-horizon stability of
