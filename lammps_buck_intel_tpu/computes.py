@@ -156,9 +156,16 @@ def _kspace_peratom(sim, x, typ, q, n):
         if isinstance(s, PPPMDisp):
             raise TypeError("unbound PPPMDisp (runner always wraps in "
                             "BoundKSpace)")
+        from .models.kspace.ewald import Ewald, ewald_compute_peratom
+        from .models.kspace.pppm_slab import ShardedEwald
+
+        if isinstance(s, Ewald):
+            return ewald_compute_peratom(s, xj, qj)
+        if isinstance(s, ShardedEwald):
+            return ewald_compute_peratom(s.ew, xj, qj)
         raise NotImplementedError(
-            f"per-atom kspace for {type(s).__name__} (PPPM family only; "
-            "ewald and the NPT traced-box solver have no per-atom path)")
+            f"per-atom kspace for {type(s).__name__} (the NPT "
+            "traced-box solvers have no per-atom path)")
 
     if ks is None:
         z = jnp.zeros((n,), np.float64)

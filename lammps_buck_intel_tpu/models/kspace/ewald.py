@@ -256,3 +256,45 @@ def _ewald_compute_traced(ew: Ewald, x, q, L, eflag: bool,
     else:
         virial = jnp.zeros((6,), acc)
     return KSpaceResult(f=f, elong=elong, virial=virial)
+
+
+def ewald_compute_peratom(ew: Ewald, x, q):
+    """Per-atom k-space energy and virial for the Ewald solver (the
+    eflag_atom/vflag_atom contract of stock ewald.cpp eatom/vatom):
+
+    eatom_i = qqrd2e [ q_i sum_k ug_k (cos_i Re_k + sin_i Im_k)
+                       - g/sqrt(pi) q_i^2 - pi/(2 g^2 V) q_i qsum ]
+    vatom_i,c = qqrd2e q_i sum_k ug_k vfac_c(k) (cos_i Re_k + sin_i Im_k)
+
+    with vfac the same (1 - pref k_a k_b) / (-pref k_a k_b) factors as
+    the global virial, so both PIN exactly to the global sums
+    (sum_i q_i cos_i = Re_k completes |S(k)|^2).  Returns
+    (eatom (N,), vatom (N, 6)) in energy units."""
+    flt = x.dtype
+    acc = ew.acc_dtype
+    kv = jnp.asarray(ew.kvecs, flt)
+    ug = jnp.asarray(ew.ug, flt)
+    phase = x @ kv.T
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    s_re = jnp.sum((q[:, None] * c).astype(acc), axis=0).astype(flt)
+    s_im = jnp.sum((q[:, None] * s).astype(acc), axis=0).astype(flt)
+    share = c * s_re[None, :] + s * s_im[None, :]         # (N, K)
+
+    g = ew.g_ewald
+    V = float(ew.volume)
+    qq = float(ew.qqrd2e)
+    qa = q.astype(acc)
+    eatom = (qa * (share @ ug).astype(acc)
+             - g / math.sqrt(math.pi) * qa * qa
+             - math.pi / (2.0 * g * g * V) * qa * ew.qsum) * qq
+
+    kx, ky, kz = kv[:, 0], kv[:, 1], kv[:, 2]
+    ksq = kx * kx + ky * ky + kz * kz
+    pref = 2.0 * (1.0 / ksq + 0.25 / (g * g))
+    cols = []
+    for fac in (1.0 - pref * kx * kx, 1.0 - pref * ky * ky,
+                1.0 - pref * kz * kz, -pref * kx * ky,
+                -pref * kx * kz, -pref * ky * kz):
+        cols.append((qa * (share @ (ug * fac)).astype(acc)) * qq)
+    return eatom.astype(acc), jnp.stack(cols, axis=-1)

@@ -78,3 +78,47 @@ def test_ewald_forces_sum_zero():
                      acc_dtype=jnp.float64)
     res = ew.compute(jnp.asarray(x), jnp.asarray(q))
     np.testing.assert_allclose(np.asarray(res.f).sum(axis=0), 0.0, atol=1e-9)
+
+
+def test_ewald_peratom_pins_to_totals():
+    """Per-atom Ewald energy/virial (stock ewald.cpp eatom/vatom) sum
+    EXACTLY to elong/virial — closes the `compute pe/atom` gap on
+    ewald decks (in.buck_coul_long)."""
+    from lammps_buck_intel_tpu.models.kspace.ewald import \
+        ewald_compute_peratom
+
+    rng = np.random.RandomState(5)
+    n = 24
+    L = 6.0
+    x = rng.uniform(0, L, (n, 3))
+    q = rng.uniform(-1, 1, n)
+    q -= q.mean()
+    box = make_box([0, 0, 0], [L] * 3)
+    ew = setup_ewald(box, q, cutoff=2.4, accuracy_rel=1e-6,
+                     qqrd2e=332.06371, acc_dtype=jnp.float64)
+    res = ew.compute(jnp.asarray(x), jnp.asarray(q))
+    ea, va = ewald_compute_peratom(ew, jnp.asarray(x), jnp.asarray(q))
+    np.testing.assert_allclose(float(ea.sum()), float(res.elong),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(va).sum(axis=0),
+                               np.asarray(res.virial), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_ewald_deck_pe_atom(reference_dir):
+    """`compute pe/atom` on the literal ewald deck (buck_coul_long)
+    pins to the thermo epair through the product compute surface."""
+    import yaml
+
+    from lammps_buck_intel_tpu import computes
+    from lammps_buck_intel_tpu.run import build_simulation
+
+    with open("examples/decks/buck_coul_long.yaml") as f:
+        cfg = yaml.safe_load(f)
+    cfg["run"] = 0
+    cfg["replicate"] = [1, 1, 1]   # 1,200 atoms: fast CPU build
+    sim = build_simulation(cfg)
+    row = sim.thermo()
+    e = computes.pe_atom(sim)
+    assert abs(float(e.sum()) - row["epair"]) \
+        <= 5e-3 * abs(row["epair"]), (float(e.sum()), row["epair"])
