@@ -163,9 +163,27 @@ def _kspace_peratom(sim, x, typ, q, n):
             return ewald_compute_peratom(s, xj, qj)
         if isinstance(s, ShardedEwald):
             return ewald_compute_peratom(s.ew, xj, qj)
+        from .models.kspace.pppm_npt import TracedPPPM
+
+        if isinstance(s, TracedPPPM):
+            # NPT deck: the solver's tables are traced functions of the
+            # box; per-atom analysis rebuilds the box-baked PPPM at the
+            # CURRENT box (grid/order/g_ewald pinned — the same
+            # setup-on-box-change contract the traced step follows)
+            from .models.kspace import setup_pppm
+
+            pm0 = s.pm
+            box_now = (sim.current_box if hasattr(sim, "current_box")
+                       else sim.box)
+            pm2 = setup_pppm(
+                box_now, np.asarray(q, np.float64), cutoff=1.0,
+                accuracy_rel=1e-4, qqrd2e=pm0.qqrd2e, grid=pm0.grid,
+                g_ewald=pm0.g_ewald, order=pm0.order, diff=pm0.diff,
+                slab=pm0.slab, acc_dtype=pm0.acc_dtype)
+            return compute_peratom(pm2, xj, qj)
         raise NotImplementedError(
-            f"per-atom kspace for {type(s).__name__} (the NPT "
-            "traced-box solvers have no per-atom path)")
+            f"per-atom kspace for {type(s).__name__} (the traced "
+            "dispersion NPT solvers have no per-atom path)")
 
     if ks is None:
         z = jnp.zeros((n,), np.float64)

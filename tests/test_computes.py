@@ -294,3 +294,29 @@ def test_bonded_peratom_pins_to_thermo():
     # 1-4 energies pin to the pair-ledger contributions
     e14_ref = float(br.e14_lj + br.e14_coul)
     assert abs(float(e14.sum()) - e14_ref) <= 1e-8 * max(abs(e14_ref), 1.0)
+
+
+def test_pe_atom_npt_traced_pppm(reference_dir):
+    """`compute pe/atom` on an NPT + pppm deck: the traced-box solver's
+    per-atom path rebuilds the box-baked PPPM at the CURRENT box (the
+    setup-on-box-change contract), pinning to thermo after the barostat
+    has moved the cell."""
+    cfg = _load("buck_coul_long.yaml")
+    cfg.pop("replicate")
+    cfg["kspace_style"] = {"name": "pppm", "accuracy": 1e-4}
+    cfg["precision"] = "double"
+    cfg["run"] = 6
+    cfg["thermo"] = 3
+    cfg["fixes"] = [
+        {"name": "npt", "t_start": 300.0, "t_damp": 50.0,
+         "iso": [0.0, 0.0, 500.0], "tchain": 1},
+    ]
+    sim, rows = run_deck(cfg, log=False)
+    from lammps_buck_intel_tpu.integrate import NPTSimulation
+
+    assert isinstance(sim, NPTSimulation)
+    row = sim.thermo()
+    e = computes.pe_atom(sim)
+    total = row["epair"]
+    assert abs(float(e.sum()) - total) <= 5e-3 * abs(total), (
+        float(e.sum()), total)
