@@ -740,3 +740,299 @@ class ShardedEwald:
         f, elong, virial = sk_force_energy_virial(ew, c, s, s_re, s_im,
                                                   q, eflag, vflag)
         return (f[:, 0], f[:, 1], f[:, 2], elong, virial)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (x, y) pencil PPPM — the grid-parallel pipeline on a 2-axis mesh
+# ---------------------------------------------------------------------------
+
+def patches_to_grid_pencil2d(patches, ps: PatchSpec, nc_loc, dtype=None):
+    """(ncell_loc, Px, Py, Pz) -> ((ncxl+2)Sx, (ncyl+2)Sy, nz) extended
+    brick: x AND y overhangs land on boundary slabs for the caller to
+    ppermute into neighbors; z wraps locally (unsharded axis)."""
+    ncx, ncy, ncz = nc_loc
+    Sx, Sy, Sz = ps.S
+    pat = patches.reshape(ncx, ncy, ncz, *ps.P)
+    G = jnp.zeros((ncx + 2, Sx, ncy + 2, Sy, ncz, Sz),
+                  dtype or patches.dtype)
+    for (ox, oy, oz) in _OFF3:
+        psx, gsx = _ranges(ps, 0, ox)
+        psy, gsy = _ranges(ps, 1, oy)
+        psz, gsz = _ranges(ps, 2, oz)
+        part = pat[:, :, :, psx, psy, psz]
+        part = jnp.roll(part, oz, axis=2)
+        G = G.at[1 + ox:1 + ox + ncx, gsx,
+                 1 + oy:1 + oy + ncy, gsy, :, gsz].add(
+            jnp.moveaxis(part, (3, 4, 5), (1, 3, 5)))
+    return G.reshape((ncx + 2) * Sx, (ncy + 2) * Sy, ncz * Sz)
+
+
+def grid_to_patches_pencil2d(mesh_ext, ps: PatchSpec, nc_loc):
+    """((ncxl+2)Sx, (ncyl+2)Sy, nz) halo-extended brick ->
+    (ncell_loc, Px, Py, Pz) per-cell patches (x/y read the halo)."""
+    from .pppm_cells import _expand_axis
+
+    ncx, ncy, ncz = nc_loc
+    Sx, Sy = ps.S[0], ps.S[1]
+    a = _expand_axis(mesh_ext, 0, ncx, Sx, ps.P[0], ps.lo_off[0],
+                     periodic=False, start=Sx - ps.lo_off[0])
+    a = _expand_axis(a, 2, ncy, Sy, ps.P[1], ps.lo_off[1],
+                     periodic=False, start=Sy - ps.lo_off[1])
+    a = _expand_axis(a, 4, ncz, ps.S[2], ps.P[2], ps.lo_off[2])
+    a = jnp.transpose(a, (0, 2, 4, 1, 3, 5))
+    return a.reshape(ncx * ncy * ncz, *ps.P)
+
+
+def fft3_pencil2d(mesh_loc, Dx, Dy, ax_x, ax_y, nzh_pad):
+    """(nxl, nyl, nz) real brick -> (nx, ny/Dx, nzh_pad/Dy) spectrum:
+    rfft z (local), transpose over the y device axis (splitting the
+    zero-padded half-spectrum — padded modes are exactly zero, so the
+    divisibility constraint costs nothing), fft y, transpose over the x
+    device axis (splitting ny), fft x.  The two all_to_alls ARE the
+    reference's Remap at pod scale (2-D pencil decomposition)."""
+    h = jnp.fft.rfft(mesh_loc, axis=2)
+    pad = nzh_pad - h.shape[2]
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, 0), (0, pad)))
+    if Dy > 1:
+        h = jax.lax.all_to_all(h, ax_y, split_axis=2, concat_axis=1,
+                               tiled=True)
+    h = jnp.fft.fft(h, axis=1)
+    if Dx > 1:
+        h = jax.lax.all_to_all(h, ax_x, split_axis=1, concat_axis=0,
+                               tiled=True)
+    return jnp.fft.fft(h, axis=0)
+
+
+def ifft3_pencil2d(spec, nz, nzh, Dx, Dy, ax_x, ax_y):
+    """Inverse of fft3_pencil2d -> real (nxl, nyl, nz) brick."""
+    t = jnp.fft.ifft(spec, axis=0)
+    if Dx > 1:
+        t = jax.lax.all_to_all(t, ax_x, split_axis=0, concat_axis=1,
+                               tiled=True)
+    t = jnp.fft.ifft(t, axis=1)
+    if Dy > 1:
+        t = jax.lax.all_to_all(t, ax_y, split_axis=1, concat_axis=2,
+                               tiled=True)
+    t = t[..., :nzh]
+    return jnp.fft.irfft(t, n=nz, axis=2)
+
+
+class Pencil2DCellPPPM:
+    """Cell-patch PPPM over the 2-D (x, y) device grid — plugs into
+    Pencil2DSimulation.  The full H4 contract at pod scale: 2-D brick
+    deposition with two-hop ppermute overhang reduction (reverse_comm),
+    the double-transpose pencil FFT (Remap), halo-filled patch gathers
+    (forward_comm), psum scalars (MPI_Allreduce).  ik differentiation.
+    """
+
+    def __init__(self, pm: PPPM, grid: CellGrid, dims, margin: int = 1,
+                 skin: Optional[float] = None):
+        self.pm = pm
+        self.grid = grid
+        self.Dx, self.Dy = int(dims[0]), int(dims[1])
+        self.ps = make_patch_spec(pm, grid, margin=margin, skin=skin)
+        if grid.nc[0] % self.Dx or grid.nc[1] % self.Dy:
+            raise ValueError(
+                f"cell grid {grid.nc} not divisible by dims "
+                f"({self.Dx}, {self.Dy})")
+        if pm.grid[1] % self.Dx:
+            raise ValueError(
+                f"pppm ny={pm.grid[1]} not divisible by Dx={self.Dx} "
+                "(the x transpose splits ny; pass multiple_of with "
+                "lcm(ncy, Dx))")
+        self.nc_loc = (grid.nc[0] // self.Dx, grid.nc[1] // self.Dy,
+                       grid.nc[2])
+        nzh = pm.grid[2] // 2 + 1
+        self.nzh = nzh
+        self.nzh_pad = -(-nzh // self.Dy) * self.Dy
+
+    def spectral_consts(self) -> dict:
+        pm = self.pm
+        from .pppm_cells import _half_weights
+
+        pad = self.nzh_pad - self.nzh
+        G = pm.greensfn[..., :self.nzh]
+        wz = _half_weights(pm.grid[2])
+        if pad:
+            # padded spectral rows are exactly zero; zero tables keep
+            # the energy/virial sums untouched
+            G = np.concatenate(
+                [G, np.zeros(G.shape[:2] + (pad,), G.dtype)], axis=-1)
+            wz = np.concatenate([wz, np.zeros(pad, wz.dtype)])
+        return dict(G=G, kx=pm.kx, ky=pm.ky,
+                    kz=np.concatenate([pm.kz[:self.nzh],
+                                       np.zeros(pad)]),
+                    wz=wz)
+
+    def shardings(self, mesh, axis=("x", "y")):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax_x, ax_y = axis
+        return dict(
+            G=NamedSharding(mesh, P(None, ax_x, ax_y)),
+            kx=NamedSharding(mesh, P()),
+            ky=NamedSharding(mesh, P(ax_x)),
+            kz=NamedSharding(mesh, P(ax_y)),
+            wz=NamedSharding(mesh, P(ax_y)),
+        )
+
+    def in_specs(self, axis=("x", "y")):
+        from jax.sharding import PartitionSpec as P
+
+        ax_x, ax_y = axis
+        return dict(G=P(None, ax_x, ax_y), kx=P(), ky=P(ax_x),
+                    kz=P(ax_y), wz=P(ax_y))
+
+    def _weights_local(self, state: SlotState, off_x, off_y):
+        pm, ps = self.pm, self.ps
+        cap = self.grid.cap
+        gl = dataclasses.replace(self.grid, nc=self.nc_loc)
+        ncell = gl.ncell
+        xoff = off_x.astype(state.x.dtype) * (ps.S[0] * pm.h[0])
+        yoff = off_y.astype(state.y.dtype) * (ps.S[1] * pm.h[1])
+        wx = _axis_weights(pm, ps, gl, state.x - xoff, 0)
+        wy = _axis_weights(pm, ps, gl, state.y - yoff, 1)
+        wz = _axis_weights(pm, ps, gl, state.z, 2)
+        return (wx.reshape(ncell, cap, -1), wy.reshape(ncell, cap, -1),
+                wz.reshape(ncell, cap, -1))
+
+    def compute_slots_local(self, state: SlotState, kc: dict,
+                            eflag: bool, vflag: bool, axis=("x", "y")):
+        pm, ps = self.pm, self.ps
+        ax_x, ax_y = axis
+        Dx, Dy = self.Dx, self.Dy
+        nc_loc = self.nc_loc
+        cap = self.grid.cap
+        ncell = nc_loc[0] * nc_loc[1] * nc_loc[2]
+        acc = pm.acc_dtype
+        flt = state.x.dtype
+        V = float(pm.volume)
+        Sx, Sy = ps.S[0], ps.S[1]
+        off_x = jax.lax.axis_index(ax_x) * nc_loc[0]
+        off_y = jax.lax.axis_index(ax_y) * nc_loc[1]
+
+        qqrd2e = float(pm.qqrd2e)
+        wx, wy, wz = self._weights_local(state, off_x, off_y)
+        q2d = state.q.reshape(ncell, cap)
+
+        # ---- deposition + two-hop overhang reduction ----
+        tile = min(ps.cell_tile, ncell)
+        nt = -(-ncell // tile)
+        padc_n = nt * tile - ncell
+
+        def padc(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((padc_n,) + a.shape[1:], a.dtype)]) \
+                if padc_n else a
+
+        qx_t = padc(wx * q2d[:, :, None]).reshape(nt, tile, cap, ps.P[0])
+        wy_t = padc(wy).reshape(nt, tile, cap, ps.P[1])
+        wz_t = padc(wz).reshape(nt, tile, cap, ps.P[2])
+
+        def dep_tile(args):
+            qxb, wyb, wzb = args
+            wyz = jnp.einsum("tay,taz->tayz", wyb, wzb)
+            return jnp.einsum("tax,tayz->txyz", qxb, wyz)
+
+        pat = jax.lax.map(dep_tile, (qx_t, wy_t, wz_t))
+        pat = pat.reshape(nt * tile, *ps.P)[:ncell]
+        G_ext = patches_to_grid_pencil2d(pat, ps, nc_loc)
+        # x-reduce (full extended y rides along -> corners relay)
+        mesh = G_ext[Sx:-Sx]
+        if Dx > 1:
+            from_right = jax.lax.ppermute(G_ext[:Sx], ax_x,
+                                          _perm_left(Dx))
+            from_left = jax.lax.ppermute(G_ext[-Sx:], ax_x,
+                                         _perm_right(Dx))
+        else:
+            from_right, from_left = G_ext[:Sx], G_ext[-Sx:]
+        mesh = mesh.at[-Sx:].add(from_right).at[:Sx].add(from_left)
+        # y-reduce the x-reduced brick
+        meshy = mesh[:, Sy:-Sy]
+        if Dy > 1:
+            from_high = jax.lax.ppermute(mesh[:, :Sy], ax_y,
+                                         _perm_left(Dy))
+            from_low = jax.lax.ppermute(mesh[:, -Sy:], ax_y,
+                                        _perm_right(Dy))
+        else:
+            from_high, from_low = mesh[:, :Sy], mesh[:, -Sy:]
+        mesh = meshy.at[:, -Sy:].add(from_high).at[:, :Sy].add(from_low)
+
+        # ---- double-transpose pencil FFT + spectral solve ----
+        nz = pm.grid[2]
+        rhat = fft3_pencil2d(mesh.astype(acc), Dx, Dy, ax_x, ax_y,
+                             self.nzh_pad)
+        G = kc["G"].astype(acc)
+        phi_hat = G * rhat
+
+        def allsum(v):
+            return jax.lax.psum(v, axis)
+
+        if eflag or vflag:
+            s2 = jnp.real(rhat * jnp.conj(rhat))
+            ek = G * s2 * kc["wz"].astype(acc)[None, None, :]
+        if eflag:
+            elong = allsum((0.5 / V) * jnp.sum(ek.astype(acc))) * qqrd2e
+            elong = elong + pm.elong_self
+        else:
+            elong = jnp.zeros((), acc)
+
+        kx = kc["kx"].astype(acc)[:, None, None]
+        ky = kc["ky"].astype(acc)[None, :, None]
+        kz = kc["kz"].astype(acc)[None, None, :]
+        if vflag:
+            ksq = kx * kx + ky * ky + kz * kz
+            ksq_safe = jnp.where(ksq == 0.0, 1.0, ksq)
+            pref = 2.0 * (1.0 / ksq_safe + 0.25 / pm.g_ewald**2)
+            c = (0.5 / V) * qqrd2e
+            virial = allsum(jnp.stack([
+                jnp.sum((ek * (1.0 - pref * kx * kx)).astype(acc)),
+                jnp.sum((ek * (1.0 - pref * ky * ky)).astype(acc)),
+                jnp.sum((ek * (1.0 - pref * kz * kz)).astype(acc)),
+                jnp.sum((ek * (-pref * kx * ky)).astype(acc)),
+                jnp.sum((ek * (-pref * kx * kz)).astype(acc)),
+                jnp.sum((ek * (-pref * ky * kz)).astype(acc)),
+            ])) * c
+        else:
+            virial = jnp.zeros((6,), acc)
+
+        # ---- ik E-fields, inverse FFT, two-hop halo, patch gather ----
+        ngrid = pm.grid[0] * pm.grid[1] * pm.grid[2]
+        scale = (1.0 / V) * ngrid
+        wx_t = padc(wx).reshape(nt, tile, cap, ps.P[0])
+        out = []
+        for kax in (kx, ky, kz):
+            ehat = (-1j) * kax * phi_hat
+            em = (ifft3_pencil2d(ehat, nz, self.nzh, Dx, Dy, ax_x, ax_y)
+                  * scale).astype(flt)
+            # y-extend, then x-extend the y-extended brick (corners ride)
+            if Dy > 1:
+                low_h = jax.lax.ppermute(em[:, -Sy:], ax_y,
+                                         _perm_right(Dy))
+                high_h = jax.lax.ppermute(em[:, :Sy], ax_y,
+                                          _perm_left(Dy))
+            else:
+                low_h, high_h = em[:, -Sy:], em[:, :Sy]
+            em = jnp.concatenate([low_h, em, high_h], axis=1)
+            if Dx > 1:
+                left_h = jax.lax.ppermute(em[-Sx:], ax_x, _perm_right(Dx))
+                right_h = jax.lax.ppermute(em[:Sx], ax_x, _perm_left(Dx))
+            else:
+                left_h, right_h = em[-Sx:], em[:Sx]
+            em_ext = jnp.concatenate([left_h, em, right_h], axis=0)
+            ep = grid_to_patches_pencil2d(em_ext, ps, nc_loc)
+            ep_t = padc(ep).reshape(nt, tile, *ps.P)
+
+            def gat_tile(args):
+                wxb, wyb, wzb, eb = args
+                t1 = jnp.einsum("tax,txyz->tayz", wxb, eb)
+                t2 = jnp.einsum("tay,tayz->taz", wyb, t1)
+                return jnp.einsum("taz,taz->ta", wzb, t2)
+
+            f = jax.lax.map(gat_tile, (wx_t, wy_t, wz_t, ep_t))
+            out.append(f.reshape(nt * tile, cap)[:ncell].reshape(-1))
+
+        qf = (qqrd2e * state.q).astype(acc)
+        return (out[0].astype(acc) * qf, out[1].astype(acc) * qf,
+                out[2].astype(acc) * qf, elong, virial)

@@ -48,32 +48,22 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
-def pencil_mesh(dx: int, dy: int, axis: str = "xy") -> Mesh:
-    """Flat 1-axis mesh of dx*dy devices, device-major order
-    d = ix * dy + iy (the 2-D topology lives in the permutations)."""
-    devs = np.asarray(jax.devices()[: dx * dy])
-    if devs.size < dx * dy:
+def pencil_mesh(dx: int, dy: int) -> Mesh:
+    """True 2-axis ("x", "y") device mesh: named-axis collectives give
+    subgroup ppermute/all_to_all for free (halos ride rows/columns of
+    the device grid; the pencil FFT transposes within one axis)."""
+    n = dx * dy
+    devs = np.asarray(jax.devices()[:n])
+    if devs.size < n:
         raise ValueError(
-            f"pencil mesh: {dx * dy} devices requested, only "
+            f"pencil mesh: {n} devices requested, only "
             f"{len(jax.devices())} visible")
-    return Mesh(devs, (axis,))
+    return Mesh(devs.reshape(dx, dy), ("x", "y"))
 
 
-def _perm_x(dx: int, dy: int, step: int):
-    """Flat-axis permutation moving data to the x-neighbor block."""
-    out = []
-    for ix in range(dx):
-        for iy in range(dy):
-            out.append((ix * dy + iy, ((ix + step) % dx) * dy + iy))
-    return out
-
-
-def _perm_y(dx: int, dy: int, step: int):
-    out = []
-    for ix in range(dx):
-        for iy in range(dy):
-            out.append((ix * dy + iy, ix * dy + (iy + step) % dy))
-    return out
+def _ring(d: int, step: int):
+    """Within-axis ring permutation (named-axis ppermute indices)."""
+    return [(i, (i + step) % d) for i in range(d)]
 
 
 def ext_nbr_table_2d(ncx_loc: int, ncy_loc: int, ncz: int) -> np.ndarray:
@@ -121,7 +111,9 @@ class Pencil2DSimulation:
         if mesh is None:
             mesh = pencil_mesh(self.Dx, self.Dy)
         self.mesh = mesh
-        self.axis = mesh.axis_names[0]
+        self.ax_x, self.ax_y = mesh.axis_names
+        # joint axis handle: psum/all_gather over both mesh axes
+        self.axis = (self.ax_x, self.ax_y)
         self.units = units
         self.precision = precision or single()
         self.dt = units.dt if dt is None else dt
@@ -191,7 +183,8 @@ class Pencil2DSimulation:
                         for k, v in consts.items()}
 
         self._state_spec = cs.SlotState(
-            **{f: P(self.axis) for f in cs.SlotState._fields
+            **{f: P((self.ax_x, self.ax_y))
+               for f in cs.SlotState._fields
                if f not in ("overflow", "therm", "comp")},
             overflow=P(), therm=P(), comp=None,
         )
@@ -283,19 +276,16 @@ class Pencil2DSimulation:
         a = p.reshape(self.ncx_loc, self.ncy_loc, nzc)
         first, last = a[:1], a[-1:]
         if self.Dx > 1:
-            left = jax.lax.ppermute(last, self.axis,
-                                    _perm_x(self.Dx, self.Dy, 1))
-            right = jax.lax.ppermute(first, self.axis,
-                                     _perm_x(self.Dx, self.Dy, -1))
+            left = jax.lax.ppermute(last, self.ax_x, _ring(self.Dx, 1))
+            right = jax.lax.ppermute(first, self.ax_x, _ring(self.Dx, -1))
         else:
             left, right = last, first
         a = jnp.concatenate([left, a, right], axis=0)
         first_y, last_y = a[:, :1], a[:, -1:]
         if self.Dy > 1:
-            low = jax.lax.ppermute(last_y, self.axis,
-                                   _perm_y(self.Dx, self.Dy, 1))
-            high = jax.lax.ppermute(first_y, self.axis,
-                                    _perm_y(self.Dx, self.Dy, -1))
+            low = jax.lax.ppermute(last_y, self.ax_y, _ring(self.Dy, 1))
+            high = jax.lax.ppermute(first_y, self.ax_y,
+                                    _ring(self.Dy, -1))
         else:
             low, high = last_y, first_y
         a = jnp.concatenate([low, a, high], axis=1)
@@ -339,11 +329,11 @@ class Pencil2DSimulation:
         if self.Dx > 1:
             from_left = jax.tree.map(
                 lambda p: jax.lax.ppermute(
-                    p[-plane_x:], self.axis, _perm_x(self.Dx, self.Dy, 1))
+                    p[-plane_x:], self.ax_x, _ring(self.Dx, 1))
                 if is_slot_plane(p) else p, state)
             from_right = jax.tree.map(
                 lambda p: jax.lax.ppermute(
-                    p[:plane_x], self.axis, _perm_x(self.Dx, self.Dy, -1))
+                    p[:plane_x], self.ax_x, _ring(self.Dx, -1))
                 if is_slot_plane(p) else p, state)
             merged = cs.SlotState(*[
                 (jnp.concatenate([a, b, c]) if a is not None
@@ -366,14 +356,12 @@ class Pencil2DSimulation:
         if self.Dy > 1:
             from_low = jax.tree.map(
                 lambda p: jax.lax.ppermute(
-                    ystrips(p, True), self.axis,
-                    _perm_y(self.Dx, self.Dy, 1))
+                    ystrips(p, True), self.ax_y, _ring(self.Dy, 1))
                 if p is not None and p.ndim and p.shape[0] == m_rows
                 else p, merged)
             from_high = jax.tree.map(
                 lambda p: jax.lax.ppermute(
-                    ystrips(p, False), self.axis,
-                    _perm_y(self.Dx, self.Dy, -1))
+                    ystrips(p, False), self.ax_y, _ring(self.Dy, -1))
                 if p is not None and p.ndim and p.shape[0] == m_rows
                 else p, merged)
             merged = cs.SlotState(*[
@@ -384,9 +372,8 @@ class Pencil2DSimulation:
 
         valid = merged.aid < n
         cx, cy, cz = self._global_cells(merged.x, merged.y, merged.z)
-        d = jax.lax.axis_index(self.axis)
-        x0 = (d // self.Dy) * self.ncx_loc
-        y0 = jnp.mod(d, self.Dy) * self.ncy_loc
+        x0 = jax.lax.axis_index(self.ax_x) * self.ncx_loc
+        y0 = jax.lax.axis_index(self.ax_y) * self.ncy_loc
         ncx, ncy = grid.nc[0], grid.nc[1]
         # single-block axes own every cell — no relative wrap (the wrap
         # would map the last plane to -1 and drop it)

@@ -601,7 +601,38 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 "pencil2d engine: pair + nvt decks only (molecular "
                 "fixes run the 1-D slab engine, `devices: N`)")
         kset2d = None
-        if kspace is not None:
+        pencil2d_pppm = (ks and ks.get("name") == "pppm"
+                         and style.cfg.coul == "long"
+                         and not ks.get("slab")
+                         and ks.get("diff", "ik") == "ik"
+                         and not ks.get("gathered")
+                         and not box.is_triclinic)
+        if pencil2d_pppm:
+            def kset2d(sim):
+                # mesh aligned to the cell grid with ny tiling Dx (the
+                # x transpose splits ny)
+                from .models.kspace import setup_pppm as _setup2
+                from .models.kspace.pppm_slab import Pencil2DCellPPPM
+
+                kgrid = sim.grid
+                order = ks.get("order", 5)
+                smin = _patch_aligned_smin(
+                    np.asarray(kgrid.nc), np.asarray(box.perp_widths),
+                    policy.skin, order)
+                mof = (int(kgrid.nc[0]),
+                       int(np.lcm(int(kgrid.nc[1]), dims[0])),
+                       int(kgrid.nc[2]))
+                gmin = tuple(int(s * c) for s, c in zip(smin, kgrid.nc))
+                pm2 = _setup2(
+                    box, q, cutoff=ps.get("cut_coul", ps["cut"]),
+                    accuracy_rel=ks.get("accuracy", 1e-4),
+                    qqrd2e=u.qqrd2e, order=order,
+                    g_ewald=style.g_ewald, diff="ik",
+                    multiple_of=mof, grid_min=gmin, acc_dtype=prec.acc)
+                sim.pair = sim.pair.replace(g_ewald=pm2.g_ewald)
+                return Pencil2DCellPPPM(pm2, sim.grid, dims,
+                                        skin=policy.skin)
+        elif kspace is not None:
             _gk2d = kspace
 
             def kset2d(sim):

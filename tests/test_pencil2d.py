@@ -177,3 +177,50 @@ def test_pencil2d_nvt_ramp_and_check():
     temps = [r["temp"] for r in rows]
     # the ramp pulled the temperature UP toward 2.0
     assert temps[-1] > temps[0] + 0.3, temps
+
+
+@pytest.mark.parametrize("dims", [(2, 2), (2, 4)])
+def test_pencil2d_pppm_matches_single_device(dims):
+    """buck/coul/long + the 2-D PENCIL PPPM (2-D brick deposition with
+    two-hop overhang reduction, double-transpose pencil FFT over the
+    (x, y) device grid, halo-filled patch gathers) == the single-device
+    cell-patch solver — the full H4 contract at pod scale."""
+    from lammps_buck_intel_tpu.models.kspace import CellPPPM, setup_pppm
+    from lammps_buck_intel_tpu.models.kspace.pppm_slab import \
+        Pencil2DCellPPPM
+
+    u, box, system, q = _melt(charged=True)
+    style = _style(charged=True)
+    prec = get_precision("double")
+    nbr = NeighborPolicy(skin=0.3, every=5, check=False)
+    simA = CellPairSimulation(system, style, units=u, precision=prec,
+                              neighbor=nbr)
+    nc = simA.grid.coarse().nc
+    # mesh: multiple of the cell grid; ny must also tile Dx (the x
+    # transpose splits ny)
+    m = int(np.lcm(nc[1], dims[0]))
+    kgrid = (5 * nc[0], -(-5 * nc[1] // m) * m, 5 * nc[2])
+    pm = setup_pppm(box, q, cutoff=2.5, accuracy_rel=1e-4, qqrd2e=1.0,
+                    order=5, grid=kgrid, acc_dtype=prec.acc)
+    style2 = style.replace(g_ewald=pm.g_ewald)
+    simA.pair = simA.pair.replace(g_ewald=pm.g_ewald)
+    simA.kspace = CellPPPM(pm, simA.grid)
+    simA.state = simA._init_force_fn()(simA.state)
+
+    def ks(sim):
+        sim.pair = sim.pair.replace(g_ewald=pm.g_ewald)
+        return Pencil2DCellPPPM(pm, sim.grid, dims)
+
+    simB = Pencil2DSimulation(system, style2, dims=dims, units=u,
+                              precision=prec, neighbor=nbr,
+                              kspace_setup=ks)
+    assert simB.grid.nc == simA.grid.nc, (simB.grid.nc, simA.grid.nc)
+    rowsA = simA.run(10, thermo_every=5, log=False)
+    rowsB = simB.run(10, thermo_every=5, log=False)
+    for ra, rb in zip(rowsA, rowsB):
+        for key in ("evdwl", "ecoul", "elong", "temp"):
+            a, b = float(ra[key]), float(rb[key])
+            assert abs(a - b) <= 1e-8 * max(abs(a), abs(b), 1.0), \
+                (key, a, b)
+    np.testing.assert_allclose(simB.get_atoms()["x"],
+                               simA.get_atoms()["x"], rtol=0, atol=1e-8)
