@@ -208,10 +208,19 @@ class Pencil2DSimulation:
         return d * self.ncell_loc + lcid
 
     def _from_atoms(self, system, typ_np, flt, tchain):
+        return self._from_arrays(
+            jax.device_get(system.x), jax.device_get(system.v),
+            jax.device_get(system.image), typ_np,
+            jax.device_get(system.q), flt, tchain)
+
+    def _from_arrays(self, x_np, v_np, image_np, typ_np, q_np, flt,
+                     tchain):
+        # device-major binning from atom-ordered arrays (init and
+        # checkpoint resume share this path)
         n = self.n_atoms
-        x = jnp.asarray(jax.device_get(system.x), flt)
-        v = jnp.asarray(jax.device_get(system.v), flt)
-        image = jnp.asarray(jax.device_get(system.image), jnp.int32)
+        x = jnp.asarray(x_np, flt)
+        v = jnp.asarray(v_np, flt)
+        image = jnp.asarray(image_np, jnp.int32)
         st = cs.SlotState(
             x=x[:, 0], y=x[:, 1], z=x[:, 2],
             vx=v[:, 0], vy=v[:, 1], vz=v[:, 2],
@@ -219,7 +228,7 @@ class Pencil2DSimulation:
             fz=jnp.zeros((n,), flt),
             ix=image[:, 0], iy=image[:, 1], iz=image[:, 2],
             typ=jnp.asarray(typ_np, jnp.int32),
-            q=jnp.asarray(jax.device_get(system.q), flt),
+            q=jnp.asarray(q_np, flt),
             aid=jnp.arange(n, dtype=jnp.int32),
             overflow=jnp.zeros((), bool),
             therm=jnp.zeros((2, tchain), flt), comp=None,

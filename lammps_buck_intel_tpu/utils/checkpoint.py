@@ -84,6 +84,38 @@ def resume(sim, ckpt: dict) -> None:
     import jax.numpy as jnp
 
     flt = sim.precision.flt
+    from ..parallel.pencil2d import Pencil2DSimulation
+
+    if isinstance(sim, Pencil2DSimulation):
+        # device-major slot layout: verbatim planes when the geometry
+        # matches (bit-exact continuation), else re-bin from atom order
+        # through the engine's own device-major cid (the global
+        # cell-major rebin of the slab branch would scramble blocks)
+        import jax.numpy as jnp
+        from ..neighbor import cell_slots as cs
+
+        tchain = (sim.thermostat.tchain
+                  if getattr(sim, "thermostat", None) is not None else 0)
+        if ("slot_x" in ckpt
+                and len(ckpt["slot_x"]) == sim.grid.nslots
+                and ckpt["slot_therm"].shape
+                == tuple(np.asarray(sim.state.therm).shape)):
+            st = cs.SlotState(**{
+                k: (jnp.asarray(ckpt[f"slot_{k}"])
+                    if f"slot_{k}" in ckpt else None)
+                for k in cs.SlotState._fields
+            })
+        else:
+            st = sim._from_arrays(
+                ckpt["x"], ckpt["v"], ckpt["image"],
+                np.asarray(ckpt["typ"], np.int32), ckpt["q"], flt,
+                tchain)
+            st = st._replace(therm=jnp.asarray(ckpt["therm"], flt))
+        sim.state = jax.device_put(st, sim._state_sharding)
+        sim.state = sim._make_init_force_fn()(sim.state, sim._kc)
+        sim.step_count = int(ckpt["step_count"])
+        return
+
     if hasattr(sim, "mesh"):  # slab engines: restore + re-shard
         from ..core.box import make_box
         from ..neighbor import cell_slots as cs

@@ -224,3 +224,29 @@ def test_pencil2d_pppm_matches_single_device(dims):
                 (key, a, b)
     np.testing.assert_allclose(simB.get_atoms()["x"],
                                simA.get_atoms()["x"], rtol=0, atol=1e-8)
+
+
+def test_pencil2d_checkpoint_roundtrip(tmp_path):
+    """save -> resume on the 2-D pencil engine: verbatim slot planes
+    give bit-exact continuation."""
+    from lammps_buck_intel_tpu.utils import checkpoint as ckpt
+
+    u, box, system, _ = _melt()
+    style = _style()
+    prec = get_precision("double")
+    nbr = NeighborPolicy(skin=0.3, every=5, check=False)
+    sim = Pencil2DSimulation(system, style, dims=(2, 2), units=u,
+                             precision=prec, neighbor=nbr)
+    sim.run(10, log=False)
+    path = str(tmp_path / "p2d.npz")
+    ckpt.save(path, sim)
+    rows_ref = sim.run(10, thermo_every=10, log=False)
+
+    sim2 = Pencil2DSimulation(system, style, dims=(2, 2), units=u,
+                              precision=prec, neighbor=nbr)
+    ckpt.resume(sim2, ckpt.load(path))
+    assert sim2.step_count == 10
+    rows2 = sim2.run(10, thermo_every=10, log=False)
+    for ra, rb in zip(rows_ref, rows2):
+        assert abs(ra["etotal"] - rb["etotal"]) \
+            <= 1e-12 * abs(ra["etotal"]), (ra["etotal"], rb["etotal"])
