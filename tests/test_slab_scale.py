@@ -184,3 +184,64 @@ def test_slab_spce_recorded():
         tols = SPCE_FIELDS if i == 0 else SPCE_FIELDS_STEPPED
         for key, rtol in tols.items():
             assert row[key]["rel"] <= rtol, (key, row[key])
+
+
+PENCIL_RECORD = os.path.join(os.path.dirname(__file__), "goldens",
+                             "pencil2d_scale_259k.json")
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="259k-atom x 2 engines: set RUN_SLOW=1")
+def test_pencil2d_silica_259k_matches_single_device(reference_dir):
+    """The north-star deck on the 2-D (4, 2) pencil mesh — atom blocks
+    AND the 2-D pencil PPPM — vs the single-device engine (the pod-scale
+    decomposition at production scale)."""
+    import jax
+    from lammps_buck_intel_tpu.run import build_simulation
+    from lammps_buck_intel_tpu.parallel import Pencil2DSimulation
+
+    assert len(jax.devices()) >= 8
+    steps = 4
+
+    cfg = _cfg()
+    ref_sim = build_simulation(cfg)
+    ref_rows = [ref_sim.thermo()]
+    ref_sim.run(steps, log=False)
+    ref_rows.append(ref_sim.thermo())
+
+    cfg2 = _cfg()
+    cfg2["devices_2d"] = [4, 2]
+    p_sim = build_simulation(cfg2)
+    assert isinstance(p_sim, Pencil2DSimulation)
+    assert (p_sim.Dx, p_sim.Dy) == (4, 2)
+    rows = [p_sim.thermo()]
+    p_sim.run(steps, log=False)
+    rows.append(p_sim.thermo())
+
+    out = {"n_atoms": int(ref_sim.n_atoms), "steps": steps,
+           "dims": [4, 2], "rows": []}
+    for i, (r_ref, r_p) in enumerate(zip(ref_rows, rows)):
+        rec = {}
+        tols = FIELDS if i == 0 else FIELDS_STEPPED
+        for key, rtol in tols.items():
+            a, b = float(r_ref[key]), float(r_p[key])
+            scale = max(abs(a), 1.0)
+            assert abs(a - b) <= rtol * scale, (i, key, a, b)
+            rec[key] = {"single": a, "pencil4x2": b,
+                        "rel": abs(a - b) / scale}
+        out["rows"].append(rec)
+    with open(PENCIL_RECORD, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+def test_pencil2d_scale_recorded():
+    """Cheap gate on the recorded 259k 2-D pencil parity artifact."""
+    if not os.path.exists(PENCIL_RECORD):
+        pytest.skip("no recorded pencil2d-scale run yet (RUN_SLOW=1)")
+    with open(PENCIL_RECORD) as f:
+        rec = json.load(f)
+    assert rec["n_atoms"] == 259200
+    for i, row in enumerate(rec["rows"]):
+        tols = FIELDS if i == 0 else FIELDS_STEPPED
+        for key, rtol in tols.items():
+            assert row[key]["rel"] <= rtol, (i, key, row[key])
