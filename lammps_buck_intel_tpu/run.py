@@ -663,9 +663,9 @@ def build_simulation(cfg: dict, prefer_device: bool = True):
                 "slab engine: triclinic box with fix npt / rigid")
         if cfg.get("pair_kernel"):
             raise NotImplementedError(
-                "slab engine: pair_kernel selection (the Pallas variants "
-                "are single-device; the slab pair pass is the halo-tile "
-                "XLA kernel)")
+                "slab engine: pair_kernel selection (the slab pair pass "
+                "is the halo-tile XLA kernel; the Pallas variants were "
+                "pruned in r5 — PERF.md)")
         if prec.compensated:
             raise NotImplementedError(
                 "slab engine: compensated precision (use single/double)")

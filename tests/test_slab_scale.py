@@ -220,9 +220,15 @@ def test_pencil2d_silica_259k_matches_single_device(reference_dir):
 
     out = {"n_atoms": int(ref_sim.n_atoms), "steps": steps,
            "dims": [4, 2], "rows": []}
+    # press/etotal compare at SOLVER accuracy: the pencil mesh must
+    # tile the device grid (ny % lcm(ncy, Dx)), so the k-meshes differ
+    # within the deck's 1e-4 accuracy target — measured step-0 press rel
+    # 1.5e-6 and etotal rel 8.3e-8 (the same ~0.63-unit elong delta);
+    # real-space fields stay reduction-tight, a broken halo >= 1e-2
+    p_fields = dict(FIELDS, press=1e-5, etotal=1e-7)
     for i, (r_ref, r_p) in enumerate(zip(ref_rows, rows)):
         rec = {}
-        tols = FIELDS if i == 0 else FIELDS_STEPPED
+        tols = p_fields if i == 0 else FIELDS_STEPPED
         for key, rtol in tols.items():
             a, b = float(r_ref[key]), float(r_p[key])
             scale = max(abs(a), 1.0)
@@ -241,7 +247,8 @@ def test_pencil2d_scale_recorded():
     with open(PENCIL_RECORD) as f:
         rec = json.load(f)
     assert rec["n_atoms"] == 259200
+    p_fields = dict(FIELDS, press=1e-5, etotal=1e-7)
     for i, row in enumerate(rec["rows"]):
-        tols = FIELDS if i == 0 else FIELDS_STEPPED
+        tols = p_fields if i == 0 else FIELDS_STEPPED
         for key, rtol in tols.items():
             assert row[key]["rel"] <= rtol, (i, key, row[key])
